@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+wall-clock seconds.
+
+Each query is forced to execute via a count() over the result (no driver
+collect of payload rows — mirrors cluster execution where results land in a
+sink, not the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that exercise the heavy paths: full extraction spine, shuffling
+# aggregations/joins/windows over lineitem, and the LLM-pipeline extras.
+HEADLINE = [
+    "kb_spine_full",
+    "kb_extract_blocks",
+    "kb_mentions",
+    "rel_pricing_summary",
+    "rel_topk_revenue",
+    "rel_region_revenue",
+    "rel_window_running_sum",
+    "llm_dedup_minhash",
+    "llm_sim_bruteforce",
+    "llm_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from knowledgebot_spark.registry import load
+    from knowledgebot_spark.session import get_session
+
+    catalog = load()
+    spark = get_session("knowledgebot-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        qd = catalog.get(name)
+        if qd is None:
+            continue
+        # warm the JVM/IO path once at tiny scale is skipped: measure cold,
+        # the driver compares like-for-like across rounds
+        t0 = time.time()
+        qd.fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+UTC session timezone is load-bearing: the reference formats dates with
+``datetime.fromtimestamp(ts, tz=timezone.utc)`` (KnowledgeBot.py:481,517),
+so every date-derivation operator (P4/P5) assumes UTC.
+
+Scale posture (100 TB): AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), broadcast threshold left at default so small dims
+(region/nation/users/channels) broadcast automatically, and shuffle
+partitions sized from the environment so a real cluster can raise it to
+O(cores * 2..4) while local tests stay small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "knowledgebot-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    active = SparkSession.getActiveSession()
+    if active is not None and master is None and extra_conf is None:
+        return active
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
