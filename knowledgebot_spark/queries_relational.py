@@ -1,1 +1,868 @@
-"""Relational-surface query catalog (SURVEY.md §2.3). Populated below."""
+"""Generalized relational surface (SURVEY.md §2.3) as named, oracle-checked
+queries over the TPC-H-ish testdata tables.
+
+Every query here is pure Spark built-ins (JVM-side, whole-stage codegen) —
+the engine's job is to declare, expose, and test this surface, relying on
+Catalyst for pushdown/pruning/join planning.  Floating-point aggregates are
+ROUNDed identically on both sides because summation order differs between
+engines (documented deviation; values agree to well below the rounding
+grain).
+
+Scale notes (100 TB posture), applied throughout:
+  * small dims (region/nation/part/supplier/customer) joined with explicit
+    broadcast() hints — no shuffle on the fact side;
+  * top-k always ORDER BY + LIMIT (planner emits TakeOrderedAndProject,
+    never a global sort);
+  * aggregations are partial+final hash aggs by construction;
+  * windows partition by bounded keys (customer, brand, user) — no
+    whole-table single-partition windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.registry import register
+from knowledgebot_spark.tables import read_table as _t
+
+
+# --- aggregation -------------------------------------------------------------
+
+@register(
+    "rel_pricing_summary",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "hash-agg"),
+)
+def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: partial+final hash agg, predicate pushed to scan."""
+    li = _t(spark, sf, "lineitem").filter(
+        F.expr("l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "rel_distinct_agg",
+    sql="""
+SELECT l_returnflag,
+  count(DISTINCT l_suppkey) AS n_supp,
+  count(DISTINCT l_partkey) AS n_part,
+  round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct-agg"),
+)
+def rel_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "rel_rollup",
+    sql="""
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)
+def rel_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select(
+        F.when(F.col("g_flag") == 1, "ALL").otherwise(F.col("l_returnflag")).alias("flag"),
+        F.when(F.col("g_status") == 1, "ALL")
+        .otherwise(F.col("l_linestatus"))
+        .alias("status"),
+        "sum_qty",
+        "n",
+    )
+
+
+@register(
+    "rel_cube",
+    sql="""
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+  count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def rel_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        F.when(F.col("g_status") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("g_prio") == 1, "ALL")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    sql="""
+SELECT
+  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
+  CASE WHEN GROUPING(c_nationkey) = 1 THEN -1 ELSE c_nationkey END AS nationkey,
+  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+""",
+    tags=("agg", "grouping-sets"),
+)
+def rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    c.createOrReplaceTempView("rel_gs_customer")
+    return spark.sql(
+        """
+SELECT
+  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
+  CASE WHEN GROUPING(c_nationkey) = 1 THEN -1 ELSE c_nationkey END AS nationkey,
+  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+FROM rel_gs_customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+"""
+    )
+
+
+@register("rel_approx_distinct", sql=None, tags=("agg", "approx"))
+def rel_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — estimator differs from DuckDB's, so
+    this is a rows-only check; the exact variant is rel_distinct_agg."""
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- joins -------------------------------------------------------------------
+
+@register(
+    "rel_topk_revenue",
+    sql="""
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    tags=("join", "topk"),
+)
+def rel_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim, shuffle only on
+    the orderkey agg; top-k via TakeOrderedAndProject."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_region_revenue",
+    sql="""
+SELECT r.r_name AS region, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("join", "multi-join"),
+)
+def rel_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dim broadcast, single shuffle for
+    the final region agg."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "rel_join_semi",
+    sql="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+""",
+    tags=("join", "semi"),
+)
+def rel_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "rel_join_anti",
+    sql="""
+SELECT n.n_name AS nation, count(*) AS n_customers_no_p_orders
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY n.n_name
+""",
+    tags=("join", "anti"),
+)
+def rel_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers_no_p_orders"))
+    )
+
+
+@register(
+    "rel_join_full",
+    sql="""
+WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+""",
+    tags=("join", "full-outer"),
+)
+def rel_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    cust = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cust.join(supp, cust.nk == supp.snk, "full_outer")
+    return j.select(
+        F.coalesce("nk", "snk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "rel_join_right",
+    sql="""
+SELECT p.p_brand, count(l.l_orderkey) AS n_lineitems
+FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("join", "right-outer"),
+)
+def rel_join_right(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_brand")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+    )
+
+
+@register(
+    "rel_join_range",
+    sql="""
+SELECT s.s_suppkey, count(*) AS n_richer_customers
+FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal + 1000
+GROUP BY s.s_suppkey
+""",
+    tags=("join", "non-equi"),
+)
+def rel_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (theta) join: small side broadcast -> BroadcastNestedLoop,
+    never a cartesian shuffle."""
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal + 1000)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+# --- windows -----------------------------------------------------------------
+
+@register(
+    "rel_window_rank",
+    sql="""
+SELECT * FROM (
+  SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+    CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
+  FROM part
+) WHERE rk <= 3
+""",
+    tags=("window", "rank"),
+)
+def rel_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.dense_rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "rel_window_analytic",
+    sql="""
+SELECT o_custkey, o_orderkey,
+  CAST(coalesce(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1) AS INTEGER) AS days_since_prev,
+  strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order,
+  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "analytic"),
+)
+def rel_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)), F.lit(-1)
+        ).alias("days_since_prev"),
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order"),
+    )
+
+
+@register(
+    "rel_window_running_sum",
+    sql="""
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+    tags=("window", "frame-rows"),
+)
+def rel_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "rel_window_range_frame",
+    sql="""
+SELECT p_partkey, p_brand, p_size,
+  round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS nearby_price
+FROM part
+""",
+    tags=("window", "frame-range"),
+)
+def rel_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 0)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.sum("p_retailprice").over(w), 2).alias("nearby_price"),
+    )
+
+
+@register(
+    "rel_window_ntile",
+    sql="""
+SELECT tile, count(*) AS n, round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM (
+  SELECT c_acctbal, CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS tile
+  FROM customer
+) GROUP BY tile
+""",
+    tags=("window", "ntile"),
+)
+def rel_window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+# --- sort / limit / set ops --------------------------------------------------
+
+@register(
+    "rel_topk_sort",
+    sql="""
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 15
+""",
+    tags=("sort", "topk"),
+)
+def rel_topk_sort(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
+        .limit(15)
+    )
+
+
+@register(
+    "rel_set_union",
+    sql="""
+SELECT nk, sum(n) AS n FROM (
+  SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1
+  UNION ALL
+  SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1
+) GROUP BY nk
+""",
+    tags=("setop", "union"),
+)
+def rel_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n"))
+    )
+    return c.unionByName(s).groupBy("nk").agg(F.sum("n").alias("n"))
+
+
+@register(
+    "rel_set_intersect",
+    sql="""
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""",
+    tags=("setop", "intersect"),
+)
+def rel_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "rel_set_except",
+    sql="""
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""",
+    tags=("setop", "except"),
+)
+def rel_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)  # EXCEPT DISTINCT (exceptAll keeps surplus dups)
+
+
+# --- scalar function families ------------------------------------------------
+
+@register(
+    "rel_scalar_string",
+    sql="""
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  substr(p_name, 1, 8) AS name_prefix,
+  replace(p_type, ' ', '_') AS type_joined,
+  lpad(CAST(p_size AS STRING), 4, '0') AS size_padded,
+  reverse(p_brand) AS brand_rev,
+  CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+  concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def rel_scalar_string(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_joined"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "rel_scalar_date",
+    sql="""
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mth,
+  CAST(day(o_orderdate) AS INTEGER) AS dom,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INTEGER) AS days_to_y2k
+FROM orders
+""",
+    tags=("scalar", "date"),
+)
+def rel_scalar_date(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), "o_orderdate").alias("days_to_y2k"),
+    )
+
+
+@register(
+    "rel_scalar_math",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+  round(l_extendedprice * 0.1, 4) AS tithe,
+  round(abs(l_discount - 0.05), 6) AS disc_dev,
+  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_sevenths,
+  CAST(l_linenumber % 3 AS INTEGER) AS line_mod,
+  round(power(l_quantity, 2), 4) AS qty_sq,
+  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+  round(ln(l_extendedprice + 1), 6) AS price_ln,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem
+""",
+    tags=("scalar", "math"),
+)
+def rel_scalar_math(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # 4dp: prices carry 2 decimals, so *0.1 sits exactly on the .005
+        # boundary at 2dp — engines disagree there; 4dp is exact
+        F.round(F.col("l_extendedprice") * 0.1, 4).alias("tithe"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_sevenths"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "rel_scalar_array",
+    sql="""
+SELECT doc_id,
+  CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+  str_split(text, ' ')[1] AS first_token,
+  array_to_string(list_sort(str_split(text, ' ')[1:5]), ',') AS first5_sorted,
+  CAST(len(list_distinct(str_split(text, ' '))) AS INTEGER) AS n_distinct,
+  list_contains(str_split(text, ' '), 'spark') AS has_spark
+FROM documents
+""",
+    tags=("scalar", "array"),
+)
+def rel_scalar_array(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 5)), ",").alias("first5_sorted"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@register(
+    "rel_scalar_json",
+    sql="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+  count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("scalar", "json", "map"),
+)
+def rel_scalar_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "rel_scalar_conditional",
+    sql="""
+SELECT c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class,
+  round(least(c_acctbal, 5000.0), 2) AS capped,
+  round(greatest(c_acctbal, 0.0), 2) AS floored,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked
+FROM customer
+""",
+    tags=("scalar", "conditional"),
+)
+def rel_scalar_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.round(F.least("c_acctbal", F.lit(5000.0)), 2).alias("capped"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("floored"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+    )
+
+
+# --- event-time windows (batch equivalents of the streaming ops) -------------
+
+@register(
+    "rel_events_tumbling",
+    sql="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "tumbling"),
+)
+def rel_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "rel_events_sliding",
+    sql="""
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT e.*, time_bucket(INTERVAL '30 minutes', e.ts) - k.k * INTERVAL '30 minutes' AS ws
+  FROM events e, (VALUES (0), (1)) k(k)
+)
+WHERE ts >= ws AND ts < ws + INTERVAL '60 minutes'
+GROUP BY ws
+""",
+    tags=("streaming", "sliding"),
+)
+def rel_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "rel_events_session",
+    sql="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+""",
+    tags=("streaming", "session"),
+)
+def rel_events_session(spark: SparkSession, sf: str) -> DataFrame:
+    """session_window (30 min gap) in batch mode; oracle recreates sessions
+    via gaps-and-islands.  Session merge rule: an event strictly inside
+    prev_ts + gap extends the session (Spark semantics)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "rel_dedup_keep_first",
+    sql="""
+SELECT user_id, event_type, first_event_id, strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts,
+    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("dedup", "window"),
+)
+def rel_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic dedup-keep-earliest (the well-defined form of
+    dropDuplicates; streaming variant lives in streaming/pipeline.py)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "first_event_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
