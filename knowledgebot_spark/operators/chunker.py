@@ -1,0 +1,108 @@
+"""Token-window chunker (SURVEY.md §2.1 U1) and the file parse path (S7/P10).
+
+The reference chunker (VectorDatabase/TextProcessor.py:34-48) slides a
+fixed-size token window with overlap and keeps the final partial window; it
+infinite-loops when ``overlap >= chunk_size`` — here that is rejected at
+config time (config.EngineConfig) and by these functions.
+
+Two implementations with identical semantics:
+  * ``chunk_windows`` — JVM built-ins (sequence/slice/posexplode); the hot
+    path, whole-stage-codegen friendly, used by the registered queries.
+  * ``chunk_text_pandas`` — Arrow-batched pandas UDF; the seam where a real
+    subword tokenizer (tiktoken et al.) would plug in.  The container has no
+    tokenizer lib, so the tokenizer is whitespace and the UDF is verified
+    equivalent to the built-in path in tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+
+def _check(chunk_size: int, overlap: int) -> int:
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size}); the "
+            "reference infinite-loops on this (TextProcessor.py:34-48)"
+        )
+    return chunk_size - overlap
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 20,
+    overlap: int = 5,
+) -> DataFrame:
+    """Explode each document into (chunk_pos, chunk_text) token windows.
+    Stride = chunk_size - overlap; 1-based window starts 1, 1+stride, ...;
+    final partial window kept (reference parity)."""
+    stride = _check(chunk_size, overlap)
+    toks = f"split({text_col}, ' ')"
+    windows = (
+        f"transform(sequence(1, size({toks}), {stride}), "
+        f"s -> array_join(slice({toks}, s, {chunk_size}), ' '))"
+    )
+    return (
+        df.withColumn("windows", F.expr(windows))
+        .select("*", F.posexplode("windows").alias("chunk_pos", "chunk_text"))
+        .drop("windows")
+    )
+
+
+def make_chunk_udf(chunk_size: int = 20, overlap: int = 5):
+    """Pandas-UDF variant (ARRAY<STRING> per row) — Arrow batch transfer,
+    tokenizer pluggable per partition."""
+    stride = _check(chunk_size, overlap)
+
+    @pandas_udf(ArrayType(StringType()))
+    def chunk_text(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> list[str]:
+            toks = text.split(" ") if text else []
+            out = []
+            start = 0
+            while start < len(toks):
+                out.append(" ".join(toks[start : start + chunk_size]))
+                start += stride
+            return out
+
+        return texts.map(one)
+
+    return chunk_text
+
+
+def chunk_text_pandas(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 20,
+    overlap: int = 5,
+) -> DataFrame:
+    udf = make_chunk_udf(chunk_size, overlap)
+    return (
+        df.withColumn("windows", udf(F.col(text_col)))
+        .select("*", F.posexplode("windows").alias("chunk_pos", "chunk_text"))
+        .drop("windows")
+    )
+
+
+# --- S7 header/body parse + P10 field normalization --------------------------
+
+def parse_header_body(df: DataFrame, text_col: str = "value") -> DataFrame:
+    """Parse the reference's chunk-file format: ``key: value`` header lines,
+    a ``---`` separator line, then the body (TextProcessor.py:21-31).
+    Header keys are normalized space->underscore (P10,
+    TextProcessor.py:51-59)."""
+    header = f"substring_index({text_col}, '\\n---\\n', 1)"
+    body = (
+        f"trim(substring({text_col}, length({header}) + length('\\n---\\n') + 1))"
+    )
+    entries = (
+        f"map_from_entries(transform(filter(split({header}, '\\n'), l -> l like '%: %'), "
+        "l -> struct(regexp_replace(substring_index(l, ': ', 1), '\\\\s+', '_'), "
+        "trim(substring(l, length(substring_index(l, ': ', 1)) + 3)))))"
+    )
+    return df.withColumn("meta", F.expr(entries)).withColumn("body", F.expr(body))

@@ -1,1 +1,550 @@
-"""LLM-data-pipeline query catalog (dedup, similarity, text analysis)."""
+"""LLM-data-pipeline query catalog (north star: dedup, similarity search,
+text analysis, multimodal columns, chunk/embed/enrich) over the
+``documents`` and ``embeddings`` tables.
+
+Where both sides need the same generated expression (simhash bit sums,
+hyperplane literals), the SQL is built by the same Python loop that builds
+the Spark plan — parity by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.operators import chunker as ck
+from knowledgebot_spark.operators import dedup as dd
+from knowledgebot_spark.operators import embedding as em
+from knowledgebot_spark.operators import multimodal as mm
+from knowledgebot_spark.operators import similarity as sim
+from knowledgebot_spark.operators import text_analysis as ta
+from knowledgebot_spark.registry import register
+from knowledgebot_spark.tables import read_table as _t
+
+# DuckDB equivalent of operators.dedup.shingle_expr
+_DUCK_SHINGLES = (
+    "list_distinct([array_to_string(tk[i:i+2], ' ') "
+    "for i in generate_series(1, greatest(len(tk) - 2, 1))])"
+)
+_DUCK_DOCS_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS s
+  FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)
+)"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+@register(
+    "llm_dedup_exact",
+    sql="""
+SELECT dup_key, n_copies, keeper_id FROM (
+  SELECT md5(array_to_string(str_split(lower(text), ' ')[1:8], ' ')) AS dup_key,
+         count(*) AS n_copies, min(doc_id) AS keeper_id
+  FROM documents GROUP BY 1
+) WHERE n_copies > 1
+""",
+    tags=("dedup", "exact"),
+)
+def llm_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on a normalized content key (first 8 words) — hash
+    groupBy, the dropDuplicates scale pattern."""
+    d = _t(spark, sf, "documents")
+    key = F.expr("md5(array_join(slice(split(lower(text), ' '), 1, 8), ' '))")
+    return dd.exact_dup_groups(d, "doc_id", key)
+
+
+def _duck_minhash_cols() -> str:
+    return ", ".join(
+        f"list_min([md5('s{k}:' || x) for x in s]) AS m{k}" for k in range(dd.N_HASHES)
+    )
+
+
+def _duck_bands() -> str:
+    n_bands = dd.N_HASHES // dd.ROWS_PER_BAND
+    parts = []
+    for b in range(n_bands):
+        cols = "||".join(f"m{b * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bv FROM mh")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "llm_dedup_minhash",
+    sql=_DUCK_DOCS_CTE
+    + f"""
+, mh AS (SELECT doc_id, s, {_duck_minhash_cols()} FROM docs)
+, bands AS ({_duck_bands()})
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+  round(len(list_filter(da.s, x -> list_contains(db.s, x)))::DOUBLE /
+        (len(da.s) + len(db.s) - len(list_filter(da.s, x -> list_contains(db.s, x)))), 4) AS jaccard
+FROM cand c JOIN docs da ON da.doc_id = c.id_a JOIN docs db ON db.doc_id = c.id_b
+""",
+    tags=("dedup", "minhash-lsh"),
+)
+def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash LSH near-dup: shingle -> salted-min signature -> banded
+    bucket join -> exact-Jaccard verify.  Never all-pairs."""
+    d = dd.with_shingles(_t(spark, sf, "documents"), "text")
+    signed = dd.with_minhash(d)
+    bands = dd.lsh_bands(signed, "doc_id")
+    pairs = dd.candidate_pairs(bands, "doc_id")
+    return dd.jaccard_verify(pairs, d, "doc_id")
+
+
+@register(
+    "llm_dedup_ngram",
+    sql=_DUCK_DOCS_CTE.replace("WITH docs AS", "WITH base AS")
+    .replace("SELECT doc_id,", "SELECT doc_id, lang, n_chars,", 1)
+    .replace(
+        "FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)",
+        "FROM (SELECT doc_id, lang, n_chars, str_split(lower(text), ' ') tk FROM documents)",
+    )
+    + """
+, d AS (SELECT doc_id, lang, n_chars // 100 AS blk, s FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
+        (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 4) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
+      (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.06
+""",
+    tags=("dedup", "ngram-jaccard"),
+)
+def llm_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard inside cheap blocking keys (lang, length
+    bucket) — the blocked-pairwise pattern for when LSH recall is not
+    enough."""
+    d = dd.with_shingles(_t(spark, sf, "documents"), "text").select(
+        "doc_id", "lang", F.expr("n_chars div 100").alias("blk"), "shingles"
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "lang", "blk", F.col("shingles").alias("sh_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "lang", "blk", F.col("shingles").alias("sh_b")
+    )
+    joined = a.join(b, ["lang", "blk"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        joined.withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.06)
+        .select("id_a", "id_b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+def _duck_simhash_sql() -> str:
+    hv = "('0x' || substr(md5(tk), 1, 4))::INTEGER"
+    bit_terms = []
+    for j in range(16):
+        s = (
+            f"list_reduce(list_transform(t, tk -> CASE WHEN ({hv} >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END), (a, b) -> a + b)"
+        )
+        bit_terms.append(f"(CASE WHEN ({s}) > 0 THEN 1 ELSE 0 END << {j})")
+    combine = " + ".join(bit_terms)
+    return f"""
+WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') t FROM documents),
+sh AS (SELECT doc_id, CAST({combine} AS INTEGER) AS simhash FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 4
+"""
+
+
+@register("llm_dedup_simhash", sql=_duck_simhash_sql(), tags=("dedup", "simhash"))
+def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signatures, pairs blocked on the top byte,
+    Hamming <= 4."""
+    d = dd.with_simhash(_t(spark, sf, "documents"), "text")
+    pairs = dd.simhash_near_pairs(d.select("doc_id", "simhash"), "doc_id", 4)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_DUCK_COS = (
+    "list_reduce(list_transform(a.embedding, (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE), (p, q) -> p + q)"
+    " / (sqrt(list_reduce(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q))"
+    " * sqrt(list_reduce(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), (p, q) -> p + q)))"
+)
+
+
+@register(
+    "llm_dedup_embedding",
+    sql=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COS}, 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DUCK_COS} >= 0.3
+""",
+    tags=("dedup", "embedding-cosine"),
+)
+def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked on the label column (the blocked
+    pairwise pattern; at 100 TB the block key is an LSH/IVF bucket)."""
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("vb"))
+    joined = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = sim.cosine_col("va", "vb")
+    return (
+        joined.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+# --- similarity search (Q1/Q2) ----------------------------------------------
+
+@register(
+    "llm_sim_bruteforce",
+    sql=f"""
+WITH b AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, round({_DUCK_COS}, 6) AS score
+FROM embeddings a, b
+WHERE a.vec_id <> 0
+ORDER BY score DESC, a.vec_id
+LIMIT 10
+""",
+    tags=("search", "Q1"),
+)
+def llm_sim_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1 exact top-k: brute-force cosine against the vec_id=0 query
+    vector; TakeOrderedAndProject, query side broadcast."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return sim.topk_cosine(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@register(
+    "llm_sim_filtered",
+    sql=f"""
+WITH b AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, a.label, round({_DUCK_COS}, 6) AS score
+FROM embeddings a, b
+WHERE a.label = 3
+ORDER BY score DESC, a.vec_id
+LIMIT 5
+""",
+    tags=("search", "Q2"),
+)
+def llm_sim_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2: metadata filter BEFORE scoring (predicate-first, then top-k)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = (
+        e.filter(F.col("label") == 3)
+        .crossJoin(F.broadcast(q))
+        .withColumn("score", F.round(sim.cosine_col("embedding", "qvec"), 6))
+    )
+    return scored.select("vec_id", "label", "score").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    ).limit(5)
+
+
+def _duck_bucket(vec: str) -> str:
+    planes = sim.hyperplanes()
+    bits = []
+    for k, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        d = (
+            f"list_reduce(list_transform({vec}, (x, i) -> x::DOUBLE * ({lit}::DOUBLE[])[i]), "
+            "(p, q) -> p + q)"
+        )
+        bits.append(f"(CASE WHEN ({d}) >= 0 THEN 1 ELSE 0 END << {k})")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+@register(
+    "llm_sim_lsh",
+    sql=f"""
+WITH b AS (SELECT embedding, {_duck_bucket('embedding')} AS bkt FROM embeddings WHERE vec_id = 0),
+c AS (SELECT a.vec_id, a.embedding, {_duck_bucket('a.embedding')} AS bkt FROM embeddings a)
+SELECT c.vec_id, round({_DUCK_COS.replace('a.embedding', 'c.embedding')}, 6) AS score
+FROM c, b
+WHERE c.bkt = b.bkt AND c.vec_id <> 0
+ORDER BY score DESC, c.vec_id
+LIMIT 5
+""",
+    tags=("search", "ann-lsh"),
+)
+def llm_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: score only the query's signature
+    bucket (the 100 TB scale path — bucket-pruned scan, not a full pass)."""
+    planes = sim.hyperplanes()
+    e = _t(spark, sf, "embeddings").withColumn(
+        "bkt", F.expr(sim.bucket_expr("embedding", planes))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bkt").alias("qbkt")
+    )
+    cands = e.join(F.broadcast(q), e.bkt == q.qbkt).filter(F.col("vec_id") != 0)
+    return (
+        cands.withColumn("score", F.round(sim.cosine_col("embedding", "qvec"), 6))
+        .select("vec_id", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+_DUCK_TOKS = "str_split(lower(text), ' ')"
+_DUCK_STOP_EN = "['the', 'a', 'and', 'of', 'to', 'in']"
+
+
+@register(
+    "llm_text_stats",
+    sql=f"""
+SELECT doc_id,
+  CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INTEGER) AS n_bpe_tokens,
+  round(list_reduce(list_transform({_DUCK_TOKS}, t -> length(t)), (a, b) -> a + b)::DOUBLE
+        / len({_DUCK_TOKS}), 6) AS avg_token_len,
+  round(len(list_filter({_DUCK_TOKS}, t -> list_contains({_DUCK_STOP_EN}, t)))::DOUBLE
+        / len({_DUCK_TOKS}), 6) AS stopword_ratio
+FROM documents
+""",
+    tags=("text", "token-count"),
+)
+def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = ta.with_token_stats(_t(spark, sf, "documents"), "text")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "llm_text_quality",
+    sql=f"""
+WITH s AS (
+  SELECT source,
+    round(list_reduce(list_transform({_DUCK_TOKS}, t -> length(t)), (a, b) -> a + b)::DOUBLE
+          / len({_DUCK_TOKS}), 6) AS avg_token_len,
+    round(len(list_filter({_DUCK_TOKS}, t -> list_contains({_DUCK_STOP_EN}, t)))::DOUBLE
+          / len({_DUCK_TOKS}), 6) AS stopword_ratio,
+    len({_DUCK_TOKS}) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT source, round(0.4 * stopword_ratio + 0.3 * least(avg_token_len / 8.0, 1.0)
+       + 0.3 * least(n_tokens / 256.0, 1.0), 6) AS quality
+  FROM s
+)
+SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+  round(min(quality), 6) AS min_quality, round(max(quality), 6) AS max_quality
+FROM q GROUP BY source
+""",
+    tags=("text", "quality"),
+)
+def llm_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = ta.with_quality(ta.with_token_stats(_t(spark, sf, "documents"), "text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+    )
+
+
+@register(
+    "llm_text_langid",
+    sql=f"""
+WITH p AS (
+  SELECT lang,
+    len(list_filter({_DUCK_TOKS}, t -> list_contains({_DUCK_STOP_EN}, t))) AS en,
+    len(list_filter({_DUCK_TOKS}, t -> list_contains(['der', 'die', 'das', 'und', 'zu'], t))) AS de,
+    len(list_filter({_DUCK_TOKS}, t -> list_contains(['el', 'la', 'los', 'y', 'de'], t))) AS es
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+       WHEN de >= es AND de > 0 THEN 'de'
+       WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred,
+  count(*) AS n
+FROM p GROUP BY 1, 2
+""",
+    tags=("text", "lang-id"),
+)
+def llm_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = ta.with_langid(_t(spark, sf, "documents"), "text")
+    return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+@register(
+    "llm_text_fingerprint",
+    sql=f"""
+SELECT doc_id,
+  md5(array_to_string({_DUCK_TOKS.replace('lower(text)', 'lower(trim(text))')}, ' ')) AS content_md5,
+  list_min([md5(x) for x in {_DUCK_SHINGLES.replace('tk', _DUCK_TOKS)}]) AS winnow_fp
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def llm_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = ta.with_fingerprint(_t(spark, sf, "documents"), "text")
+    return d.select("doc_id", "content_md5", "winnow_fp")
+
+
+# --- chunk / enrich / embed (U1-U4) ------------------------------------------
+
+@register(
+    "kb_chunker",
+    sql="""
+SELECT doc_id, CAST(t.pos - 1 AS INTEGER) AS chunk_pos, t.cw AS chunk_text,
+  CAST(len(str_split(t.cw, ' ')) AS INTEGER) AS n_window_tokens
+FROM (
+  SELECT doc_id, [array_to_string(tk[s:s+19], ' ') for s in generate_series(1, len(tk), 15)] AS w
+  FROM (SELECT doc_id, str_split(text, ' ') tk FROM documents)
+),
+LATERAL (SELECT unnest(w) AS cw, generate_subscripts(w, 1) AS pos) t
+""",
+    tags=("U1", "chunker"),
+)
+def kb_chunker(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 token-window chunker: size 20, overlap 5 (reference defaults,
+    TextProcessor.py:36-37), tail partial kept, JVM built-in path."""
+    d = ck.chunk_windows(_t(spark, sf, "documents"), "text", chunk_size=20, overlap=5)
+    return d.select(
+        "doc_id",
+        "chunk_pos",
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).alias("n_window_tokens"),
+    )
+
+
+@register(
+    "kb_keywords",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM documents
+), counted AS (
+  SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, tok, n, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn
+  FROM counted
+)
+SELECT doc_id, string_agg(tok, ', ' ORDER BY rn) AS keywords
+FROM ranked WHERE rn <= 5 GROUP BY doc_id
+""",
+    tags=("U2", "A4", "keywords"),
+)
+def kb_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """U2 deterministic keywords: term-frequency top-5 (ties broken
+    alphabetically) — the LLM-off default the oracle requires
+    (LLMService.py:118-134 is the optional LLM variant; A4 trim = rn<=5)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("rn", "tok"))), lambda s: s["tok"]),
+            ", ",
+        ).alias("keywords")
+    )
+
+
+@register(
+    "kb_summary",
+    sql="""
+SELECT doc_id,
+  array_to_string(str_split(text, ' ')[1:25], ' ') AS summary,
+  CAST(least(len(str_split(text, ' ')), 25) AS INTEGER) AS n_summary_words
+FROM documents
+""",
+    tags=("U3", "summary"),
+)
+def kb_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """U3 deterministic summary: 25-word truncation (LLM-off default;
+    max_length semantics of LLMService.py:137-151)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 25), " ").alias("summary"),
+        F.least(F.size(toks), F.lit(25)).alias("n_summary_words"),
+    )
+
+
+@register(
+    "kb_embed",
+    sql="""
+SELECT doc_id, CAST(j AS INTEGER) AS dim_idx,
+  (list_reduce(list_transform(tk, t -> ('0x' || substr(md5(t || ':' || CAST(j AS STRING)), 1, 8))::BIGINT % 1000),
+        (a, b) -> a + b) * 1000) // len(tk) AS value_micro
+FROM (SELECT doc_id, str_split(text, ' ') tk FROM documents),
+     (SELECT unnest(generate_series(0, 15)) AS j)
+""",
+    tags=("U4", "embedding"),
+)
+def kb_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """U4 deterministic hash embedder, JVM built-in formulation in exact
+    integer micro-units (the pandas-UDF float variant with matching
+    semantics is operators.embedding)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("dim_idx")
+    ).select(
+        "doc_id",
+        "dim_idx",
+        F.expr(em.hash_component_micro_expr("text", "CAST(dim_idx AS STRING)")).alias(
+            "value_micro"
+        ),
+    )
+
+
+# --- multimodal --------------------------------------------------------------
+
+@register(
+    "llm_multimodal_meta",
+    sql="""
+SELECT doc_id AS asset_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(length(text) AS INTEGER) AS byte_len,
+  md5(text) AS content_md5,
+  CAST((doc_id * 37) % 640 + 1 AS INTEGER) AS width,
+  CAST((doc_id * 53) % 480 + 1 AS INTEGER) AS height
+FROM documents
+""",
+    tags=("multimodal", "mapInPandas"),
+)
+def llm_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas: md5/byte-length
+    computed from real payload bytes in Arrow batches; decode dimensions
+    from the deterministic stub (real decoder is the documented swap
+    point)."""
+    assets = mm.to_media_assets(_t(spark, sf, "documents"))
+    return mm.decode_meta(assets, deterministic_fake=True)
+
+
+@register(
+    "llm_multimodal_frames",
+    sql="""
+SELECT asset_id, media_type, duration_ms,
+  CAST(t.pos - 1 AS INTEGER) AS frame_no, t.v AS frame_ts_ms
+FROM (
+  SELECT doc_id AS asset_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CAST((doc_id * 997) % 10000 + 1000 AS BIGINT) AS duration_ms
+  FROM documents
+),
+LATERAL (SELECT unnest(generate_series(0, duration_ms, 1000)) AS v,
+                generate_subscripts(generate_series(0, duration_ms, 1000), 1) AS pos) t
+""",
+    tags=("multimodal", "frame-sample"),
+)
+def llm_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame timestamp."""
+    assets = mm.to_media_assets(_t(spark, sf, "documents")).drop("payload")
+    return mm.frame_sample_indices(assets, every_ms=1000)
