@@ -97,8 +97,11 @@ def parse_header_body(df: DataFrame, text_col: str = "value") -> DataFrame:
     Header keys are normalized space->underscore (P10,
     TextProcessor.py:51-59)."""
     header = f"substring_index({text_col}, '\\n---\\n', 1)"
+    # Python .strip() removes ALL whitespace incl. newlines; Spark trim()
+    # strips spaces only, so strip with regexps (TextProcessor.py:30-31 parity)
+    raw_body = f"substring({text_col}, length({header}) + length('\\n---\\n') + 1)"
     body = (
-        f"trim(substring({text_col}, length({header}) + length('\\n---\\n') + 1))"
+        f"regexp_replace(regexp_replace({raw_body}, '^\\\\s+', ''), '\\\\s+$', '')"
     )
     entries = (
         f"map_from_entries(transform(filter(split({header}, '\\n'), l -> l like '%: %'), "

@@ -1,0 +1,80 @@
+"""Structured-Streaming query catalog (SURVEY.md §2.3 streaming row, §7 M5).
+
+Each query executes a REAL streaming plan — file-source ``readStream`` over
+the events parquet, ``Trigger.AvailableNow``, memory sink — and returns the
+sink contents as a batch DataFrame.  Complete output mode makes windowed
+aggregates independent of micro-batch boundaries, so the DuckDB oracle (the
+same SQL as the batch ``rel_events_*`` twins) hash-checks streaming
+execution end-to-end.  Append-mode/late-data semantics are covered in
+tests/test_streaming.py with a two-batch replay (batch boundaries are a
+harness artifact, not a stable query result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from knowledgebot_spark.registry import register
+from knowledgebot_spark.streaming import pipeline as sp
+
+_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_SLIDING_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT e.*, time_bucket(INTERVAL '30 minutes', e.ts) - k.k * INTERVAL '30 minutes' AS ws
+  FROM events e, (VALUES (0), (1)) k(k)
+)
+WHERE ts >= ws AND ts < ws + INTERVAL '60 minutes'
+GROUP BY ws
+"""
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+_DISTINCT_SQL = """
+SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS event_date FROM events
+"""
+
+
+@register("stream_tumbling", sql=_TUMBLING_SQL, tags=("streaming", "tumbling", "watermark"))
+def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    events = sp.read_events_stream(spark, sf)
+    return sp.run_to_memory(sp.tumbling_counts(events), "complete")
+
+
+@register("stream_sliding", sql=_SLIDING_SQL, tags=("streaming", "sliding", "watermark"))
+def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    events = sp.read_events_stream(spark, sf)
+    return sp.run_to_memory(sp.sliding_counts(events), "complete")
+
+
+@register("stream_session", sql=_SESSION_SQL, tags=("streaming", "session-window"))
+def stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    events = sp.read_events_stream(spark, sf)
+    return sp.run_to_memory(sp.session_counts(events), "complete")
+
+
+@register("stream_dedup", sql=_DISTINCT_SQL, tags=("streaming", "dropDuplicates"))
+def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """State-backed streaming dropDuplicates in append mode (deterministic
+    because the projection IS the dedup key)."""
+    events = sp.read_events_stream(spark, sf)
+    return sp.run_to_memory(sp.distinct_pairs(events), "append")

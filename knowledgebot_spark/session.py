@@ -45,6 +45,9 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # keep partition columns as written (msg_date '20250101' stays a
+        # string on read-back — the keyed sink round-trips its own schema)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type — read as long and convert in tables.read_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,175 @@
+"""Structured Streaming pipeline (SURVEY.md §7 M5, §2.3 streaming row).
+
+The reference's incremental mode — checkpoint + 7-day lookback
+(KnowledgeBot.py:110,446-450) — maps 1:1 onto Structured Streaming:
+
+  * F2 lookback            == ``withWatermark('ts', '7 days')``
+  * S8/K5 state file       == the streaming checkpoint directory
+  * K2 idempotent rewrite  == idempotent ``foreachBatch`` upsert
+  * at-least-once + marker == exactly-once via checkpoint + keyed sink
+
+Queries here run file-source streams over the driver's parquet testdata
+with ``Trigger.AvailableNow`` and land in a memory sink for inspection —
+on a cluster the same plans run unbounded with a durable sink.  Complete
+output mode keeps windowed aggregates deterministic for the DuckDB oracle
+(append-mode emission depends on micro-batch boundaries; the late-data
+path is exercised in tests with a two-batch replay instead).
+
+Scale posture: windowed aggregations shuffle on (window, key) with
+map-side partial aggregation; state store size is bounded by the
+watermark horizon, not stream length.  The memory sink is a test harness
+— 100 TB streams land via foreachBatch into the keyed parquet sink.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) -> read as long
+# under spark.sql.legacy.parquet.nanosAsLong (see tables.read_table).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; testdata ships a bare
+    parquet file, so stage a symlink dir (no data copy)."""
+    name = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"/tmp/knowledgebot_spark/stream_src/{name}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (S2 streaming form)."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    stream: DataFrame, output_mode: str, table: str | None = None
+) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into a memory
+    sink; returns the (batch) result DataFrame."""
+    name = table or f"mem_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = stream.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Same output shape as the batch rel_events_tumbling query, so the two
+    share one oracle."""
+    return (
+        events.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Same output shape as the batch rel_events_session query."""
+    return (
+        events.withWatermark("ts", "7 days")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def distinct_pairs(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates (state-backed).  Projecting to the key
+    columns first makes the kept-row deterministic."""
+    return events.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).dropDuplicates(["event_type", "event_date"])
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    key_col: str = "msg_key",
+    partition_cols: tuple[str, ...] = ("channel_name", "msg_date"),
+):
+    """Exactly-once keyed sink: idempotent per-batch MERGE + streaming
+    checkpoint (a replayed batch rewrites the same keys to the same
+    values, so retries are no-ops)."""
+    from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_chunks(
+            batch.sparkSession,
+            output_path,
+            batch,
+            key_col=key_col,
+            partition_cols=partition_cols,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""Chunker (U1) + file parse (S7/P10) tests, incl. hypothesis properties
+(SURVEY.md §5.2 items 1 and 5)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.operators import chunker as ch
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0, max_size=60
+)
+
+
+def _chunks_builtin(spark, text, size, overlap):
+    df = spark.createDataFrame([(text,)], ["text"])
+    out = ch.chunk_windows(df, "text", size, overlap)
+    return [
+        r.chunk_text
+        for r in out.orderBy("chunk_pos").select("chunk_pos", "chunk_text").collect()
+    ]
+
+
+def test_window_stride_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    # size 4, overlap 1 -> stride 3: windows at 0,3,6,9; final partial kept
+    got = _chunks_builtin(spark, text, 4, 1)
+    assert got == ["w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"]
+
+
+def test_overlap_guard():
+    with pytest.raises(ValueError, match="overlap"):
+        ch._check(5, 5)
+    with pytest.raises(ValueError, match="overlap"):
+        ch._check(5, 7)
+
+
+def test_pandas_udf_matches_builtin(spark):
+    texts = [
+        " ".join(f"t{i}" for i in range(n)) for n in (1, 4, 5, 6, 19, 20, 21, 47)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    a = ch.chunk_windows(df, "text", 20, 5).select("text", "chunk_pos", "chunk_text")
+    b = ch.chunk_text_pandas(df, "text", 20, 5).select(
+        "text", "chunk_pos", "chunk_text"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@settings(max_examples=20, deadline=None)
+@given(words=WORDS, size=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunk_coverage_property(spark, words, size, overlap):
+    """Every token appears in some window; consecutive windows overlap by
+    exactly `overlap` tokens (except the tail)."""
+    if overlap >= size:
+        overlap = size - 1
+    text = " ".join(words)
+    got = _chunks_builtin(spark, text, size, overlap)
+    toks = text.split(" ") if text else []
+    stride = size - overlap
+    # reconstruct: window i covers toks[i*stride : i*stride+size]
+    expect = []
+    start = 0
+    while start < len(toks):
+        expect.append(" ".join(toks[start : start + size]))
+        start += stride
+    if not expect:
+        expect = [text]
+    assert got == expect
+
+
+def test_parse_header_body_roundtrip(spark):
+    # S7 ∘ K1 == identity on (meta, body); P10 space->underscore keys.
+    value = (
+        "Channel Name: general\n"
+        "Message Author: Amy: Smith\n"     # embedded ': ' in the value
+        "Message Date: 05 July 2025\n"
+        "---\n\n"
+        "the body\nwith --- inside\nand more"
+    )
+    df = spark.createDataFrame([(value,)], ["value"])
+    r = ch.parse_header_body(df).collect()[0]
+    assert r.meta["Channel_Name"] == "general"
+    assert r.meta["Message_Author"] == "Amy: Smith"   # split on FIRST ': ' only
+    assert r.meta["Message_Date"] == "05 July 2025"
+    assert r.body == "the body\nwith --- inside\nand more"
+
+
+def test_parse_empty_body_filter(spark):
+    # F7: files whose parsed body is empty are skippable via body != ''.
+    value = "K: v\n---\n\n   "
+    df = spark.createDataFrame([(value,)], ["value"])
+    out = ch.parse_header_body(df).filter(F.col("body") != "")
+    assert out.count() == 0

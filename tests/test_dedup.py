@@ -1,0 +1,65 @@
+"""Dedup operator semantics on synthetic corpora: MinHash-LSH recall on
+planted near-dups, SimHash Hamming behavior, exact-dup grouping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(spark):
+    df = _docs(
+        spark,
+        [(1, "same text here"), (2, "same text here"), (3, "unique"),
+         (4, "same text here"), (5, "other dup"), (6, "other dup")],
+    )
+    groups = dd.exact_dup_groups(df, "doc_id", F.md5(F.col("text"))).collect()
+    got = {(r.keeper_id, r.n_copies) for r in groups}
+    assert got == {(1, 3), (5, 2)}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok59", "changed")          # ~1 shingle differs
+    far = " ".join(f"other{i}" for i in range(60))
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    sh = dd.with_shingles(df)
+    bands = dd.lsh_bands(dd.with_minhash(sh), "doc_id")
+    pairs = dd.candidate_pairs(bands, "doc_id")
+    verified = dd.jaccard_verify(pairs, sh, "doc_id")
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert (1, 2) in got                  # near-dup found via band collision
+    assert got[(1, 2)] > 0.9              # verified high Jaccard
+    assert (1, 3) not in got and (2, 3) not in got  # far doc never a candidate
+
+
+def test_identical_docs_always_collide(spark):
+    df = _docs(spark, [(1, "a b c d e f g"), (2, "a b c d e f g")])
+    sh = dd.with_shingles(df)
+    pairs = dd.candidate_pairs(dd.lsh_bands(dd.with_minhash(sh), "doc_id"), "doc_id")
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "x1 x2 x3 x4")])
+    hashed = dd.with_simhash(df)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_near_pairs(hashed, "doc_id", max_hamming=16).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_minhash_deterministic_across_partitions(spark):
+    rows = [(i, f"doc {i} " + " ".join(f"w{j}" for j in range(30))) for i in range(40)]
+    a = dd.with_minhash(dd.with_shingles(_docs(spark, rows).repartition(1)))
+    b = dd.with_minhash(dd.with_shingles(_docs(spark, rows).repartition(13)))
+    cols = ["doc_id"] + [f"mh_{k}" for k in range(dd.N_HASHES)]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )

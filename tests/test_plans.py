@@ -1,0 +1,88 @@
+"""Physical-plan assertions (the 100 TB posture, VERDICT.md standing
+requirements): broadcast dims, no all-pairs joins in dedup/ANN, top-k via
+TakeOrderedAndProject, parquet predicate pushdown, no row-at-a-time Python
+UDFs in hot paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_spine_uses_broadcast_joins(spark, sf_dir):
+    from knowledgebot_spark.queries_pipeline import kb_spine_full
+
+    plan = _plan(kb_spine_full(spark, sf_dir))
+    # users (x2: author + mentions), channels, members agg — all broadcast.
+    # (The one SortMergeJoin allowed is messages <- mention-agg on msg_key:
+    # both sides are message-cardinality and already hash-partitioned on the
+    # same key by the window/agg exchanges, so SMJ is the co-located plan.)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_no_allpairs(spark, sf_dir):
+    from knowledgebot_spark.registry import load
+
+    qd = load()["llm_dedup_minhash"]
+    plan = _plan(qd.fn(spark, sf_dir))
+    # the candidate join must be an equi-join on (band, bucket), never a
+    # cartesian/nested-loop all-pairs scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_blocked_join_no_allpairs(spark, sf_dir):
+    from knowledgebot_spark.registry import load
+
+    qd = load()["llm_dedup_simhash"]
+    plan = _plan(qd.fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    from knowledgebot_spark.registry import load
+
+    qd = load()["llm_sim_bruteforce"]
+    plan = _plan(qd.fn(spark, sf_dir))
+    # orderBy(desc).limit(k) must plan as TakeOrderedAndProject — no global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") < 5
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: ReadSchema carries only the 2 selected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+
+
+def test_no_python_row_udfs_in_catalog(spark, sf_dir):
+    """Every registered query must stay JVM-side or Arrow-vectorized:
+    BatchEvalPython (row-at-a-time Python UDF) is banned; ArrowEvalPython /
+    mapInPandas are the only Python surfaces allowed."""
+    from knowledgebot_spark.registry import load
+
+    for name, qd in load().items():
+        if name.startswith("stream_"):
+            continue  # streaming plans materialize through a memory sink
+        plan = _plan(qd.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+
+
+def test_spine_partition_count_scales_with_shuffle_conf(spark, sf_dir):
+    # sanity: AQE is on and the session honors the configured shuffle size
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) > 0

@@ -1,0 +1,154 @@
+"""Keyed idempotent sink + checkpoint tests (SURVEY.md §5.2 item 2: re-run
+idempotency, tag-removal tombstone, checkpoint pre-scan stamping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.sinks.checkpoint import IncrementalRun, load_state, save_state
+from knowledgebot_spark.sinks.keyed_parquet import serialize_chunk_files, upsert_chunks
+
+COLS = ["msg_key", "channel_name", "msg_date", "snippet_no", "content"]
+
+
+SCHEMA = (
+    "msg_key string, channel_name string, msg_date string, "
+    "snippet_no bigint, content string"
+)
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _snapshot(spark, path):
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(path).select(*COLS).collect()
+    )
+
+
+def test_initial_write_and_rerun_idempotent(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    batch = _chunks(
+        spark,
+        [
+            ("C1_1.0", "general", "20250101", 1, "a"),
+            ("C1_1.0", "general", "20250101", 2, "b"),
+            ("C1_2.0", "general", "20250102", 1, "c"),
+        ],
+    )
+    upsert_chunks(spark, path, batch)
+    first = _snapshot(spark, path)
+    assert len(first) == 3
+    # replaying the identical batch (at-least-once delivery) is a no-op
+    upsert_chunks(spark, path, batch)
+    assert _snapshot(spark, path) == first
+
+
+def test_update_replaces_only_reprocessed_key(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    upsert_chunks(
+        spark,
+        path,
+        _chunks(
+            spark,
+            [
+                ("C1_1.0", "general", "20250101", 1, "old-a"),
+                ("C1_1.0", "general", "20250101", 2, "old-b"),
+                ("C1_2.0", "general", "20250101", 1, "keep"),
+                ("C2_9.0", "random", "20250103", 1, "other-part"),
+            ],
+        ),
+    )
+    # reprocess C1_1.0: now only ONE chunk (the second was edited away)
+    upsert_chunks(
+        spark, path, _chunks(spark, [("C1_1.0", "general", "20250101", 1, "new-a")])
+    )
+    got = _snapshot(spark, path)
+    assert got == sorted(
+        [
+            ("C1_1.0", "general", "20250101", 1, "new-a"),
+            ("C1_2.0", "general", "20250101", 1, "keep"),
+            ("C2_9.0", "random", "20250103", 1, "other-part"),
+        ]
+    )
+
+
+def test_tag_removal_tombstone(spark, tmp_path):
+    # K2: the delete runs even when the new text has no #KNOWLEDGE -> the
+    # reprocessed key is passed explicitly with ZERO new rows.
+    path = str(tmp_path / "chunks")
+    upsert_chunks(
+        spark,
+        path,
+        _chunks(
+            spark,
+            [
+                ("C1_1.0", "general", "20250101", 1, "stale"),
+                ("C1_2.0", "general", "20250101", 1, "keep"),
+            ],
+        ),
+    )
+    empty = _chunks(spark, [])
+    keys = spark.createDataFrame([("C1_1.0",)], ["msg_key"])
+    upsert_chunks(spark, path, empty, reprocessed_keys=keys)
+    assert _snapshot(spark, path) == [("C1_2.0", "general", "20250101", 1, "keep")]
+
+
+def test_tombstone_can_empty_a_partition(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    upsert_chunks(
+        spark,
+        path,
+        _chunks(
+            spark,
+            [
+                ("C1_1.0", "general", "20250101", 1, "only-row-in-part"),
+                ("C2_2.0", "random", "20250102", 1, "keep"),
+            ],
+        ),
+    )
+    empty = _chunks(spark, [])
+    keys = spark.createDataFrame([("C1_1.0",)], ["msg_key"])
+    upsert_chunks(spark, path, empty, reprocessed_keys=keys)
+    assert _snapshot(spark, path) == [("C2_2.0", "random", "20250102", 1, "keep")]
+
+
+def test_serialize_chunk_files_format(spark):
+    df = spark.createDataFrame(
+        [("k1", "Channel Name: g\nMessage Author: A", " body text ")],
+        ["chunk_key", "header", "content"],
+    )
+    r = serialize_chunk_files(df).collect()[0]
+    # K1 format: header + \n---\n\n + stripped body (KnowledgeBot.py:406-419)
+    assert r.value == "Channel Name: g\nMessage Author: A\n---\n\nbody text"
+
+
+def test_checkpoint_default_missing_and_corrupt(tmp_path):
+    state_dir = str(tmp_path / "state")
+    assert load_state(state_dir) == {"last_run_timestamp": 0}
+    # corrupt file -> default (KnowledgeBot.py:145-155)
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    with open(f"{state_dir}/state.json", "w") as fh:
+        fh.write("{not json")
+    assert load_state(state_dir) == {"last_run_timestamp": 0}
+
+
+def test_checkpoint_prescan_stamp(tmp_path):
+    # K5: the committed stamp is the PRE-scan time (KnowledgeBot.py:110),
+    # not the commit time — mid-run arrivals are re-examined next run.
+    state_dir = str(tmp_path / "state")
+    run1 = IncrementalRun(state_dir, now_micros=1000)
+    assert run1.checkpoint_micros == 0
+    run1.commit()
+    run2 = IncrementalRun(state_dir, now_micros=2000)
+    assert run2.checkpoint_micros == 1000
+    # uncommitted run leaves state untouched
+    run3 = IncrementalRun(state_dir, now_micros=3000)
+    assert load_state(state_dir)["last_run_timestamp"] == 1000
+    del run3
+    run2.commit()
+    assert load_state(state_dir)["last_run_timestamp"] == 2000

@@ -1,0 +1,163 @@
+"""Structured Streaming tests (SURVEY.md §5.2 item 4): watermark late-data
+drop across micro-batches, streaming==batch parity, exactly-once
+foreachBatch idempotency."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from knowledgebot_spark.streaming import pipeline as sp
+
+EVT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("key", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """A late row arriving after its window passed the watermark is dropped
+    (numRowsDroppedByWatermark) and the already-emitted window is never
+    resurrected — the F2-lookback == watermark equivalence."""
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2025, 1, 1, h, m)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    # batch 1: window 10:00 has 2 on-time events; max ts 12:30 -> wm 11:30
+    spark.createDataFrame(
+        [(t(10, 5), "a", 1), (t(10, 40), "a", 1), (t(12, 30), "b", 1)], EVT_SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    time.sleep(1.1)
+    # batch 2: advances wm to 12:40 -> window 10:00 is finalized + evicted
+    spark.createDataFrame([(t(13, 40), "b", 1)], EVT_SCHEMA).coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    time.sleep(1.1)
+    # batch 3: one LATE row for the closed window + one fresh row
+    spark.createDataFrame(
+        [(t(10, 50), "a", 1), (t(15, 0), "b", 1)], EVT_SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/b3")
+
+    stream = (
+        spark.readStream.schema(EVT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*/")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n_events")
+    )
+    out = sp.run_to_memory(agg, "append", table="late_test")
+    got = dict(sorted((r.h, r.n_events) for r in out.collect()))
+    # the closed 10:00 window emitted exactly its 2 on-time rows, once; the
+    # late 10:50 row appears nowhere
+    assert got["10:00"] == 2
+    assert sum(n for h, n in got.items() if h == "10:00") == 2
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    got_stream = sp.run_to_memory(
+        sp.tumbling_counts(sp.read_events_stream(spark, sf_dir)), "complete"
+    )
+    from knowledgebot_spark.tables import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    got_batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, got_stream.collect())) == sorted(
+        map(tuple, got_batch.collect())
+    )
+
+
+def test_foreach_batch_sink_exactly_once(spark, tmp_path):
+    # replaying the same micro-batch through the keyed sink is a no-op
+    # (idempotent MERGE == exactly-once effect under at-least-once delivery)
+    from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks
+
+    path = str(tmp_path / "tbl")
+    batch = spark.createDataFrame(
+        [("k1", "general", "20250101", 1, "v")],
+        "msg_key string, channel_name string, msg_date string, snippet_no bigint, content string",
+    )
+    upsert_chunks(spark, path, batch)
+    upsert_chunks(spark, path, batch)  # simulated retry of the same batch id
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0].content == "v"
+
+
+def test_streaming_extraction_spine_foreach_batch(spark, tmp_path):
+    """The M1 spine running as a real streaming job: file-source messages ->
+    foreachBatch keyed upsert -> chunk table (M5 exactly-once path)."""
+    from knowledgebot_spark.operators import extraction as ex
+
+    src = str(tmp_path / "msgs")
+    os.makedirs(src)
+    msg_schema = (
+        "channel_id string, ts_raw string, ts_micros bigint, full_text string"
+    )
+    spark.createDataFrame(
+        [
+            ("C1", "1.000000", 1_000_000, "#KNOWLEDGE alpha #END"),
+            ("C1", "2.000000", 2_000_000, "no tags"),
+        ],
+        msg_schema,
+    ).coalesce(1).write.parquet(f"{src}/b1")
+
+    users = spark.createDataFrame([("U1", "A")], ["user_id", "real_name"])
+
+    stream = spark.readStream.schema(
+        "channel_id string, ts_raw string, ts_micros bigint, full_text string"
+    ).parquet(f"{src}/b*/")
+    out_path = str(tmp_path / "chunk_tbl")
+    ck_path = str(tmp_path / "ckpt")
+
+    from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks
+
+    def _sink(batch, batch_id):
+        keyed = ex.with_msg_key(batch)
+        chunks = ex.extract_blocks(keyed).select(
+            "msg_key",
+            F.col("channel_id").alias("channel_name"),
+            F.lit("20250101").alias("msg_date"),
+            "snippet_no",
+            "content",
+        )
+        reprocessed = keyed.select("msg_key").distinct().withColumn(
+            "channel_name", F.lit(None).cast("string")
+        ).select("msg_key")
+        upsert_chunks(batch.sparkSession, out_path, chunks, reprocessed_keys=reprocessed)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ck_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_path).collect()
+    assert len(got) == 1 and got[0].content == "alpha"
