@@ -1,0 +1,240 @@
+"""Format scans + file round-trip + full Python-UDF surface
+(SURVEY.md §2.1 S6/S7/P10/F7/K1, §2.3 scans + UDF-surface rows).
+
+The json/csv/text queries stage a copy of a parquet table in the target
+format under /tmp, then read it back with the matching reader and
+aggregate — exercising the real reader code path while the DuckDB oracle
+computes the same aggregate straight from parquet (round-trip fidelity is
+the assertion).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.operators import chunker as ck
+from knowledgebot_spark.queries_pipeline import _SPINE_SQL
+from knowledgebot_spark.registry import register
+from knowledgebot_spark.sinks.keyed_parquet import serialize_chunk_files
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    from knowledgebot_spark.tables import read_table
+
+    return read_table(spark, sf, name)
+
+
+def _stage(sf: str, fmt: str) -> str:
+    name = os.path.basename(sf.rstrip("/"))
+    return f"/tmp/knowledgebot_spark/fmt/{name}/{fmt}"
+
+
+# --- K1 ∘ S7 == identity: serialize chunk files, parse them back -------------
+
+_ROUNDTRIP_ORACLE = f"""
+WITH spine AS ({_SPINE_SQL})
+SELECT chunk_key,
+  channel_name,
+  coalesce(members_csv, '') AS members_csv,
+  pretty_date,
+  author,
+  mentions_csv,
+  regexp_replace(regexp_replace(content, '^\\s+', ''), '\\s+$', '') AS body
+FROM spine
+WHERE regexp_replace(regexp_replace(content, '^\\s+', ''), '\\s+$', '') <> ''
+"""
+
+
+@register(
+    "kb_file_roundtrip",
+    sql=_ROUNDTRIP_ORACLE,
+    tags=("K1", "S7", "P10", "F7"),
+)
+def kb_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """K1 serialization ∘ S7 parse == identity: the spine's chunks are
+    serialized to the reference's on-disk file format (header lines +
+    ``---`` + body) and parsed back; the oracle states the identity
+    directly.  P10 normalizes header keys (Channel Name -> Channel_Name);
+    F7 drops empty bodies."""
+    from knowledgebot_spark.queries_pipeline import kb_spine_full
+
+    files = serialize_chunk_files(kb_spine_full(spark, sf))
+    parsed = ck.parse_header_body(files, "value")
+    return parsed.filter(F.col("body") != "").select(
+        "chunk_key",
+        F.element_at("meta", "Channel_Name").alias("channel_name"),
+        F.element_at("meta", "Channel_Members").alias("members_csv"),
+        F.element_at("meta", "Message_Date").alias("pretty_date"),
+        F.element_at("meta", "Message_Author").alias("author"),
+        F.element_at("meta", "Mentions").alias("mentions_csv"),
+        "body",
+    )
+
+
+# --- format scans (json / csv / text readers) --------------------------------
+
+@register(
+    "rel_scan_json",
+    sql="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey
+""",
+    tags=("scan", "json"),
+)
+def rel_scan_json(spark: SparkSession, sf: str) -> DataFrame:
+    path = _stage(sf, "nation_json")
+    _t(spark, sf, "nation").write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+    ).json(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+@register(
+    "rel_scan_csv",
+    sql="""
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("scan", "csv"),
+)
+def rel_scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    path = _stage(sf, "customer_csv")
+    (
+        _t(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .csv(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")
+    )
+
+
+@register(
+    "rel_scan_text",
+    sql="""
+SELECT count(*) AS n_lines, min(s_name) AS first_supplier, max(s_name) AS last_supplier
+FROM supplier
+""",
+    tags=("scan", "text"),
+)
+def rel_scan_text(spark: SparkSession, sf: str) -> DataFrame:
+    path = _stage(sf, "supplier_text")
+    (
+        _t(spark, sf, "supplier")
+        .select(F.concat_ws("|", "s_suppkey", "s_name").alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.text(path).select(
+        F.split("value", r"\|").getItem(1).alias("s_name")
+    )
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.min("s_name").alias("first_supplier"),
+        F.max("s_name").alias("last_supplier"),
+    )
+
+
+# --- applyInPandas (grouped map) ---------------------------------------------
+
+@register(
+    "rel_apply_in_pandas",
+    sql="""
+SELECT c_custkey, c_mktsegment,
+  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS seg_rank
+FROM customer
+""",
+    tags=("udf", "applyInPandas"),
+)
+def rel_apply_in_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-segment rank computed inside an Arrow
+    batch per group (the UDTF-shaped surface of §2.3; deterministic
+    tie-break on custkey)."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["seg_rank"] = pdf.index + 1
+        return pdf[["c_custkey", "c_mktsegment", "seg_rank"]]
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        rank_group, "c_custkey bigint, c_mktsegment string, seg_rank bigint"
+    )
+
+
+# --- grouped-agg pandas UDF --------------------------------------------------
+
+@register(
+    "rel_pandas_grouped_agg",
+    sql="""
+SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS total_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("udf", "pandas-grouped-agg"),
+)
+def rel_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow partial aggregation); quantity is
+    integer-valued so the float sum is exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def qty_sum(q: pd.Series) -> int:
+        return int(q.sum())
+
+    @pandas_udf("bigint")
+    def row_count(q: pd.Series) -> int:
+        return int(len(q))
+
+    li = _t(spark, sf, "lineitem")
+    # pandas grouped-agg UDFs cannot mix with JVM aggregates in one agg()
+    return li.groupBy("l_returnflag").agg(
+        qty_sum("l_quantity").alias("total_qty"),
+        row_count("l_quantity").alias("n"),
+    )
+
+
+# --- Python UDTF -------------------------------------------------------------
+
+@register(
+    "rel_python_udtf",
+    sql="""
+SELECT p_partkey, CAST(t.pos AS INTEGER) AS word_no, t.w AS word
+FROM (SELECT p_partkey, str_split(p_name, ' ') AS ws FROM part WHERE p_partkey <= 200),
+LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS pos) t
+""",
+    tags=("udf", "udtf"),
+)
+def rel_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark >= 3.5): one output row per word of p_name."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_no int, word string")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield i + 1, w
+
+    spark.udtf.register("split_words", SplitWords)
+    _t(spark, sf, "part").filter(F.col("p_partkey") <= 200).select(
+        "p_partkey", "p_name"
+    ).createOrReplaceTempView("udtf_part_src")
+    return spark.sql(
+        "SELECT s.p_partkey, t.word_no, t.word "
+        "FROM udtf_part_src s, LATERAL split_words(s.p_name) t"
+    )
