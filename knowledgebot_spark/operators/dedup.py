@@ -30,30 +30,98 @@ N_HASHES = 8
 ROWS_PER_BAND = 2          # 4 bands of 2: candidate iff >=1 band agrees
 SHINGLE_WORDS = 3
 
+# Affine minhash permutation family over Z_2^48: h_k(v) = (a_k*v + b_k)
+# mod 2^48 with a_k ODD -> a bijection of the hash space (the textbook
+# permutation construction).  v = first 48 bits of md5(shingle), so each
+# shingle is crypto-hashed ONCE and the k permutations are integer ops.
+# a_k < 2^15 keeps a_k * v < 2^63 (safe in both Spark and DuckDB BIGINT).
+MINHASH_M = 1 << 48
+MINHASH_A = (24593, 12289, 30269, 6151, 3079, 1543, 769, 389)
+MINHASH_B = (101, 8021, 15941, 23861, 31781, 39701, 47621, 55541)
 
-def shingle_expr(text_col: str) -> str:
-    """Distinct word-{SHINGLE_WORDS}-gram shingles of lower(text) as a SQL
-    expression (JVM built-ins: split/sequence/slice/array_join)."""
+
+def shingle_expr(text_col: str, distinct: bool = True) -> str:
+    """Word-{SHINGLE_WORDS}-gram shingles of lower(text) as a SQL expression
+    (JVM built-ins: split/sequence/slice/array_join).  ``distinct=False``
+    skips the O(n^2) array_distinct — min-over-multiset == min-over-set, so
+    the signature path never needs it (exact Jaccard verification does)."""
     toks = f"split(lower({text_col}), ' ')"
+    inner = (
+        f"transform(sequence(1, greatest(size({toks}) - {SHINGLE_WORDS - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {SHINGLE_WORDS}), ' '))"
+    )
+    return f"array_distinct({inner})" if distinct else inner
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out: str = "shingles", distinct: bool = True
+) -> DataFrame:
+    return df.withColumn(out, F.expr(shingle_expr(text_col, distinct)))
+
+
+# rolling-combine multipliers for hashed shingles (sum < 2^56, overflow-safe)
+SHINGLE_C = (13, 31, 61)
+
+
+def shingle_hash_expr(text_col: str) -> str:
+    """48-bit integer hash per word-{SHINGLE_WORDS}-gram WITHOUT materializing
+    shingle strings: each token is md5-hashed once, then each window combines
+    its {SHINGLE_WORDS} token hashes arithmetically.  This is the signature
+    hot path at 100 TB — one crypto hash per token, integer ops per window,
+    zero string concatenation.
+
+    The outer ``transform(array(<hashes>), h -> ...)`` binds the token-hash
+    array ONCE as a lambda variable, so the inner per-window ``element_at``
+    references never re-evaluate it (a plain column reference would be
+    inlined three times by CollapseProject)."""
+    toks = f"split(lower({text_col}), ' ')"
+    # pad with 2 zero-hashes so windows at the tail stay in bounds
+    hv = (
+        f"concat(transform({toks}, t -> "
+        f"cast(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)), array(0L, 0L))"
+    )
+    c1, c2, c3 = SHINGLE_C
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {SHINGLE_WORDS - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {SHINGLE_WORDS}), ' ')))"
+        f"flatten(transform(array({hv}), h -> "
+        f"transform(sequence(1, greatest(size(h) - {SHINGLE_WORDS + 1}, 1)), "
+        f"i -> (element_at(h, i) * {c1} + element_at(h, i + 1) * {c2} "
+        f"+ element_at(h, i + 2) * {c3}) % {MINHASH_M})))"
     )
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") -> DataFrame:
-    return df.withColumn(out, F.expr(shingle_expr(text_col)))
+def with_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """k salted-min signatures per id; each is a min over the shingle set of
+    an md5 keyed by the salt — order-free, partition-free, deterministic.
 
-
-def with_minhash(df: DataFrame, shingles_col: str = "shingles", n_hashes: int = N_HASHES) -> DataFrame:
-    """k salted-min signatures; each is a min over the shingle set of an
-    md5 keyed by the salt — order-free, partition-free, deterministic."""
-    for k in range(n_hashes):
-        df = df.withColumn(
-            f"mh_{k}",
-            F.expr(f"array_min(transform({shingles_col}, s -> md5(concat('s{k}:', s))))"),
+    Formulated as explode -> hash-agg(min x k) rather than k per-row array
+    traversals: the shingle array is computed ONCE (per-row formulations get
+    the shingle expression inlined k times by CollapseProject), each shingle
+    is md5-hashed once with the k permutations as integer ops, the mins
+    partial-aggregate map-side, and the only shuffle is the narrow
+    (id, k x int64) signature — the shape that survives 100 TB."""
+    exploded = df.select(id_col, F.explode(shingles_col).alias("_sh"))
+    if dict(exploded.dtypes)["_sh"] == "bigint":
+        # pre-hashed shingles (shingle_hash_expr) — use directly
+        exploded = exploded.withColumnRenamed("_sh", "_v")
+    else:
+        exploded = exploded.select(
+            id_col,
+            F.expr(
+                "cast(conv(substring(md5(_sh), 1, 12), 16, 10) AS BIGINT)"
+            ).alias("_v"),
         )
-    return df
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[k]) * F.col("_v") + F.lit(MINHASH_B[k])) % F.lit(MINHASH_M)
+        ).alias(f"mh_{k}")
+        for k in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
@@ -68,8 +136,10 @@ def lsh_bands(
     n_bands = n_hashes // rows_per_band
     pieces = []
     for b in range(n_bands):
-        cols = "||".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
-        pieces.append(f"{b}, md5({cols})")
+        cols = ", ".join(
+            f"cast(mh_{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
+        )
+        pieces.append(f"{b}, md5(concat_ws(':', {cols}))")
     stack = f"stack({n_bands}, {', '.join(pieces)}) AS (band, bv)"
     return df.selectExpr(id_col, stack)
 
@@ -94,9 +164,17 @@ def jaccard_verify(
     shingles_col: str = "shingles",
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (verify stage of the
-    candidate->verify pipeline)."""
-    sa = shingled.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
-    sb = shingled.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
+    candidate->verify pipeline).  The shingle recompute is pruned to docs
+    that appear in a candidate pair (semi-join pushes below the shingle
+    projection), so verification cost tracks candidates, not corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = shingled.join(F.broadcast(ids), id_col, "left_semi")
+    sa = pruned.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
+    sb = pruned.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
     joined = pairs.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

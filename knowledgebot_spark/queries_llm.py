@@ -55,8 +55,22 @@ def llm_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _duck_minhash_cols() -> str:
+    # same affine-permutation family as operators.dedup: v = hashed shingle,
+    # h_k = (a_k*v + b_k) mod 2^48
     return ", ".join(
-        f"list_min([md5('s{k}:' || x) for x in s]) AS m{k}" for k in range(dd.N_HASHES)
+        f"list_min([(x * {dd.MINHASH_A[k]} + {dd.MINHASH_B[k]}) % {dd.MINHASH_M} "
+        f"for x in hs]) AS m{k}"
+        for k in range(dd.N_HASHES)
+    )
+
+
+def _duck_shingle_hashes() -> str:
+    # DuckDB twin of dedup.shingle_hash_expr (hh is a real CTE column, so
+    # the comprehension references it without re-evaluation)
+    c1, c2, c3 = dd.SHINGLE_C
+    return (
+        f"[(hh[i] * {c1} + hh[i + 1] * {c2} + hh[i + 2] * {c3}) % {dd.MINHASH_M} "
+        f"for i in generate_series(1, greatest(len(hh) - {dd.SHINGLE_WORDS + 1}, 1))]"
     )
 
 
@@ -64,7 +78,9 @@ def _duck_bands() -> str:
     n_bands = dd.N_HASHES // dd.ROWS_PER_BAND
     parts = []
     for b in range(n_bands):
-        cols = "||".join(f"m{b * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND))
+        cols = " || ':' || ".join(
+            f"m{b * dd.ROWS_PER_BAND + r}::VARCHAR" for r in range(dd.ROWS_PER_BAND)
+        )
         parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bv FROM mh")
     return " UNION ALL ".join(parts)
 
@@ -73,7 +89,14 @@ def _duck_bands() -> str:
     "llm_dedup_minhash",
     sql=_DUCK_DOCS_CTE
     + f"""
-, mh AS (SELECT doc_id, s, {_duck_minhash_cols()} FROM docs)
+, hashed AS (
+  SELECT doc_id,
+    list_concat(list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
+                [0, 0]::BIGINT[]) AS hh
+  FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)
+)
+, hs_t AS (SELECT doc_id, {_duck_shingle_hashes()} AS hs FROM hashed)
+, mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs_t)
 , bands AS ({_duck_bands()})
 , cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -87,13 +110,18 @@ FROM cand c JOIN docs da ON da.doc_id = c.id_a JOIN docs db ON db.doc_id = c.id_
     tags=("dedup", "minhash-lsh"),
 )
 def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash LSH near-dup: shingle -> salted-min signature -> banded
-    bucket join -> exact-Jaccard verify.  Never all-pairs."""
-    d = dd.with_shingles(_t(spark, sf, "documents"), "text")
-    signed = dd.with_minhash(d)
+    """MinHash LSH near-dup: shingle -> affine-permutation signature ->
+    banded bucket join -> exact-Jaccard verify.  Never all-pairs.  The
+    signature path skips array_distinct (min over multiset == min over
+    set); the verify path keeps distinct shingles for exact Jaccard."""
+    docs = _t(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    signed = dd.with_minhash(hashed)
     bands = dd.lsh_bands(signed, "doc_id")
     pairs = dd.candidate_pairs(bands, "doc_id")
-    return dd.jaccard_verify(pairs, d, "doc_id")
+    return dd.jaccard_verify(pairs, dd.with_shingles(docs, "text"), "doc_id")
 
 
 @register(
