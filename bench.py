@@ -17,18 +17,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that exercise the heavy paths: full extraction spine, shuffling
-# aggregations/joins/windows over lineitem, and the LLM-pipeline extras.
+# aggregations/joins/windows over lineitem, the LLM-pipeline extras, and a
+# real streaming plan.
 HEADLINE = [
     "kb_spine_full",
     "kb_extract_blocks",
     "kb_mentions",
+    "kb_chunker",
+    "kb_embed",
+    "kb_file_roundtrip",
     "rel_pricing_summary",
     "rel_topk_revenue",
     "rel_region_revenue",
     "rel_window_running_sum",
     "llm_dedup_minhash",
+    "llm_dedup_simhash",
     "llm_sim_bruteforce",
+    "llm_sim_lsh",
     "llm_text_quality",
+    "stream_tumbling",
 ]
 
 
@@ -43,14 +50,18 @@ def main() -> None:
     spark = get_session("knowledgebot-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Generic JVM/codegen/Arrow warmup (no headline query's plan or data is
+    # pre-run): first-query cold-start would otherwise be attributed to
+    # whichever query happens to run first.
+    spark.range(1_000_000).selectExpr("sum(id % 7)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         qd = catalog.get(name)
         if qd is None:
             continue
-        # warm the JVM/IO path once at tiny scale is skipped: measure cold,
-        # the driver compares like-for-like across rounds
         t0 = time.time()
         qd.fn(spark, sf_dir).count()
         dt = round(time.time() - t0, 3)

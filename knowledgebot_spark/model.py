@@ -72,6 +72,11 @@ MEMBERS_EXPRS = [
     "'U' || lpad(CAST(c_custkey AS STRING), 6, '0') AS user_id",
     "c_name AS real_name",
 ]
+# Channel membership is BOUNDED (~80/channel max): real channels do not grow
+# with corpus size, and an unbounded per-group collect_list (-> multi-KB
+# members_csv strings threaded through every downstream row) is exactly the
+# skew anti-pattern the engine avoids at scale.
+MEMBERS_FILTER = "c_custkey <= 400"
 
 _MENTION1 = "'U' || lpad(CAST((doc_id * 29) % 90 AS STRING), 6, '0')"
 _MENTION2 = "'U' || lpad(CAST(90000 + (doc_id % 53) AS STRING), 6, '0')"
@@ -115,7 +120,7 @@ MODEL_CTE = f"""WITH users_dim AS (
 ), channels_dim AS (
   SELECT {', '.join(CHANNELS_EXPRS)} FROM region
 ), members AS (
-  SELECT {', '.join(MEMBERS_EXPRS)} FROM customer
+  SELECT {', '.join(MEMBERS_EXPRS)} FROM customer WHERE {MEMBERS_FILTER}
 ), messages AS (
   SELECT {', '.join(MESSAGES_EXPRS)} FROM documents
 )"""
@@ -134,7 +139,11 @@ def channels_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read(spark, sf_dir, "customer").selectExpr(*MEMBERS_EXPRS)
+    return (
+        _read(spark, sf_dir, "customer")
+        .filter(MEMBERS_FILTER)
+        .selectExpr(*MEMBERS_EXPRS)
+    )
 
 
 def messages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -196,22 +196,25 @@ def exact_dup_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """16-bit SimHash: bit j is the sign of the sum over tokens of
-    (bit j of md5(token) ? +1 : -1).  Computed per-row with JVM built-ins
-    (aggregate over the token array) — no explode, no shuffle."""
+    (bit j of md5(token) ? +1 : -1).  Computed per-row with JVM built-ins —
+    no explode, no shuffle.
+
+    Each token is md5-hashed ONCE (the hash array is lambda-bound via the
+    transform(array(...)) trick so the 16 bit-sum traversals reuse it; a
+    naive per-bit formulation re-hashes every token 16x).
+    shiftright/shiftleft function form: the >>/<< operators do not parse
+    inside Spark lambda bodies."""
     toks = f"split(lower({text_col}), ' ')"
-    hv = "cast(conv(substring(md5(t), 1, 4), 16, 10) AS INT)"
-    # shiftright/shiftleft function form: the >>/<< operators do not parse
-    # inside Spark lambda bodies
-    bit_sums = ", ".join(
-        f"aggregate({toks}, 0, (acc, t) -> acc + CASE WHEN (shiftright({hv}, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
-        for j in range(bits)
+    hv = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS INT))"
+    # one expression, fully lambda-scoped: any column-ref formulation gets
+    # the upstream expression inlined per reference by CollapseProject
+    simhash = (
+        f"element_at(transform(array({hv}), h -> "
+        f"aggregate(sequence(0, {bits - 1}), 0, (acc, j) -> acc + shiftleft("
+        "CASE WHEN aggregate(h, 0, (a, v) -> a + CASE WHEN (shiftright(v, j) & 1) = 1 "
+        "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END, j))), 1)"
     )
-    combine = " + ".join(
-        f"shiftleft(CASE WHEN bs[{j}] > 0 THEN 1 ELSE 0 END, {j})" for j in range(bits)
-    )
-    return df.withColumn("bs", F.expr(f"array({bit_sums})")).withColumn(
-        "simhash", F.expr(f"CAST({combine} AS INT)")
-    ).drop("bs")
+    return df.withColumn("simhash", F.expr(f"CAST({simhash} AS INT)"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, max_hamming: int = 4) -> DataFrame:
