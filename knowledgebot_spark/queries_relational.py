@@ -866,3 +866,34 @@ def rel_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
             F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         )
     )
+
+
+# --- skew handling: salted two-phase aggregation ------------------------------
+
+@register(
+    "rel_salted_agg",
+    sql="""
+SELECT l_returnflag, count(*) AS n,
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "skew", "salting"),
+)
+def rel_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation — the manual skew-mitigation pattern for
+    hot keys (l_returnflag has only 3 values, so a naive groupBy sends each
+    key's entire volume to one reducer).  Phase 1 aggregates on
+    (key, salt=orderkey%16) spreading each hot key over 16 reducers; phase 2
+    combines the 3x16 partials.  Exact integer cents so the two-phase
+    result is bit-equal to the single-phase oracle."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.pmod("l_orderkey", F.lit(16)).alias("salt"),
+    )
+    partial = li.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pn"), F.sum("cents").alias("pc")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"), F.sum("pc").alias("sum_cents")
+    )

@@ -78,3 +78,43 @@ def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     because the projection IS the dedup key)."""
     events = sp.read_events_stream(spark, sf)
     return sp.run_to_memory(sp.distinct_pairs(events), "append")
+
+
+_STATEFUL_SQL = """
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_stateful", sql=_STATEFUL_SQL, tags=("streaming", "applyInPandasWithState"))
+def stream_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-event-type
+    running (count, cents) totals kept in GroupState across micro-batches;
+    each batch emits the running totals.  Sums are integer cents (computed
+    JVM-side before the UDF) so state totals are exact and oracle-checkable.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_totals(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "sum_cents": [cents]}
+        )
+
+    events = sp.read_events_stream(spark, sf).selectExpr(
+        "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents"
+    )
+    stateful = events.groupBy("event_type").applyInPandasWithState(
+        running_totals,
+        outputStructType="event_type string, n_events bigint, sum_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return sp.run_to_memory(stateful, "update")
