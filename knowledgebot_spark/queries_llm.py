@@ -576,3 +576,105 @@ def llm_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled frame timestamp."""
     assets = mm.to_media_assets(_t(spark, sf, "documents")).drop("payload")
     return mm.frame_sample_indices(assets, every_ms=1000)
+
+
+# --- TF-IDF text analysis (U2's principled form; SQL-expressible) ------------
+
+@register(
+    "llm_tfidf_topterm",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term AS top_term, tfidf AS top_tfidf FROM ranked WHERE rn = 1
+""",
+    tags=("text", "tfidf", "U2"),
+)
+def llm_tfidf_topterm(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF scoring with smoothed IDF ln((N+1)/(df+1)): the top term per
+    document.  The df table is tiny relative to the corpus (vocabulary) and
+    broadcasts; tf aggregates map-side.  This is the deterministic,
+    oracle-checkable form of U2's keyword scoring (MLlib CountVectorizer/IDF
+    produce the same ranking; see tests/test_mllib.py)."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.col("tfidf").alias("top_tfidf"))
+    )
+
+
+# --- MLlib LSH variants (fitted-model scale path; seeded => run-stable, but
+# --- model internals are not SQL-reproducible => rows-only driver check) -----
+
+@register("llm_dedup_minhash_mllib", sql=None, tags=("dedup", "mllib", "MinHashLSH"))
+def llm_dedup_minhash_mllib(spark: SparkSession, sf: str) -> DataFrame:
+    """MLlib MinHashLSH over binary token-presence vectors:
+    approxSimilarityJoin at Jaccard distance <= 0.2 (similarity >= 0.8) (candidate recall is
+    validated against the exact blocked-Jaccard query in
+    tests/test_mllib.py; seeded for run-to-run stability)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", binary=True, minDF=1.0
+    ).fit(d)
+    feats = cv.transform(d).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    pairs = lsh.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+@register("llm_sim_brp_mllib", sql=None, tags=("search", "mllib", "BRP-LSH"))
+def llm_sim_brp_mllib(spark: SparkSession, sf: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN over the embeddings table:
+    approxNearestNeighbors for a fixed query vector (vec_id 0's embedding),
+    k=10 by euclidean distance."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    ).fit(e)
+    qvec = e.filter(F.col("vec_id") == 0).first().features
+    nn = brp.approxNearestNeighbors(e.filter(F.col("vec_id") != 0), qvec, 10)
+    return nn.select("vec_id", F.round("distCol", 6).alias("distance"))

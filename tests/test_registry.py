@@ -12,8 +12,9 @@ def test_catalog_loads_and_oracle_subset():
     q = queries()
     o = oracle_sql()
     assert set(o) <= set(q)
-    # the vast majority must be oracle-checked (rows-only is the exception)
-    assert len(o) >= len(q) - 2
+    # the vast majority must be oracle-checked; rows-only is reserved for
+    # genuinely non-SQL-reproducible ops (HLL sketch, MLlib fitted models)
+    assert len(o) >= round(len(q) * 0.95)
 
 
 def test_entry_runs(spark):
