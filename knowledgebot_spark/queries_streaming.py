@@ -118,3 +118,76 @@ def stream_stateful(spark: SparkSession, sf: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return sp.run_to_memory(stateful, "update")
+
+
+_SPINE_COLS = (
+    "msg_key, channel_id, channel_name, msg_date, pretty_date, "
+    "ts_underscored, snippet_no, chunk_key, author, members_csv, "
+    "mentions_csv, content, header"
+)
+
+
+def _spine_oracle() -> str:
+    from knowledgebot_spark.queries_pipeline import _SPINE_SQL
+
+    return f"WITH spine AS ({_SPINE_SQL}) SELECT {_SPINE_COLS} FROM spine"
+
+
+@register(
+    "stream_extraction_spine",
+    sql=None,  # replaced below once queries_pipeline is importable
+    tags=("streaming", "M5", "foreachBatch", "exactly-once"),
+)
+def stream_extraction_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """The M1 extraction spine as a REAL streaming job: messages replayed
+    through a file-source stream -> per-batch spine -> idempotent keyed
+    upsert (foreachBatch + checkpoint = exactly-once) -> chunk table.  The
+    result is hash-identical to the batch spine regardless of micro-batch
+    boundaries because the sink MERGEs on msg_key."""
+    import os
+    import shutil
+
+    from knowledgebot_spark import model
+    from knowledgebot_spark.operators import extraction as ex
+    from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks
+
+    base = f"/tmp/knowledgebot_spark/stream_e2e/{os.path.basename(sf.rstrip('/'))}"
+    src, out, ckpt = f"{base}/messages", f"{base}/chunks", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    msgs = model.messages(spark, sf)
+    msgs.write.parquet(src)
+    users = model.users_dim(spark, sf)
+    channels = model.channels_dim(spark, sf)
+    members = model.members(spark, sf)
+
+    stream = spark.readStream.schema(msgs.schema).parquet(src)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        keyed = ex.with_msg_key(batch)
+        fresh = ex.filter_fresh(keyed, model.CKPT_MICROS, model.LOOKBACK_DAYS)
+        chunks = ex.build_knowledge_chunks(fresh, users, channels, members)
+        reprocessed = (
+            ex.enrich_channel(fresh, channels).select("msg_key").distinct()
+        )
+        upsert_chunks(batch.sparkSession, out, chunks, reprocessed_keys=reprocessed)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).selectExpr(*_SPINE_COLS.split(", "))
+
+
+# attach the oracle now that the function exists (avoids an import cycle at
+# module load: queries_pipeline imports registry which loads this module)
+from knowledgebot_spark import registry as _reg  # noqa: E402
+
+def _late_bind_spine_oracle() -> None:
+    qd = _reg._REGISTRY["stream_extraction_spine"]
+    qd.sql = _spine_oracle()
+
+_late_bind_spine_oracle()
