@@ -186,6 +186,9 @@ def build_knowledge_chunks(
     df = with_msg_key(msgs)
     if ckpt_micros is not None:
         df = filter_fresh(df, ckpt_micros, lookback_days)
+    # F3 guard first: only messages that can yield blocks enter the mention
+    # shuffle (extract_blocks re-applies it, harmlessly)
+    df = df.filter(F.col("full_text").contains("#KNOWLEDGE"))
     # mentions come from the whole message (KnowledgeBot.py:520), so resolve
     # them BEFORE the block explode — every block inherits the message list
     df = resolve_mentions(df, users)
