@@ -86,3 +86,58 @@ def topk_cosine(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> DataFrame:
+    """IVF-style ANN: seeded KMeans over L2-NORMALIZED vectors partitions
+    the space into ``nlist`` cells (euclidean on the unit sphere is
+    monotone in cosine); the query probes its ``nprobe`` nearest centroids
+    and exact cosine scoring touches only those cells.
+
+    Scale shape: cell assignment is a narrow map over the corpus, the
+    centroid list is tiny (driver/broadcast), and scoring reads
+    ~nprobe/nlist of the rows.  Recall depends on how clustered the
+    corpus is — validated on planted clusters in tests/test_ddl_markers.py.
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = f"transform({vec_col}, x -> CAST(x AS DOUBLE) / ({norm_expr(vec_col)}))"
+    feats = emb.select(
+        id_col, vec_col, array_to_vector(F.expr(unit)).alias("features")
+    )
+    km = KMeans(k=nlist, seed=42, featuresCol="features", predictionCol="cell").fit(
+        feats
+    )
+    assigned = km.transform(feats)
+
+    q = assigned.filter(F.col(id_col) == query_id).first()
+    qv = [float(x) for x in q[vec_col]]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    qu = [x / qn for x in qv]
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    probe_cells = [
+        i
+        for i, _ in sorted(
+            centers, key=lambda c: sum((a - b) ** 2 for a, b in zip(c[1], qu))
+        )[:nprobe]
+    ]
+
+    qlit = array_literal(qv)
+    cand = assigned.filter(
+        F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id)
+    )
+    scored = cand.withColumn("score", F.round(cosine_col(vec_col, qlit), 6))
+    return scored.select(id_col, "cell", "score").orderBy(
+        F.desc("score"), F.asc(id_col)
+    ).limit(k)

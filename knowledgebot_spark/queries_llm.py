@@ -678,3 +678,13 @@ def llm_sim_brp_mllib(spark: SparkSession, sf: str) -> DataFrame:
     qvec = e.filter(F.col("vec_id") == 0).first().features
     nn = brp.approxNearestNeighbors(e.filter(F.col("vec_id") != 0), qvec, 10)
     return nn.select("vec_id", F.round("distCol", 6).alias("distance"))
+
+
+@register("llm_sim_ivf", sql=None, tags=("search", "ann-ivf", "mllib-kmeans"))
+def llm_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN over the embeddings table (see similarity.ivf_topk):
+    seeded KMeans cells over normalized vectors, nprobe=4 of nlist=16
+    probed, exact cosine inside probed cells only.  Model internals are not
+    SQL-reproducible -> rows-only check; the mechanism's recall is
+    validated on planted clusters in tests."""
+    return sim.ivf_topk(_t(spark, sf, "embeddings"), k=10, nlist=16, nprobe=4)
