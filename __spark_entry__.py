@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     knowledge-chunk table) on /root/testdata/sf0.001."""
     from knowledgebot_spark.queries_pipeline import kb_spine_full
 
+    registry.ensure_confs(spark)
     return kb_spine_full(spark, "/root/testdata/sf0.001")
 
 

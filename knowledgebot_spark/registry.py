@@ -52,8 +52,40 @@ def load() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
+# Runtime-settable confs the engine depends on, applied defensively in case
+# the caller (driver harness) built its own SparkSession without them:
+#   * nanosAsLong — events.parquet carries TIMESTAMP(NANOS), which Spark
+#     otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+#   * UTC session TZ — P4/P5 date derivations assume it (KnowledgeBot.py:481);
+#   * no partition-type inference — the keyed sink round-trips its schema.
+_REQUIRED_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.sources.partitionColumnTypeInference.enabled", "false"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+)
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    for key, value in _REQUIRED_CONFS:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf in this session; engine sessions set it at build
+
+
+def _with_confs(fn: QueryFn) -> QueryFn:
+    def wrapped(spark: SparkSession, sf_dir: str):
+        ensure_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: qd.fn for name, qd in load().items()}
+    return {name: _with_confs(qd.fn) for name, qd in load().items()}
 
 
 def oracle_sql() -> dict[str, str]:
