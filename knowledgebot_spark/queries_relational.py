@@ -897,3 +897,59 @@ def rel_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"), F.sum("pc").alias("sum_cents")
     )
+
+
+# --- bucketed co-located join (shuffle-free big-big join) ---------------------
+
+@register(
+    "rel_bucketed_join",
+    sql="""
+SELECT o_orderpriority, count(*) AS n_items,
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "bucketed", "co-located"),
+)
+def rel_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Big-big join with BOTH sides bucketed on the join key: lineitem and
+    orders are written once as 8-bucket tables, after which the join plans
+    with NO Exchange on either side (co-located SMJ reading bucket files
+    directly) — the pre-shuffle pattern that amortizes one shuffle across
+    every downstream join at 100 TB.  Plan asserted in tests/test_plans.py.
+    """
+    import os
+
+    import shutil
+
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    lt, ot = f"kb_bkt_lineitem_{tag}", f"kb_bkt_orders_{tag}"
+    catalog_tables = {t.name for t in spark.catalog.listTables()}
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (lt, ot):
+        if t not in catalog_tables:
+            # stale location from a previous session's catalog
+            shutil.rmtree(os.path.join(warehouse, t.lower()), ignore_errors=True)
+    if lt not in catalog_tables:
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey",
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(lt)
+    if ot not in catalog_tables:
+        _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(ot)
+
+    li, orders = spark.table(lt), spark.table(ot)
+    # force the merge strategy: at tiny SFs auto-broadcast would kick in and
+    # hide the point of the demo (at 100 TB neither side broadcasts)
+    joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"), F.sum("cents").alias("sum_cents")
+    )

@@ -88,3 +88,33 @@ def test_spine_partition_count_scales_with_shuffle_conf(spark, sf_dir):
     # sanity: AQE is on and the session honors the configured shuffle size
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) > 0
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key -> the SMJ reads bucket files
+    directly with NO Exchange before the join (the shuffle happens once at
+    write time, amortized over every subsequent join)."""
+    from knowledgebot_spark.registry import load
+
+    df = load()["rel_bucketed_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the only allowed Exchange is the final aggregation's, after the join;
+    # nothing upstream of the join may shuffle — bucketed scans feed
+    # Sort->SMJ directly
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    ops = [
+        line.split(") ", 1)[1].split(" ")[0]
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") " in line
+    ]
+    join_idx = max(
+        i for i, o in enumerate(ops) if o in ("SortMergeJoin", "ShuffledHashJoin")
+    )
+    scan_idxs = [i for i, o in enumerate(ops) if o == "Scan"]
+    exchanges_before_join = [
+        i for i, o in enumerate(ops) if o == "Exchange" and i < join_idx
+    ]
+    assert scan_idxs, plan
+    assert not exchanges_before_join, (
+        f"bucketed join still shuffles: ops={ops}"
+    )
