@@ -95,3 +95,42 @@ def test_parse_empty_body_filter(spark):
     df = spark.createDataFrame([(value,)], ["value"])
     out = ch.parse_header_body(df).filter(F.col("body") != "")
     assert out.count() == 0
+
+
+KEY_ALPHA = st.text(alphabet="abcdefg XY", min_size=1, max_size=12).filter(
+    lambda k: k.strip() and ": " not in k and not k.startswith(" ")
+    and not k.endswith(" ")
+)
+VAL_ALPHA = st.text(
+    alphabet="abc-: .#", min_size=1, max_size=20
+).filter(lambda v: v == v.strip())
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    header=st.dictionaries(KEY_ALPHA, VAL_ALPHA, min_size=1, max_size=5),
+    body_lines=st.lists(
+        st.text(alphabet="xyz-. #", min_size=0, max_size=15), min_size=1, max_size=4
+    ),
+)
+def test_parse_header_fuzz_roundtrip(spark, header, body_lines):
+    """S7 parse survives values with embedded ': ', '-', '#' and bodies
+    containing '---' lines (split anchors on the FIRST separator)."""
+    import re
+
+    from hypothesis import assume
+
+    # distinct raw keys may collide after space->underscore normalization,
+    # which is a genuine duplicate-map-key error — not what this fuzzes
+    assume(
+        len({re.sub(r"\s+", "_", k) for k in header}) == len(header)
+    )
+    body = "\n".join(body_lines).strip()
+    value = (
+        "\n".join(f"{k}: {v}" for k, v in header.items()) + "\n---\n\n" + body
+    )
+    df = spark.createDataFrame([(value,)], ["value"])
+    r = ch.parse_header_body(df).collect()[0]
+    want_meta = {re.sub(r"\s+", "_", k): v for k, v in header.items()}
+    assert dict(r.meta) == want_meta
+    assert r.body == re.sub(r"\s+$", "", re.sub(r"^\s+", "", body))
