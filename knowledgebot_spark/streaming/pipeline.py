@@ -72,17 +72,33 @@ def run_to_memory(
     stream: DataFrame, output_mode: str, table: str | None = None
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
-    sink; returns the (batch) result DataFrame."""
-    name = table or f"mem_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    sink; returns the (batch) result DataFrame.
+
+    Stateful streaming has no AQE: the state store allocates exactly
+    ``spark.sql.shuffle.partitions`` partitions per operator per batch, so
+    the batch-oriented 32 is pure overhead for a local replay.  The count
+    is scoped to this query (state partitioning is fixed at the query's
+    first batch; fresh memory-sink queries are unaffected by each other)
+    and restored afterwards.  On a cluster, size via KB_STREAM_PARTITIONS.
+    """
     spark = stream.sparkSession
+    name = table or f"mem_{uuid.uuid4().hex[:12]}"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("KB_STREAM_PARTITIONS", "8"),
+    )
+    try:
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
 
 
