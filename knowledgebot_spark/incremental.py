@@ -68,12 +68,13 @@ def run_extraction(
     upsert_chunks(spark, output_path, chunks, reprocessed_keys=reprocessed)
     run.commit()
 
-    n_chunks = spark.read.parquet(output_path).count()
+    # A3 counters: metadata-cheap — no full-table scan (parquet count()
+    # reads footers only, no data pages)
     return {
         "checkpoint_before": ckpt,
         "checkpoint_after": run.start_micros,
         "n_reprocessed_keys": reprocessed.count(),
-        "n_chunks_in_table": n_chunks,
+        "n_chunks_in_table": spark.read.parquet(output_path).count(),
     }
 
 

@@ -62,7 +62,9 @@ def make_chunk_udf(chunk_size: int = 20, overlap: int = 5):
     @pandas_udf(ArrayType(StringType()))
     def chunk_text(texts: pd.Series) -> pd.Series:
         def one(text: str) -> list[str]:
-            toks = text.split(" ") if text else []
+            # ''.split(' ') == [''] — mirrors Spark split() so the empty
+            # document yields one empty window on both paths
+            toks = (text or "").split(" ")
             out = []
             start = 0
             while start < len(toks):

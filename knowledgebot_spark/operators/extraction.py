@@ -36,7 +36,13 @@ def filter_fresh(df: DataFrame, ckpt_micros: int, lookback_days: int = 7) -> Dat
     """F1 strict freshness (> ckpt, KnowledgeBot.py:471-474) over an F2
     lookback scan bound (>= ckpt - N days, inclusive, KnowledgeBot.py:446-450).
 
-    In streaming this lookback *is* the watermark (see streaming/pipeline.py).
+    Note on F2: in the reference the lookback re-fetches old thread PARENTS
+    so their new replies can be enumerated (a Slack-API artifact); in the
+    engine's flat message stream every reply is its own row, so ``> ckpt``
+    already captures them and the lookback conjunct is logically subsumed.
+    It is kept as the declared SCAN bound: at scale it is the partition-
+    pruning predicate on a date-partitioned messages table, and in streaming
+    it *is* the watermark (see streaming/pipeline.py).
     """
     lookback = ckpt_micros - lookback_days * 86400 * 1_000_000
     return df.filter(

@@ -116,6 +116,9 @@ def ivf_topk(
     feats = emb.select(
         id_col, vec_col, array_to_vector(F.expr(unit)).alias("features")
     )
+    if emb.filter(F.col(id_col) == query_id).first() is None:
+        raise ValueError(f"query {id_col}={query_id} not found in embeddings")
+
     km = KMeans(k=nlist, seed=42, featuresCol="features", predictionCol="cell").fit(
         feats
     )

@@ -167,29 +167,39 @@ def llm_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _duck_simhash_sql() -> str:
-    hv = "('0x' || substr(md5(tk), 1, 4))::INTEGER"
+    # shares SIMHASH_BITS/SIMHASH_BLOCKS with operators.dedup — parity by
+    # construction.  Token hash = first 8 md5 hex chars (BIGINT), 32 bit
+    # sums, 5 disjoint-block bands (pigeonhole-exhaustive for hamming <= 4).
+    hv = "('0x' || substr(md5(tk), 1, 8))::BIGINT"
     bit_terms = []
-    for j in range(16):
-        s = (
+    for j in range(dd.SIMHASH_BITS):
+        bitsum = (
             f"list_reduce(list_transform(t, tk -> CASE WHEN ({hv} >> {j}) & 1 = 1 "
             f"THEN 1 ELSE -1 END), (a, b) -> a + b)"
         )
-        bit_terms.append(f"(CASE WHEN ({s}) > 0 THEN 1 ELSE 0 END << {j})")
+        bit_terms.append(
+            f"((CASE WHEN ({bitsum}) > 0 THEN 1 ELSE 0 END)::BIGINT << {j})"
+        )
     combine = " + ".join(bit_terms)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {off}) & {(1 << width) - 1} AS bv FROM sh"
+        for i, (off, width) in enumerate(dd.SIMHASH_BLOCKS)
+    )
     return f"""
 WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') t FROM documents),
-sh AS (SELECT doc_id, CAST({combine} AS INTEGER) AS simhash FROM toks)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INTEGER) AS hamming
-FROM sh a JOIN sh b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 4
+sh AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM toks),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dd.SIMHASH_MAX_HAMMING}
 """
 
 
 @register("llm_dedup_simhash", sql=_duck_simhash_sql(), tags=("dedup", "simhash"))
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 16-bit signatures, pairs blocked on the top byte,
-    Hamming <= 4."""
+    """SimHash near-dup: 32-bit signatures, disjoint-block bucket join
+    (pigeonhole-exhaustive for Hamming <= 4), never all-pairs."""
     d = dd.with_simhash(_t(spark, sf, "documents"), "text")
     pairs = dd.simhash_near_pairs(d.select("doc_id", "simhash"), "doc_id", 4)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -539,7 +549,7 @@ def kb_embed(spark: SparkSession, sf: str) -> DataFrame:
     sql="""
 SELECT doc_id AS asset_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-  CAST(length(text) AS INTEGER) AS byte_len,
+  CAST(strlen(text) AS INTEGER) AS byte_len,
   md5(text) AS content_md5,
   CAST((doc_id * 37) % 640 + 1 AS INTEGER) AS width,
   CAST((doc_id * 53) % 480 + 1 AS INTEGER) AS height

@@ -27,6 +27,10 @@ def get_session(
     """Build (or reuse) a SparkSession with engine defaults applied."""
     active = SparkSession.getActiveSession()
     if active is not None and master is None and extra_conf is None:
+        if shuffle_partitions is not None:
+            # runtime-settable — apply instead of silently dropping it
+            # (getOrCreate would ignore builder confs on an active session)
+            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         return active
 
     if master is None:

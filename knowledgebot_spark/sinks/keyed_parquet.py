@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 
 DEFAULT_PARTITIONS = ("channel_name", "msg_date")
 
+# Hive escapePathName: these chars (plus ASCII control chars) are %XX-encoded
+# in partition directory names — hand-built paths must match or a tombstone
+# rewrite targets the wrong directory.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')  # note: '}' is NOT escaped by Spark
+
+
+def _escape_partition_value(value) -> str:
+    out = []
+    for ch in str(value):
+        if ch in _ESCAPE_CHARS or ord(ch) < 0x20 or ch == "\x7f":
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
     if not os.path.exists(path):
@@ -64,6 +79,10 @@ def upsert_chunks(
         )
         return
 
+    # the batch lineage is referenced several times below (partition-set
+    # collect + write); pin it so the upstream DAG runs once
+    new_rows = new_rows.persist()
+
     existing = spark.read.parquet(path)
     # Partition pruning: only partitions containing a reprocessed key are
     # rewritten.  The affected-partition set of one incremental batch is
@@ -92,11 +111,11 @@ def upsert_chunks(
     )
     out = survivors.select(
         [F.col(c).cast(new_rows.schema[c].dataType) for c in new_rows.columns]
-    ).unionByName(new_rows)
+    ).unionByName(new_rows).persist()
 
     # Materialize the output partition set BEFORE the overwrite — `out`'s
     # lineage reads the files the write replaces, so it must not be
-    # re-evaluated afterwards.
+    # re-evaluated afterwards (persist also makes the write a cache read).
     out_parts = {tuple(r) for r in out.select(*partition_cols).distinct().collect()}
 
     # Dynamic partition overwrite: only the partitions present in `out`
@@ -108,14 +127,18 @@ def upsert_chunks(
         .parquet(path)
     )
     # A partition whose every row was tombstoned has no rows in `out`, so
-    # dynamic overwrite leaves its stale files; rewrite it empty explicitly.
+    # dynamic overwrite leaves its stale files; rewrite it empty explicitly
+    # (partition values Hive-escaped to address the real directory).
     emptied = [p for p in affected if p not in out_parts]
     for values in emptied:
         subdir = path + "".join(
-            f"/{col}={val}" for col, val in zip(partition_cols, values)
+            f"/{col}={_escape_partition_value(val)}"
+            for col, val in zip(partition_cols, values)
         )
         empty = spark.createDataFrame([], out.drop(*partition_cols).schema)
         empty.write.mode("overwrite").parquet(subdir)
+    out.unpersist()
+    new_rows.unpersist()
 
 
 def serialize_chunk_files(df: DataFrame) -> DataFrame:

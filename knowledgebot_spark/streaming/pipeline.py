@@ -52,13 +52,21 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def _stage_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory*; testdata ships a bare
-    parquet file, so stage a symlink dir (no data copy)."""
-    name = os.path.basename(sf_dir.rstrip("/"))
-    stage = f"/tmp/knowledgebot_spark/stream_src/{name}/events"
+    parquet file, so stage a symlink dir (no data copy).  Keyed by a hash
+    of the FULL source path — two datasets sharing a basename must not
+    share a stage — and re-pointed if the link exists but targets
+    elsewhere (lexists also catches broken links)."""
+    import hashlib
+
+    target = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    stage = f"/tmp/knowledgebot_spark/stream_src/{key}/events"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return stage
 
 

@@ -81,6 +81,10 @@ def main() -> int:
             continue
 
         problems = []
+        if len(set(s_cols)) != len(s_cols) or len(set(d_cols)) != len(d_cols):
+            # duplicate names would silently alias to the first occurrence
+            # in the index-based alignment below — fail loudly instead
+            problems.append(f"duplicate column names spark={s_cols} duck={d_cols}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):

@@ -39,7 +39,7 @@ def test_overlap_guard():
 
 
 def test_pandas_udf_matches_builtin(spark):
-    texts = [
+    texts = [""] + [
         " ".join(f"t{i}" for i in range(n)) for n in (1, 4, 5, 6, 19, 20, 21, 47)
     ]
     df = spark.createDataFrame([(t,) for t in texts], ["text"])

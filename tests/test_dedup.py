@@ -50,9 +50,42 @@ def test_simhash_identical_zero_hamming(spark):
     hashed = dd.with_simhash(df)
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dd.simhash_near_pairs(hashed, "doc_id", max_hamming=16).collect()
+        for r in dd.simhash_near_pairs(hashed, "doc_id").collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_blocking_is_exhaustive_for_guaranteed_hamming(spark):
+    """Pigeonhole recall: ANY pair within hamming <= 4 collides on >= 1
+    disjoint block, wherever the differing bits fall (the old top-byte
+    blocking missed pairs whose diffs fell in the upper bits)."""
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    base = rng.getrandbits(32)
+    variants = [("b", base)]
+    # flip 4 bits in adversarial positions: all-high, all-low, spread
+    for name, bits in (
+        ("high", (28, 29, 30, 31)),
+        ("low", (0, 1, 2, 3)),
+        ("spread", (3, 11, 19, 27)),
+        ("block-straddle", (6, 7, 13, 14)),
+    ):
+        v = base
+        for bit in bits:
+            v ^= 1 << bit
+        variants.append((name, v))
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(variants)], "doc_id int, simhash bigint"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_near_pairs(df, "doc_id").collect()
+    }
+    # every variant is within hamming 4 of the base (doc_id 0)
+    for i in range(1, len(variants)):
+        assert (0, i) in got, f"missed pair base<->{variants[i][0]}"
 
 
 def test_minhash_deterministic_across_partitions(spark):
