@@ -202,27 +202,39 @@ SIMHASH_BLOCKS = ((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))  # (offset, width)
 SIMHASH_MAX_HAMMING = len(SIMHASH_BLOCKS) - 1
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """SimHash: bit j is the sign of the sum over tokens of
-    (bit j of md5(token) ? +1 : -1).  Computed per-row with JVM built-ins —
-    no explode, no shuffle.
+    (bit j of md5(token) ? +1 : -1).  Returns (id_col, simhash).
 
-    Each token is md5-hashed ONCE (the hash array is lambda-bound via the
-    transform(array(...)) trick so the bit-sum traversals reuse it; a naive
-    per-bit formulation re-hashes every token per bit).
-    shiftright/shiftleft function form: the >>/<< operators do not parse
-    inside Spark lambda bodies."""
-    toks = f"split(lower({text_col}), ' ')"
-    hv = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
-    # one expression, fully lambda-scoped: any column-ref formulation gets
-    # the upstream expression inlined per reference by CollapseProject
-    simhash = (
-        f"element_at(transform(array({hv}), h -> "
-        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + shiftleft("
-        "CAST(CASE WHEN aggregate(h, CAST(0 AS BIGINT), (a, v) -> a + CASE WHEN (shiftright(v, j) & 1) = 1 "
-        "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT), j))), 1)"
+    Formulated as token explode -> codegen'd hash agg of the 32 bit-sums
+    (each token md5-hashed once; per-bit terms are integer shifts inside
+    whole-stage codegen).  The per-row nested-lambda formulation is
+    interpreted (higher-order functions don't codegen) and measured ~2x
+    slower.  Shuffle payload is (id, 32 ints) after map-side partial agg.
+    shiftright/shiftleft function form: >>/<< do not parse in lambdas."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(text_col), " ")).alias("_t")
+    ).select(
+        id_col,
+        F.expr("cast(conv(substring(md5(_t), 1, 8), 16, 10) AS BIGINT)").alias("_v"),
     )
-    return df.withColumn("simhash", F.expr(f"CAST({simhash} AS BIGINT)"))
+    sums = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(_v, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"bs_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    combine = " + ".join(
+        f"shiftleft(CAST(CASE WHEN bs_{j} > 0 THEN 1 ELSE 0 END AS BIGINT), {j})"
+        for j in range(bits)
+    )
+    return agg.select(id_col, F.expr(f"CAST({combine} AS BIGINT)").alias("simhash"))
 
 
 def simhash_blocks(df: DataFrame, id_col: str) -> DataFrame:
