@@ -953,3 +953,68 @@ def rel_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"), F.sum("cents").alias("sum_cents")
     )
+
+
+# --- multiset set ops + schema-tolerant union ---------------------------------
+
+@register(
+    "rel_set_intersect_all",
+    sql="""
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setop", "intersect-all"),
+)
+def rel_set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL: multiset semantics — duplicates survive up to the
+    minimum multiplicity on each side."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "rel_set_except_all",
+    sql="""
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+    tags=("setop", "except-all"),
+)
+def rel_set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL: surplus duplicate occurrences survive."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "rel_union_missing_columns",
+    sql="""
+SELECT n_nationkey AS k, n_name AS name, NULL AS extra FROM nation
+UNION ALL
+SELECT r_regionkey AS k, r_name AS name, 'region' AS extra FROM region
+""",
+    tags=("setop", "unionByName", "allowMissingColumns"),
+)
+def rel_union_missing_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-tolerant append — the
+    missing column null-fills (the schema-drift pattern for evolving
+    pipeline tables)."""
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    r = _t(spark, sf, "region").select(
+        F.col("r_regionkey").alias("k"),
+        F.col("r_name").alias("name"),
+        F.lit("region").alias("extra"),
+    )
+    return n.unionByName(r, allowMissingColumns=True)
