@@ -1018,3 +1018,171 @@ def rel_union_missing_columns(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("region").alias("extra"),
     )
     return n.unionByName(r, allowMissingColumns=True)
+
+
+# --- pivot / unpivot ----------------------------------------------------------
+
+@register(
+    "rel_pivot",
+    sql="""
+SELECT c_mktsegment,
+  CAST(count(*) FILTER (WHERE c_nationkey % 5 = 0) AS BIGINT) AS nk0,
+  CAST(count(*) FILTER (WHERE c_nationkey % 5 = 1) AS BIGINT) AS nk1,
+  CAST(count(*) FILTER (WHERE c_nationkey % 5 = 2) AS BIGINT) AS nk2,
+  CAST(count(*) FILTER (WHERE c_nationkey % 5 = 3) AS BIGINT) AS nk3,
+  CAST(count(*) FILTER (WHERE c_nationkey % 5 = 4) AS BIGINT) AS nk4
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("agg", "pivot"),
+)
+def rel_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values (explicit values keep
+    the plan single-pass — no extra distinct-values job)."""
+    c = _t(spark, sf, "customer").withColumn(
+        "nk_bucket", F.pmod("c_nationkey", F.lit(5))
+    )
+    p = (
+        c.groupBy("c_mktsegment")
+        .pivot("nk_bucket", [0, 1, 2, 3, 4])
+        .agg(F.count(F.lit(1)))
+    )
+    renames = [F.col("c_mktsegment")] + [
+        F.coalesce(F.col(str(i)), F.lit(0)).alias(f"nk{i}") for i in range(5)
+    ]
+    return p.select(*renames)
+
+
+@register(
+    "rel_unpivot",
+    sql="""
+SELECT r_name, metric, val FROM (
+  SELECT r_name, CAST(r_regionkey AS BIGINT) AS region_key,
+    CAST(length(r_name) AS BIGINT) AS name_len
+  FROM region
+) UNPIVOT (val FOR metric IN (region_key, name_len))
+""",
+    tags=("agg", "unpivot", "melt"),
+)
+def rel_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """unpivot/melt: wide -> long."""
+    r = _t(spark, sf, "region").select(
+        "r_name",
+        F.col("r_regionkey").cast("bigint").alias("region_key"),
+        F.length("r_name").cast("bigint").alias("name_len"),
+    )
+    return r.unpivot("r_name", ["region_key", "name_len"], "metric", "val")
+
+
+# --- higher-order array functions ---------------------------------------------
+
+@register(
+    "rel_higher_order",
+    sql="""
+SELECT n_nationkey,
+  [x * 2 for x in ks] AS doubled,
+  [x for x in ks if x % 2 = 0] AS evens,
+  CAST(len([x for x in ks if x > 10]) > 0 AS BOOLEAN) AS any_gt10,
+  CAST(len([x for x in ks if x <= 25]) = len(ks) AS BOOLEAN) AS all_le25,
+  list_reduce(ks, (a, b) -> a + b) AS total,
+  [ks[i] + i for i in generate_series(1, len(ks))] AS idx_shifted
+FROM (SELECT n_nationkey, [n_nationkey, n_nationkey + 1, n_nationkey + 2] AS ks FROM nation)
+""",
+    tags=("scalar", "higher-order"),
+)
+def rel_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    """transform / filter / exists / forall / aggregate / indexed-lambda —
+    the full higher-order function family, JVM-evaluated."""
+    n = _t(spark, sf, "nation").withColumn(
+        "ks",
+        F.array(
+            F.col("n_nationkey"),
+            F.col("n_nationkey") + 1,
+            F.col("n_nationkey") + 2,
+        ),
+    )
+    return n.select(
+        "n_nationkey",
+        F.transform("ks", lambda x: x * 2).alias("doubled"),
+        F.filter("ks", lambda x: x % 2 == 0).alias("evens"),
+        F.exists("ks", lambda x: x > 10).alias("any_gt10"),
+        F.forall("ks", lambda x: x <= 25).alias("all_le25"),
+        F.aggregate("ks", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("total"),
+        F.transform("ks", lambda x, i: x + i + 1).alias("idx_shifted"),
+    )
+
+
+# --- exact percentiles --------------------------------------------------------
+
+@register(
+    "rel_percentile",
+    sql="""
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def rel_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` == DuckDB
+    quantile_cont: linear interpolation)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("price_p99"),
+    )
+
+
+# --- subqueries ---------------------------------------------------------------
+
+@register(
+    "rel_scalar_subquery",
+    sql="""
+SELECT c_custkey, round(c_acctbal, 2) AS bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+""",
+    tags=("subquery", "scalar"),
+)
+def rel_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a filter (planner evaluates the
+    subquery once and broadcasts the scalar)."""
+    c = _t(spark, sf, "customer")
+    c.createOrReplaceTempView("rel_sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM rel_sq_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM rel_sq_customer)
+        """
+    )
+
+
+@register(
+    "rel_correlated_exists",
+    sql="""
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+)
+""",
+    tags=("subquery", "correlated-exists"),
+)
+def rel_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    s.createOrReplaceTempView("rel_ce_supplier")
+    li.createOrReplaceTempView("rel_ce_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM rel_ce_supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM rel_ce_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+        """
+    )
