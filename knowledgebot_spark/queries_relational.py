@@ -1186,3 +1186,85 @@ def rel_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
         )
         """
     )
+
+
+# --- null semantics -----------------------------------------------------------
+
+@register(
+    "rel_null_semantics",
+    sql="""
+WITH t AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS clerk,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE round(o_totalprice, 2) END AS price
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT o_orderkey, coalesce(clerk, 'NO-CLERK') AS clerk_filled,
+  coalesce(price, 0.0) AS price_filled,
+  CAST(clerk IS NOT DISTINCT FROM NULL AS BOOLEAN) AS clerk_is_null,
+  CAST(clerk IS NOT DISTINCT FROM '1-URGENT' AS BOOLEAN) AS is_clerk1
+FROM t
+""",
+    tags=("scalar", "null-semantics", "eqNullSafe"),
+)
+def rel_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL handling: na.fill and null-safe equality (<=>)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("clerk"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price"),
+    )
+    flagged = t.withColumn(
+        "clerk_is_null", F.col("clerk").eqNullSafe(F.lit(None))
+    ).withColumn("is_clerk1", F.col("clerk").eqNullSafe(F.lit("1-URGENT")))
+    filled = flagged.na.fill({"clerk": "NO-CLERK", "price": 0.0})
+    return filled.select(
+        "o_orderkey",
+        F.col("clerk").alias("clerk_filled"),
+        F.col("price").alias("price_filled"),
+        "clerk_is_null",
+        "is_clerk1",
+    )
+
+
+@register(
+    "rel_window_ignore_nulls",
+    sql="""
+SELECT o_orderkey,
+  last_value(gap_price IGNORE NULLS) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS last_seen_price
+FROM (
+  SELECT o_orderkey, o_custkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE round(o_totalprice, 2) END AS gap_price
+  FROM orders WHERE o_orderkey <= 2000
+)
+""",
+    tags=("window", "ignore-nulls"),
+)
+def rel_window_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """last_value(..., ignoreNulls) — gap-fill forward (the sensor/event
+    carry-forward pattern)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    t = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("gap_price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "o_orderkey",
+        F.last("gap_price", ignorenulls=True).over(w).alias("last_seen_price"),
+    )

@@ -191,3 +191,54 @@ def _late_bind_spine_oracle() -> None:
     qd.sql = _spine_oracle()
 
 _late_bind_spine_oracle()
+
+
+_STREAM_JOIN_SQL = """
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+"""
+
+
+@register(
+    "stream_stream_join",
+    sql=_STREAM_JOIN_SQL,
+    tags=("streaming", "stream-stream-join", "interval-join"),
+)
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join with watermarks on both sides: click ->
+    purchase attribution within 10 minutes per user.  State on each side is
+    bounded by the watermark + join time bound; the oracle is the identical
+    batch interval join."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        sp.read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "7 days")
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+    )
+    purchases = (
+        sp.read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "7 days")
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("id_a", "id_b", "user_id")
+    return sp.run_to_memory(joined, "append")
