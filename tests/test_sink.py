@@ -152,3 +152,30 @@ def test_checkpoint_prescan_stamp(tmp_path):
     del run3
     run2.commit()
     assert load_state(state_dir)["last_run_timestamp"] == 2000
+
+
+def test_tombstone_escaped_partition_value(spark, tmp_path):
+    # Hive-escaped partition dirs: a channel name containing ':' '/' '%'
+    # is written by Spark as %XX-escaped; the emptied-partition rewrite
+    # must address the SAME directory (reviewer scenario: unescaped path
+    # created a bogus leaf while stale rows resurfaced).
+    path = str(tmp_path / "chunks")
+    weird = "a:b/c%d"
+    upsert_chunks(
+        spark,
+        path,
+        _chunks(
+            spark,
+            [
+                ("K1", weird, "20250101", 1, "stale"),
+                ("K2", "normal", "20250101", 1, "keep"),
+            ],
+        ),
+    )
+    assert _snapshot(spark, path) == sorted(
+        [("K1", weird, "20250101", 1, "stale"), ("K2", "normal", "20250101", 1, "keep")]
+    )
+    # tombstone the only row of the weird partition
+    keys = spark.createDataFrame([("K1",)], ["msg_key"])
+    upsert_chunks(spark, path, _chunks(spark, []), reprocessed_keys=keys)
+    assert _snapshot(spark, path) == [("K2", "normal", "20250101", 1, "keep")]
