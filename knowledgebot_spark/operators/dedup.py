@@ -6,15 +6,16 @@ Four families, all bucketed — NEVER all-pairs:
   * exact        — hash-groupBy on a content key (dropDuplicates semantics)
   * MinHash LSH  — shingle -> k salted minhashes -> banded bucket join;
                    candidates verified with exact Jaccard
-  * SimHash      — 16-bit signature from token hashes; near pairs blocked on
-                   the top byte before Hamming distance
+  * SimHash      — 32-bit signature from token hashes; near pairs found via
+                   5 disjoint-block buckets (pigeonhole-exhaustive for
+                   Hamming <= 4) before exact Hamming distance
   * n-gram Jaccard — exact Jaccard within cheap blocking keys
 
-Portability note: the hash primitive is md5 (hex string), identical across
-engines, so every operator here is oracle-checkable in DuckDB.  Minhash
-"permutations" are salted mins: min(md5(salt_k || shingle)) — the standard
-a*h+b mod p permutation family replaced by an equally uniform, dialect-
-portable construction.
+Portability note: the hash primitive is md5 (first 48/32 bits as integers),
+identical across engines, so every operator here is oracle-checkable in
+DuckDB.  Minhash permutations are the textbook affine family
+(a_k*v + b_k mod 2^48, a_k odd => bijective), computed as integer ops on a
+single md5 per token.
 
 Scale: the LSH band join shuffles on (band, band_value) — bucket sizes are
 bounded by collision probability, and AQE's skew-join handles hot buckets.
@@ -217,8 +218,13 @@ def with_simhash(
     interpreted (higher-order functions don't codegen) and measured ~2x
     slower.  Shuffle payload is (id, 32 ints) after map-side partial agg.
     shiftright/shiftleft function form: >>/<< do not parse in lambdas."""
+    # NULL text -> '' so the doc keeps a (deterministic) signature row on
+    # both engines instead of vanishing in the explode
     toks = df.select(
-        id_col, F.explode(F.split(F.lower(text_col), " ")).alias("_t")
+        id_col,
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")).alias(
+            "_t"
+        ),
     ).select(
         id_col,
         F.expr("cast(conv(substring(md5(_t), 1, 8), 16, 10) AS BIGINT)").alias("_v"),

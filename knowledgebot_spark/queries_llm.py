@@ -186,7 +186,7 @@ def _duck_simhash_sql() -> str:
         for i, (off, width) in enumerate(dd.SIMHASH_BLOCKS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') t FROM documents),
+WITH toks AS (SELECT doc_id, str_split(lower(coalesce(text, '')), ' ') t FROM documents),
 sh AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM toks),
 bands AS ({bands})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -161,3 +161,57 @@ def test_streaming_extraction_spine_foreach_batch(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out_path).collect()
     assert len(got) == 1 and got[0].content == "alpha"
+
+
+def test_stream_stream_join_boundaries(spark, tmp_path):
+    """Interval-join bound semantics: (ts_b > ts_a) strict lower,
+    (ts_b <= ts_a + 10min) inclusive upper — probed with events exactly ON
+    each bound (the catalog query's oracle is near-vacuous at tiny SF)."""
+    import datetime as dt
+
+    def t(m, s=0):
+        return dt.datetime(2025, 1, 1, 12, m, s)
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, t(0), 7, "click", 1.0, None),
+        (2, t(0), 7, "purchase", 1.0, None),      # == ts_a: excluded (strict >)
+        (3, t(10), 7, "purchase", 1.0, None),     # == ts_a+10min: included (<=)
+        (4, t(10, 1), 7, "purchase", 1.0, None),  # 1s past bound: excluded
+        (5, t(5), 8, "purchase", 1.0, None),      # other user: excluded
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(src)
+
+    clicks = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .parquet(src)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("id_a"), "user_id", F.col("ts").alias("ts_a"))
+    )
+    purchases = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("id_a", "id_b")
+    out = sp.run_to_memory(joined, "append")
+    assert sorted((r.id_a, r.id_b) for r in out.collect()) == [(1, 3)]
