@@ -1268,3 +1268,58 @@ def rel_window_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.last("gap_price", ignorenulls=True).over(w).alias("last_seen_price"),
     )
+
+
+# --- map higher-order functions -----------------------------------------------
+
+@register(
+    "rel_map_functions",
+    sql="""
+SELECT n_nationkey,
+  'len:' || CAST(n_nationkey * 2 AS VARCHAR) || ',reg:' || CAST(n_regionkey * 2 AS VARCHAR) AS doubled_entries,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'len:' || CAST(n_nationkey AS VARCHAR) ELSE '' END AS even_entries,
+  CAST(n_nationkey + n_regionkey AS BIGINT) AS zipped_sum
+FROM nation
+""",
+    tags=("scalar", "map-higher-order"),
+)
+def rel_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """transform_values / map_filter / map_zip_with over a constructed map,
+    canonicalized to sorted entry strings for the oracle."""
+    n = _t(spark, sf, "nation").withColumn(
+        "m",
+        F.create_map(
+            F.lit("len"), F.col("n_nationkey").cast("bigint"),
+            F.lit("reg"), F.col("n_regionkey").cast("bigint"),
+        ),
+    )
+    doubled = F.transform_values("m", lambda k, v: v * 2)
+    evens = F.map_filter(
+        "m", lambda k, v: (k == "len") & (F.col("n_nationkey") % 2 == 0)
+    )
+    zipped = F.map_zip_with(
+        "m",
+        F.create_map(
+            F.lit("len"), F.col("n_regionkey").cast("bigint"),
+            F.lit("reg"), F.col("n_nationkey").cast("bigint"),
+        ),
+        lambda k, v1, v2: v1 + v2,
+    )
+
+    def canon(col):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    return n.select(
+        "n_nationkey",
+        canon(doubled).alias("doubled_entries"),
+        canon(evens).alias("even_entries"),
+        F.element_at(zipped, F.lit("len")).alias("zipped_sum"),
+    )

@@ -145,3 +145,15 @@ def test_format_output_date_and_key(spark):
     # P9: mentions line absent when NULL
     assert "Mentions:" not in r.header
     assert r.header.splitlines()[0] == "Channel Name: chan one"
+
+
+def test_nested_tag_behavior_matches_reference(spark):
+    # SURVEY.md §5.2 / KnowledgeBot.py:37 nested-tag question: the reference
+    # regex is non-greedy with no nesting support, so an inner '#KNOWLEDGE'
+    # becomes part of the block and the dangling '#END' is plain text.
+    rows = [
+        ("C1", "1.0", 1, None, "#KNOWLEDGE outer #KNOWLEDGE inner #END trailing #END"),
+    ]
+    out = ex.extract_blocks(ex.with_msg_key(_messages(spark, rows)))
+    got = [(r.snippet_no, r.content) for r in out.collect()]
+    assert got == [(1, "outer #KNOWLEDGE inner")]
