@@ -1323,3 +1323,29 @@ def rel_map_functions(spark: SparkSession, sf: str) -> DataFrame:
         canon(evens).alias("even_entries"),
         F.element_at(zipped, F.lit("len")).alias("zipped_sum"),
     )
+
+
+@register(
+    "rel_explode_outer",
+    sql="""
+SELECT n_nationkey, t.part
+FROM (
+  SELECT n_nationkey,
+    CASE WHEN n_nationkey % 6 = 0 THEN []::VARCHAR[]
+         ELSE str_split(n_name, 'A') END AS parts
+  FROM nation
+) n
+LEFT JOIN LATERAL (SELECT unnest(n.parts) AS part) t ON TRUE
+""",
+    tags=("scalar", "explode-outer"),
+)
+def rel_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with NULL (plain
+    explode would drop them — the row-preserving flatten)."""
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 6 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("n_name", "A"))
+        .alias("parts"),
+    )
+    return n.select("n_nationkey", F.explode_outer("parts").alias("part"))
