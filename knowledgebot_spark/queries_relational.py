@@ -1349,3 +1349,31 @@ def rel_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
         .alias("parts"),
     )
     return n.select("n_nationkey", F.explode_outer("parts").alias("part"))
+
+
+@register(
+    "rel_json_roundtrip",
+    sql="""
+SELECT event_id,
+  CAST(props::JSON ->> 'k' AS BIGINT) AS k_parsed,
+  '{"id":' || CAST(event_id AS VARCHAR) || ',"k":' || (props::JSON ->> 'k') || '}' AS rebuilt
+FROM events WHERE props IS NOT NULL AND event_id <= 500
+""",
+    tags=("scalar", "json", "from_json", "to_json"),
+)
+def rel_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json (typed parse) + to_json (re-serialize): the structured
+    JSON column path, not just string extraction."""
+    e = _t(spark, sf, "events").filter(
+        F.col("props").isNotNull() & (F.col("event_id") <= 500)
+    )
+    parsed = e.select(
+        "event_id", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_parsed"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("p.k").alias("k"))
+        ).alias("rebuilt"),
+    )
