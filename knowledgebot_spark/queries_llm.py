@@ -516,6 +516,46 @@ def kb_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "kb_enrich_llm_stub",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
+), firsts AS (
+  SELECT doc_id, tok, min(ord) AS first_ord
+  FROM tok WHERE tok <> '' GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, tok,
+    row_number() OVER (PARTITION BY doc_id ORDER BY first_ord) AS rn
+  FROM firsts
+), kw AS (
+  SELECT doc_id, string_agg(tok, ', ' ORDER BY rn) AS keywords
+  FROM ranked WHERE rn <= 5 GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(kw.keywords, '') AS keywords,
+  array_to_string(str_split(d.text, ' ')[1:25], ' ') AS summary
+FROM documents d LEFT JOIN kw USING (doc_id)
+""",
+    tags=("U2", "U3", "llm", "mapInPandas"),
+)
+def kb_enrich_llm_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """External-LLM enrichment machinery (``operators/llm_enrich.py``:
+    mapInPandas -> endpoint batches -> bounded thread pool -> retry) run
+    against the deterministic stub endpoint, so the full enable_llm=True
+    code path sits behind the driver's correctness gate.  Stub semantics:
+    keywords = first 5 distinct tokens in appearance order, summary =
+    25-word truncation (LLMService.py:118-151 result shapes)."""
+    from knowledgebot_spark.operators import llm_enrich as le
+
+    d = _t(spark, sf, "documents")
+    return le.enrich_documents(
+        d,
+        le.DeterministicStubClient,
+        le.LLMEnrichConfig(top_n=5, max_words=25, batch_size=16, max_concurrency=4),
+    )
+
+
+@register(
     "kb_embed",
     sql="""
 SELECT doc_id, CAST(j AS INTEGER) AS dim_idx,

@@ -84,8 +84,8 @@ def kb_channel_missing(spark: SparkSession, sf: str) -> DataFrame:
     + f"""
 SELECT
   count(*) AS n_scanned,
-  sum(CASE WHEN ts_micros > {CKPT} THEN 1 ELSE 0 END) AS n_fresh,
-  sum(CASE WHEN ts_micros >= {CKPT - LOOKBACK} AND ts_micros <= {CKPT} THEN 1 ELSE 0 END) AS n_lookback_only
+  CAST(sum(CASE WHEN ts_micros > {CKPT} THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+  CAST(sum(CASE WHEN ts_micros >= {CKPT - LOOKBACK} AND ts_micros <= {CKPT} THEN 1 ELSE 0 END) AS BIGINT) AS n_lookback_only
 FROM messages
 """,
     tags=("F1", "F2", "A3"),

@@ -515,7 +515,7 @@ def rel_topk_sort(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "rel_set_union",
     sql="""
-SELECT nk, sum(n) AS n FROM (
+SELECT nk, CAST(sum(n) AS BIGINT) AS n FROM (
   SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1
   UNION ALL
   SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1
@@ -1079,19 +1079,27 @@ def rel_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     "rel_higher_order",
     sql="""
 SELECT n_nationkey,
-  [x * 2 for x in ks] AS doubled,
-  [x for x in ks if x % 2 = 0] AS evens,
+  array_to_string([x * 2 for x in ks], ',') AS doubled,
+  array_to_string([x for x in ks if x % 2 = 0], ',') AS evens,
   CAST(len([x for x in ks if x > 10]) > 0 AS BOOLEAN) AS any_gt10,
   CAST(len([x for x in ks if x <= 25]) = len(ks) AS BOOLEAN) AS all_le25,
   list_reduce(ks, (a, b) -> a + b) AS total,
-  [ks[i] + i for i in generate_series(1, len(ks))] AS idx_shifted
+  array_to_string([ks[i] + i for i in generate_series(1, len(ks))], ',') AS idx_shifted
 FROM (SELECT n_nationkey, [n_nationkey, n_nationkey + 1, n_nationkey + 2] AS ks FROM nation)
 """,
     tags=("scalar", "higher-order"),
 )
 def rel_higher_order(spark: SparkSession, sf: str) -> DataFrame:
     """transform / filter / exists / forall / aggregate / indexed-lambda —
-    the full higher-order function family, JVM-evaluated."""
+    the full higher-order function family, JVM-evaluated.
+
+    Array results are serialized to ','-joined strings so the output schema
+    is driver-canonicalizer-safe (pandas sort_values chokes on ndarray
+    cells); same pattern as rel_map_functions' canon()."""
+
+    def canon(arr_col):
+        return F.array_join(F.transform(arr_col, lambda x: x.cast("string")), ",")
+
     n = _t(spark, sf, "nation").withColumn(
         "ks",
         F.array(
@@ -1102,12 +1110,12 @@ def rel_higher_order(spark: SparkSession, sf: str) -> DataFrame:
     )
     return n.select(
         "n_nationkey",
-        F.transform("ks", lambda x: x * 2).alias("doubled"),
-        F.filter("ks", lambda x: x % 2 == 0).alias("evens"),
+        canon(F.transform("ks", lambda x: x * 2)).alias("doubled"),
+        canon(F.filter("ks", lambda x: x % 2 == 0)).alias("evens"),
         F.exists("ks", lambda x: x > 10).alias("any_gt10"),
         F.forall("ks", lambda x: x <= 25).alias("all_le25"),
         F.aggregate("ks", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("total"),
-        F.transform("ks", lambda x, i: x + i + 1).alias("idx_shifted"),
+        canon(F.transform("ks", lambda x, i: x + i + 1)).alias("idx_shifted"),
     )
 
 

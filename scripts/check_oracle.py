@@ -9,12 +9,16 @@ order-insensitive values.  Usage:
 
 from __future__ import annotations
 
+import datetime
+import hashlib
 import math
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -34,6 +38,45 @@ def canon(value):
 
 def row_key(row):
     return tuple(canon(v) for v in row)
+
+
+def _driver_cell(v):
+    """dtype-SENSITIVE cell repr, emulating the driver's pandas canonicalizer:
+    int64 57 and float64 57.0 must hash differently (that is exactly the
+    DuckDB-HUGEINT artifact that produced r02's hash fails), ndarray/list
+    cells must raise (that is the rel_higher_order abort)."""
+    if v is None or v is pd.NaT:
+        return "∅"
+    if isinstance(v, float) and math.isnan(v):
+        return "∅"
+    if isinstance(v, (np.ndarray, list, dict)):
+        raise TypeError(f"unhashable type: {type(v).__name__}")
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bool, np.bool_)):
+        return "T" if v else "F"
+    if isinstance(v, (int, np.integer)):
+        return f"i{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"f{v!r}"
+    return repr(v)
+
+
+def driver_hash(pdf: pd.DataFrame) -> str:
+    """Order columns by lowered name, sort rows, hash every cell with the
+    dtype-sensitive repr above.  Any exception == the driver would abort."""
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(
+        tuple(_driver_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x01".join(r).encode())
+        h.update(b"\x02")
+    return h.hexdigest()
 
 
 def main() -> int:
@@ -100,6 +143,22 @@ def main() -> int:
                     (a, b) for a, b in zip(s_set, d_set) if a != b
                 ][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems:
+            # driver emulation: pandas-materialize both sides and hash with
+            # dtype-sensitive cells — catches HUGEINT→float64 and complex-type
+            # canonicalizer crashes that the repr comparison above forgives
+            try:
+                hs = driver_hash(sdf.toPandas())
+            except Exception as e:
+                problems.append(f"spark pandas-canon error: {type(e).__name__}: {str(e)[:150]}")
+            else:
+                try:
+                    hd = driver_hash(con.execute(qd.sql).df())
+                except Exception as e:
+                    problems.append(f"duck pandas-canon error: {type(e).__name__}: {str(e)[:150]}")
+                else:
+                    if hs != hd:
+                        problems.append("pandas driver-hash mismatch (dtype-level divergence)")
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
