@@ -54,21 +54,35 @@ def chunk_windows(
     )
 
 
-def make_chunk_udf(chunk_size: int = 20, overlap: int = 5):
+def make_chunk_udf(
+    chunk_size: int = 20,
+    overlap: int = 5,
+    tokenizer=None,
+    detokenizer=None,
+):
     """Pandas-UDF variant (ARRAY<STRING> per row) — Arrow batch transfer,
-    tokenizer pluggable per partition."""
+    tokenizer pluggable per partition.
+
+    ``tokenizer(text) -> sequence`` / ``detokenizer(tokens) -> str`` default
+    to whitespace split/join (parity with the JVM ``chunk_windows`` path).
+    Pass a subword pair to reproduce the reference's tiktoken cl100k_base
+    windows (TextProcessor.py:38-40) — see ``tiktoken_pair()``.  Both must
+    be picklable module-level callables (they ship to executors)."""
     stride = _check(chunk_size, overlap)
 
     @pandas_udf(ArrayType(StringType()))
     def chunk_text(texts: pd.Series) -> pd.Series:
+        # resolved inside the task so the closure pickles the callables,
+        # not a captured client/encoding object
+        tok = tokenizer or _ws_tokenize
+        detok = detokenizer or _ws_detokenize
+
         def one(text: str) -> list[str]:
-            # ''.split(' ') == [''] — mirrors Spark split() so the empty
-            # document yields one empty window on both paths
-            toks = (text or "").split(" ")
+            toks = tok(text or "")
             out = []
             start = 0
             while start < len(toks):
-                out.append(" ".join(toks[start : start + chunk_size]))
+                out.append(detok(toks[start : start + chunk_size]))
                 start += stride
             return out
 
@@ -77,13 +91,37 @@ def make_chunk_udf(chunk_size: int = 20, overlap: int = 5):
     return chunk_text
 
 
+def _ws_tokenize(text: str) -> list[str]:
+    # ''.split(' ') == [''] — mirrors Spark split() so the empty document
+    # yields one empty window on both paths
+    return text.split(" ")
+
+
+def _ws_detokenize(toks) -> str:
+    return " ".join(toks)
+
+
+def tiktoken_pair(encoding: str = "cl100k_base"):
+    """The reference's real tokenizer (TextProcessor.py:38-40) as a
+    (tokenizer, detokenizer) pair for ``make_chunk_udf``; raises
+    ImportError where tiktoken is not installed (this container), in which
+    case the whitespace default stands in — the parity contract is tested
+    either way (tests/test_chunker.py)."""
+    import tiktoken
+
+    enc = tiktoken.get_encoding(encoding)
+    return enc.encode, enc.decode
+
+
 def chunk_text_pandas(
     df: DataFrame,
     text_col: str = "text",
     chunk_size: int = 20,
     overlap: int = 5,
+    tokenizer=None,
+    detokenizer=None,
 ) -> DataFrame:
-    udf = make_chunk_udf(chunk_size, overlap)
+    udf = make_chunk_udf(chunk_size, overlap, tokenizer, detokenizer)
     return (
         df.withColumn("windows", udf(F.col(text_col)))
         .select("*", F.posexplode("windows").alias("chunk_pos", "chunk_text"))

@@ -184,6 +184,58 @@ def jaccard_verify(
     )
 
 
+# Blocked-pairwise joins are O(block²); an unbounded block key (language,
+# length bucket, cluster label, ...) grows with the corpus, so at 100 TB a
+# popular block alone explodes the pair count.  BLOCK_CAP bounds it: members
+# are ranked within their block by id (deterministic) and split into
+# sub-blocks of <= cap rows; pairs are only compared within a sub-block, so
+# the per-sub-block pair count is <= C(cap, 2) = 2016 no matter how the
+# corpus grows.  The cost is recall across sub-block boundaries — when that
+# matters, route oversized blocks through the MinHash/SimHash LSH path
+# instead (their bucket keys are content-derived and self-balancing).
+BLOCK_CAP = 64
+
+
+def with_sub_block(
+    df: DataFrame, block_cols: list[str], id_col: str, cap: int = BLOCK_CAP
+) -> DataFrame:
+    """Add a ``sub`` column: rank-within-block (ordered by ``id_col``)
+    integer-divided by ``cap``.  Join on block_cols + ``sub`` to bound
+    pairwise fan-out.  Deterministic given unique ids, so a SQL oracle
+    reproduces the exact same sub-blocking with ``row_number()``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*block_cols).orderBy(id_col)
+    return df.withColumn(
+        "sub", F.floor((F.row_number().over(w) - 1) / F.lit(cap)).cast("int")
+    )
+
+
+def block_cap_report(
+    df: DataFrame, block_cols: list[str], cap: int = BLOCK_CAP
+) -> DataFrame:
+    """Diagnostic for what the cap drops: for each oversized block, the
+    member count and how many cross-pairs sub-blocking skips
+    (C(n,2) - sum over sub-blocks of C(size,2)).  Fully distributed — emit
+    it to a metrics sink next to the dedup output; at 100 TB this is the
+    'log what a cap drops' obligation."""
+    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("n_members"))
+    n = F.col("n_members")
+    full = (n * (n - 1) / 2).cast("bigint")
+    n_full_subs = F.floor(n / cap)
+    rem = n % cap
+    kept = (n_full_subs * (cap * (cap - 1) // 2) + (rem * (rem - 1) / 2)).cast(
+        "bigint"
+    )
+    return sizes.filter(n > cap).select(
+        *block_cols,
+        "n_members",
+        full.alias("pairs_unbounded"),
+        kept.alias("pairs_compared"),
+        (full - kept).alias("pairs_skipped"),
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
     """Exact dedup: hash-groupBy on a content key; returns duplicate groups
     (the dropDuplicates survivors are min(id) per group)."""

@@ -132,12 +132,13 @@ def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         "FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)",
         "FROM (SELECT doc_id, lang, n_chars, str_split(lower(text), ' ') tk FROM documents)",
     )
-    + """
-, d AS (SELECT doc_id, lang, n_chars // 100 AS blk, s FROM base)
+    + f"""
+, d0 AS (SELECT doc_id, lang, n_chars // 100 AS blk, s FROM base)
+, d AS (SELECT *, (row_number() OVER (PARTITION BY lang, blk ORDER BY doc_id) - 1) // {dd.BLOCK_CAP} AS sub FROM d0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
         (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 4) AS jaccard
-FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id
 WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
       (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.06
 """,
@@ -146,17 +147,26 @@ WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
 def llm_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard inside cheap blocking keys (lang, length
     bucket) — the blocked-pairwise pattern for when LSH recall is not
-    enough."""
-    d = dd.with_shingles(_t(spark, sf, "documents"), "text").select(
-        "doc_id", "lang", F.expr("n_chars div 100").alias("blk"), "shingles"
+    enough.  Blocks are capped at BLOCK_CAP members via deterministic
+    sub-blocking (dedup.with_sub_block), so per-sub-block pair fan-out is
+    bounded regardless of corpus size; dedup.block_cap_report surfaces what
+    the cap drops."""
+    d = dd.with_sub_block(
+        dd.with_shingles(_t(spark, sf, "documents"), "text").select(
+            "doc_id", "lang", F.expr("n_chars div 100").alias("blk"), "shingles"
+        ),
+        ["lang", "blk"],
+        "doc_id",
     )
     a = d.select(
-        F.col("doc_id").alias("id_a"), "lang", "blk", F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("id_a"), "lang", "blk", "sub",
+        F.col("shingles").alias("sh_a"),
     )
     b = d.select(
-        F.col("doc_id").alias("id_b"), "lang", "blk", F.col("shingles").alias("sh_b")
+        F.col("doc_id").alias("id_b"), "lang", "blk", "sub",
+        F.col("shingles").alias("sh_b"),
     )
-    joined = a.join(b, ["lang", "blk"]).filter(F.col("id_a") < F.col("id_b"))
+    joined = a.join(b, ["lang", "blk", "sub"]).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
@@ -215,19 +225,30 @@ _DUCK_COS = (
 @register(
     "llm_dedup_embedding",
     sql=f"""
+WITH e AS (
+  SELECT *, (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {dd.BLOCK_CAP} AS sub
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COS}, 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 WHERE {_DUCK_COS} >= 0.3
 """,
     tags=("dedup", "embedding-cosine"),
 )
 def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup, blocked on the label column (the blocked
-    pairwise pattern; at 100 TB the block key is an LSH/IVF bucket)."""
-    e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("vb"))
-    joined = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup, blocked on the label column (at 100 TB
+    the block key is an LSH/IVF bucket — see llm_sim_lsh/llm_sim_ivf for
+    those bucketings).  Label blocks are capped at BLOCK_CAP members via
+    deterministic sub-blocking so a hot label cannot explode the pairwise
+    join."""
+    e = dd.with_sub_block(_t(spark, sf, "embeddings"), ["label"], "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label", "sub", F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label", "sub", F.col("embedding").alias("vb")
+    )
+    joined = a.join(b, ["label", "sub"]).filter(F.col("id_a") < F.col("id_b"))
     cos = sim.cosine_col("va", "vb")
     return (
         joined.withColumn("cos_raw", cos)
@@ -655,20 +676,28 @@ SELECT doc_id, term AS top_term, tfidf AS top_tfidf FROM ranked WHERE rn = 1
 def llm_tfidf_topterm(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF scoring with smoothed IDF ln((N+1)/(df+1)): the top term per
     document.  The df table is tiny relative to the corpus (vocabulary) and
-    broadcasts; tf aggregates map-side.  This is the deterministic,
-    oracle-checkable form of U2's keyword scoring (MLlib CountVectorizer/IDF
-    produce the same ranking; see tests/test_mllib.py)."""
+    broadcasts; tf aggregates map-side.  N is a broadcast one-row aggregate
+    folded into the plan (the DuckDB oracle's ``n`` CTE), NOT a driver-side
+    ``count()`` — building this DataFrame triggers no Spark job.  This is
+    the deterministic, oracle-checkable form of U2's keyword scoring (MLlib
+    CountVectorizer/IDF produce the same ranking; see tests/test_mllib.py)."""
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

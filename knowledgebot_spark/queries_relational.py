@@ -165,13 +165,37 @@ FROM rel_gs_customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
     )
 
 
-@register("rel_approx_distinct", sql=None, tags=("agg", "approx"))
+@register(
+    "rel_approx_distinct",
+    sql="""
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+  CAST(count(*) AS BIGINT) AS n,
+  TRUE AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "approx"),
+)
 def rel_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — estimator differs from DuckDB's, so
-    this is a rows-only check; the exact variant is rel_distinct_agg."""
-    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    """approx_count_distinct (HLL++, rsd=0.01) — the raw estimate differs
+    from DuckDB's estimator, so the falsifiable contract is encoded
+    in-query: emit the exact count plus a boolean asserting the estimate
+    lands within 5% of it; the oracle states the exact count and TRUE.  An
+    estimator drifting out of tolerance now FAILS the hash gate instead of
+    hiding behind a rows-only check."""
+    agg = _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -143,13 +143,15 @@ def upsert_chunks(
 
 def serialize_chunk_files(df: DataFrame) -> DataFrame:
     """K1: the reference's on-disk chunk-file format as (chunk_key, value)
-    rows — header lines + ``\\n---\\n\\n`` + stripped body
-    (KnowledgeBot.py:406-419).  Written with ``df.write.text`` when actual
-    .txt interop is needed; the parquet table remains the source of truth."""
+    rows, byte-identical to KnowledgeBot.py:408-419: every header line ends
+    with ``\\n``, then ``\\n---\\n\\n``, then the stripped body — so the
+    bytes after the last header char are ``\\n\\n---\\n\\n``.  Written with
+    ``df.write.text`` when actual .txt interop is needed; the parquet table
+    remains the source of truth."""
     return df.select(
         F.col("chunk_key"),
         F.concat(
-            F.col("header"), F.lit("\n---\n\n"), F.trim(F.col("content"))
+            F.col("header"), F.lit("\n\n---\n\n"), F.trim(F.col("content"))
         ).alias("value"),
     )
 

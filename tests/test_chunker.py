@@ -134,3 +134,49 @@ def test_parse_header_fuzz_roundtrip(spark, header, body_lines):
     want_meta = {re.sub(r"\s+", "_", k): v for k, v in header.items()}
     assert dict(r.meta) == want_meta
     assert r.body == re.sub(r"\s+$", "", re.sub(r"^\s+", "", body))
+
+
+# --- pluggable tokenizer seam (U1; TextProcessor.py:38-40 tiktoken) ----------
+
+def test_chunk_udf_custom_tokenizer(spark):
+    """A subword-shaped tokenizer (chars here — deterministic, no external
+    lib) flows through the pandas-UDF seam: windows are token-count-sized
+    in the TOKENIZER's units, reassembled by its detokenizer.  Defined as
+    closures so cloudpickle ships them by value (a real deployment puts
+    them in a shipped package module)."""
+
+    def char_tokenize(text):
+        return list(text)
+
+    def char_detokenize(toks):
+        return "".join(toks)
+
+    df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    out = ch.chunk_text_pandas(
+        df, chunk_size=4, overlap=1, tokenizer=char_tokenize,
+        detokenizer=char_detokenize,
+    ).orderBy("chunk_pos")
+    got = [r.chunk_text for r in out.collect()]
+    # stride 3 over 10 chars: [0:4],[3:7],[6:10],[9:10]
+    assert got == ["abcd", "defg", "ghij", "j"]
+
+
+def test_chunk_udf_default_matches_jvm_path(spark):
+    """No tokenizer passed -> whitespace parity with chunk_windows."""
+    text = " ".join(f"w{i}" for i in range(23))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    jvm = ch.chunk_windows(df, chunk_size=8, overlap=3)
+    py = ch.chunk_text_pandas(df, chunk_size=8, overlap=3)
+    assert sorted(
+        (r.chunk_pos, r.chunk_text) for r in jvm.collect()
+    ) == sorted((r.chunk_pos, r.chunk_text) for r in py.collect())
+
+
+def test_chunk_udf_tiktoken_parity():
+    """Exercised only where tiktoken exists (not this container): the
+    reference's cl100k_base windows decode to text whose re-encoding
+    reproduces the window's token slice."""
+    pytest.importorskip("tiktoken")
+    enc_fn, dec_fn = ch.tiktoken_pair()
+    toks = enc_fn("the quick brown fox jumps over the lazy dog " * 10)
+    assert dec_fn(toks[:8]) and enc_fn(dec_fn(toks[:8]))[:8] == list(toks[:8])

@@ -96,3 +96,54 @@ def test_minhash_deterministic_across_partitions(spark):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+# --- bounded blocked-pairwise (BLOCK_CAP sub-blocking) -----------------------
+
+def test_sub_block_bounds_pairs_on_skewed_block(spark):
+    """One hot block with 200 members: sub-blocking must bound every
+    pairwise sub-block at <= BLOCK_CAP members, so the join fans out to at
+    most ceil(200/64) * C(64,2) pairs instead of C(200,2)."""
+    cap = dd.BLOCK_CAP
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id int, lang string"
+    )
+    sub = dd.with_sub_block(df, ["lang"], "doc_id", cap)
+    sizes = [r.n for r in sub.groupBy("lang", "sub").count().withColumnRenamed("count", "n").collect()]
+    assert max(sizes) <= cap
+    assert sum(sizes) == 200
+    a = sub.select(F.col("doc_id").alias("id_a"), "lang", "sub")
+    b = sub.select(F.col("doc_id").alias("id_b"), "lang", "sub")
+    pairs = a.join(b, ["lang", "sub"]).filter(F.col("id_a") < F.col("id_b")).count()
+    # 3 full sub-blocks of 64 + one of 8
+    expected = 3 * (cap * (cap - 1) // 2) + (8 * 7 // 2)
+    assert pairs == expected
+    assert pairs < 200 * 199 // 2  # strictly fewer than unbounded
+
+
+def test_sub_block_deterministic_across_partitions(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 3 else "y") for i in range(150)], "doc_id int, lang string"
+    )
+    one = dd.with_sub_block(df.repartition(1), ["lang"], "doc_id").collect()
+    many = dd.with_sub_block(df.repartition(11), ["lang"], "doc_id").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_block_cap_report_arithmetic(spark):
+    """The drop-report is the 'log what the cap skips' obligation: for a
+    block of 150 with cap 64, pairs_unbounded - pairs_compared must equal
+    the cross-sub-block pairs the join never sees."""
+    cap = dd.BLOCK_CAP
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(150)] + [(1000 + i, "cold") for i in range(5)],
+        "doc_id int, lang string",
+    )
+    rows = {r.lang: r for r in dd.block_cap_report(df, ["lang"], cap).collect()}
+    assert "cold" not in rows  # under the cap -> nothing dropped, not reported
+    hot = rows["hot"]
+    assert hot.n_members == 150
+    assert hot.pairs_unbounded == 150 * 149 // 2
+    # sub-blocks: 64, 64, 22
+    assert hot.pairs_compared == 2 * (64 * 63 // 2) + (22 * 21 // 2)
+    assert hot.pairs_skipped == hot.pairs_unbounded - hot.pairs_compared

@@ -118,3 +118,44 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     assert not exchanges_before_join, (
         f"bucketed join still shuffles: ops={ops}"
     )
+
+
+def test_tfidf_builds_without_spark_job(spark, sf_dir):
+    """llm_tfidf_topterm used to call d.count() at plan-build (an eager
+    driver-side job per invocation); N is now a broadcast one-row aggregate
+    inside the plan.  Building the DataFrame must launch zero jobs."""
+    from knowledgebot_spark.registry import load
+
+    fn = load()["llm_tfidf_topterm"].fn
+    fn(spark, sf_dir)  # warm parquet footer/schema metadata reads
+    sc = spark.sparkContext
+    group = "tfidf-build-audit"
+    sc.setJobGroup(group, "assert no eager job during query build")
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    assert "n_docs" not in df.columns  # folded in, not leaked
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """rel_approx_distinct's falsifiable contract: HLL++ (rsd=0.01) lands
+    within 5% of exact per group, so the in-query boolean the oracle
+    checks is TRUE for every row."""
+    from knowledgebot_spark.registry import load
+
+    rows = load()["rel_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows and all(r.approx_within_5pct for r in rows)
+
+
+def test_dedup_ngram_join_keys_include_sub_block(spark, sf_dir):
+    """The blocked-pairwise dedup joins must carry the BLOCK_CAP sub-block
+    key so a hot block cannot explode quadratically."""
+    from knowledgebot_spark.registry import load
+
+    for name in ("llm_dedup_ngram", "llm_dedup_embedding"):
+        plan = _plan(load()[name].fn(spark, sf_dir))
+        assert "sub" in plan, f"{name} lost the sub-block join key"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -121,8 +121,9 @@ def test_serialize_chunk_files_format(spark):
         ["chunk_key", "header", "content"],
     )
     r = serialize_chunk_files(df).collect()[0]
-    # K1 format: header + \n---\n\n + stripped body (KnowledgeBot.py:406-419)
-    assert r.value == "Channel Name: g\nMessage Author: A\n---\n\nbody text"
+    # Byte-exact reference format (KnowledgeBot.py:408-419): each header
+    # line ends with \n, then the f.write("\n---\n\n") separator
+    assert r.value == "Channel Name: g\nMessage Author: A\n\n---\n\nbody text"
 
 
 def test_checkpoint_default_missing_and_corrupt(tmp_path):

@@ -215,3 +215,57 @@ def test_stream_stream_join_boundaries(spark, tmp_path):
     ).select("id_a", "id_b")
     out = sp.run_to_memory(joined, "append")
     assert sorted((r.id_a, r.id_b) for r in out.collect()) == [(1, 3)]
+
+
+def test_foreach_batch_upsert_tag_removal_tombstone(spark, tmp_path):
+    """K2 through the generic helper: sink the PRE-FILTER keyed stream with
+    transform= (knowledge filter + chunk shaping) and reprocessed_keys_fn=
+    (keys the batch SAW), so a re-seen message whose edit removed its
+    #KNOWLEDGE block tombstones its stale chunks — including the
+    pure-tombstone batch (zero output rows) the old isEmpty short-circuit
+    made impossible."""
+    from knowledgebot_spark.operators import extraction as ex
+    from knowledgebot_spark.streaming.pipeline import foreach_batch_upsert
+
+    src = str(tmp_path / "msgs")
+    os.makedirs(src)
+    msg_schema = (
+        "channel_id string, ts_raw string, ts_micros bigint, full_text string"
+    )
+    out_path = str(tmp_path / "chunk_tbl")
+    ck_path = str(tmp_path / "ckpt")
+
+    def to_chunks(batch):
+        return ex.extract_blocks(batch).select(
+            "msg_key",
+            F.col("channel_id").alias("channel_name"),
+            F.lit("20250101").alias("msg_date"),
+            "snippet_no",
+            "content",
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(msg_schema).parquet(f"{src}/b*/")
+        keyed = ex.with_msg_key(stream)
+        q = foreach_batch_upsert(
+            keyed,
+            out_path,
+            ck_path,
+            transform=to_chunks,
+            reprocessed_keys_fn=lambda batch: batch.select("msg_key").distinct(),
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [("C1", "1.000000", 1_000_000, "#KNOWLEDGE alpha #END")], msg_schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    run_once()
+    assert spark.read.parquet(out_path).count() == 1
+
+    # edit removes the tag: same msg_key re-seen with no knowledge block —
+    # this batch produces ZERO chunk rows yet must still tombstone
+    spark.createDataFrame(
+        [("C1", "1.000000", 1_000_000, "edited away the tag")], msg_schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    run_once()
+    assert spark.read.parquet(out_path).count() == 0
