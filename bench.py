@@ -35,6 +35,8 @@ HEADLINE = [
     "llm_sim_bruteforce",
     "llm_sim_lsh",
     "llm_text_quality",
+    "rel_asof_join",
+    "llm_pack_sequences",
     "stream_tumbling",
 ]
 

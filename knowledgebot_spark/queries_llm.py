@@ -767,3 +767,147 @@ def llm_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     SQL-reproducible -> rows-only check; the mechanism's recall is
     validated on planted clusters in tests."""
     return sim.ivf_topk(_t(spark, sf, "embeddings"), k=10, nlist=16, nprobe=4)
+
+
+# --- training-pipeline extras: sampling, packing, corpus filtering -----------
+
+@register(
+    "llm_sample_stratified",
+    sql="""
+WITH split AS (
+  SELECT doc_id, lang, n_chars,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM split GROUP BY 1, 2
+""",
+    tags=("sampling", "train-val-test"),
+)
+def llm_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket each doc_id
+    (md5 first 4 hex chars % 100 -> 80/10/10) so the split is stable across
+    runs, engines, and cluster sizes — no RNG, no sampleBy seed coupling.
+    Embarrassingly parallel (per-row hash + one agg shuffle); at 100 TB the
+    same expression assigns splits in-scan.  Reported stratified by lang."""
+    d = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+    CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY 1, 2
+""",
+    tags=("packing", "pretraining"),
+)
+def llm_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in
+    deterministic (source, doc_id) order and cut at a 512-token budget —
+    pack_id = floor(tokens-before-this-doc / budget), the streaming
+    concat-and-split formulation (no bin-packing search).  Runs as ONE
+    window cumsum partitioned by source + one agg: both shuffles are on
+    bounded keys, so 1000 sources pack in parallel; at 100 TB the partition
+    key is (source, shard) to bound per-partition row counts."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("bigint"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@register(
+    "llm_corpus_filter",
+    sql="""
+WITH scored AS (
+  SELECT doc_id,
+    len(str_split(text, ' ')) AS n_tokens,
+    n_chars,
+    round(len(list_filter(str_split(lower(text), ' '),
+                          t -> t IN ('the', 'a'))) * 1.0
+          / greatest(len(str_split(text, ' ')), 1), 4) AS stop_ratio,
+    round(n_chars * 1.0 / greatest(len(str_split(text, ' ')), 1), 4) AS mean_tok_len
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stop_ratio, mean_tok_len,
+  CASE
+    WHEN n_tokens < 10 THEN 'too_short'
+    WHEN n_tokens > 100000 THEN 'too_long'
+    WHEN mean_tok_len > 12 THEN 'tokens_too_long'
+    WHEN stop_ratio = 0 THEN 'no_stopwords'
+    ELSE 'keep'
+  END AS verdict
+FROM scored
+""",
+    tags=("quality", "corpus-filter"),
+)
+def llm_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus filter: per-document keep/reject with the FIRST
+    failing rule as the verdict (short/long docs, over-long mean token
+    length, zero-stopword gibberish).  Pure JVM expressions in one
+    projection — no shuffle at all until a consumer aggregates; the
+    filter itself is a map-side predicate at any scale.  Complements
+    llm_text_quality (continuous score) with the reject decision."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t.isin("the", "a")))
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    mean_tok_len = F.round(F.col("n_chars") / F.greatest(n_tokens, F.lit(1)), 4)
+    verdict = (
+        F.when(n_tokens < 10, "too_short")
+        .when(n_tokens > 100000, "too_long")
+        .when(mean_tok_len > 12, "tokens_too_long")
+        .when(stop_ratio == 0, "no_stopwords")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        verdict.alias("verdict"),
+    )

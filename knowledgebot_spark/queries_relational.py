@@ -1409,3 +1409,54 @@ def rel_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.struct(F.col("event_id").alias("id"), F.col("p.k").alias("k"))
         ).alias("rebuilt"),
     )
+
+
+@register(
+    "rel_asof_join",
+    sql="""
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id, c.user_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+  v.value AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+    tags=("join", "asof"),
+)
+def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of (point-in-time) join — each click gets the user's most recent
+    view at-or-before it.  Spark has no ASOF JOIN and the range-join
+    encoding is BroadcastNestedLoopJoin (quadratic); operators/asof.py
+    implements the scalable union + tagged-sort + running-last formulation:
+    ONE hash shuffle on user_id, sort-merge asymptotics, no pair explosion
+    (plan-asserted in tests/test_plans.py).  Oracle: DuckDB native
+    ASOF LEFT JOIN."""
+    from knowledgebot_spark.operators.asof import asof_join
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    joined = asof_join(clicks, views, on="user_id", ts_col="ts", right_cols=("value",))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
