@@ -1,0 +1,496 @@
+"""Corpus-curation query catalog (north star: the operations a large-scale
+LLM training-data pipeline runs between raw crawl and tokenized shards):
+benchmark decontamination, PII scrubbing, boilerplate detection, repetition
+scoring, domain mixture sampling, shard assignment, and duplicate-cluster
+resolution.
+
+Everything is JVM built-ins (no Python UDFs); hash-based decisions use the
+md5 primitive shared with operators.dedup so every query is oracle-checkable
+in DuckDB.  Beyond-reference scope: the reference bot (KnowledgeBot.py)
+curates one Slack workspace; these are the same curation stages at corpus
+scale, per BASELINE.json's 100 TB north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.operators import dedup as dd
+from knowledgebot_spark.registry import _REGISTRY, register
+from knowledgebot_spark.tables import read_table as _t
+
+# make sure the minhash query (whose oracle SQL llm_dedup_clusters embeds)
+# is registered before we look it up
+import knowledgebot_spark.queries_llm  # noqa: E402,F401
+
+
+def _gram_expr(text_col: str, n: int, distinct: bool = True) -> str:
+    """Word-n-gram list of lower(text) as a SQL expression — the
+    generalized form of operators.dedup.shingle_expr (fixed n=3)."""
+    toks = f"split(lower({text_col}), ' ')"
+    inner = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+    return f"array_distinct({inner})" if distinct else inner
+
+
+def _duck_grams(n: int, tk: str = "tk") -> str:
+    """DuckDB twin of _gram_expr (list slicing is inclusive both ends)."""
+    return (
+        f"list_distinct([array_to_string({tk}[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len({tk}) - {n - 1}, 1))])"
+    )
+
+
+# engine-portable hash bucket: first 8 hex chars of md5 -> BIGINT < 2^32
+def _bucket(col: F.Column, mod: int) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % mod
+    )
+
+
+def _duck_bucket(col: str, mod: int) -> str:
+    return f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT % {mod})"
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+BENCH_SOURCE = "src19"   # held-out eval source; its n-grams are the blocklist
+DECON_N = 5              # n-gram width (the common 8-to-13-gram check, scaled
+                         # down to the fixture's ~30-word vocabulary)
+
+
+@register(
+    "llm_decontaminate",
+    sql=f"""
+WITH g AS (
+  SELECT doc_id, source, {_duck_grams(DECON_N)} AS gs
+  FROM (SELECT doc_id, source, str_split(lower(text), ' ') AS tk FROM documents)
+),
+bench AS (SELECT DISTINCT unnest(gs) AS gm FROM g WHERE source = '{BENCH_SOURCE}'),
+corpus AS (
+  SELECT doc_id, unnest(gs) AS gm FROM g WHERE source <> '{BENCH_SOURCE}'
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (gm) GROUP BY 1
+)
+SELECT g.doc_id,
+  CAST(len(g.gs) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  round(coalesce(h.n_hits, 0) * 1.0 / greatest(len(g.gs), 1), 4) AS hit_frac,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h USING (doc_id)
+WHERE g.source <> '{BENCH_SOURCE}'
+""",
+    tags=("decontamination", "ngram-overlap"),
+)
+def llm_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECON_N}-gram with the held-out eval source.  The eval side is tiny
+    relative to the corpus (an eval set, not a crawl), so its distinct-gram
+    blocklist is BROADCAST and the check is a map-side semi-join per
+    training gram — no corpus-sized shuffle at 100 TB; the only wide op is
+    the per-doc hit count, keyed by doc_id."""
+    d = _t(spark, sf, "documents")
+    grams = d.select(
+        "doc_id", "source", F.expr(_gram_expr("text", DECON_N)).alias("gs")
+    )
+    bench = (
+        grams.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("gs").alias("gm"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("source") != BENCH_SOURCE)
+    hits = (
+        corpus.select("doc_id", F.explode("gs").alias("gm"))
+        .join(F.broadcast(bench), "gm")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        corpus.select("doc_id", F.size("gs").cast("bigint").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hits.cast("bigint").alias("n_hits"),
+            F.round(
+                n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 4
+            ).alias("hit_frac"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# RE2-safe patterns (no backrefs/lookaround), identical semantics in Java
+# regex (Spark) and DuckDB's RE2: email, phone-like digit runs, and a
+# configurable denylist term standing in for custom redaction rules.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+PII_TERM = r"\bkey\b"
+
+
+@register(
+    "llm_pii_scrub",
+    sql=f"""
+WITH scrubbed AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '{PII_EMAIL}')) AS n_email,
+    len(regexp_extract_all(lower(text), '{PII_PHONE}')) AS n_phone,
+    len(regexp_extract_all(lower(text), '{PII_TERM}')) AS n_term,
+    regexp_replace(regexp_replace(regexp_replace(lower(text),
+      '{PII_EMAIL}', '[EMAIL]', 'g'),
+      '{PII_PHONE}', '[PHONE]', 'g'),
+      '{PII_TERM}', '[TERM]', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_email AS BIGINT) AS n_email,
+  CAST(n_phone AS BIGINT) AS n_phone,
+  CAST(n_term AS BIGINT) AS n_term,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM scrubbed
+""",
+    tags=("pii", "redaction"),
+)
+def llm_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: count and redact email / phone / denylist-term
+    matches per document.  Pure per-row regexp built-ins inside whole-stage
+    codegen — zero shuffles, embarrassingly parallel at any scale; the
+    scrubbed text is verified via md5 so the oracle checks the actual
+    redacted bytes, not just the counts."""
+    d = _t(spark, sf, "documents")
+    low = F.lower(F.col("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_TERM,
+        "[TERM]",
+    )
+    def n(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        n(PII_EMAIL).alias("n_email"),
+        n(PII_PHONE).alias("n_phone"),
+        n(PII_TERM).alias("n_term"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# --- boilerplate detection ---------------------------------------------------
+
+BOILER_N = 3          # n-gram width
+BOILER_MIN_DOCS = 5   # appears in >= this many distinct docs => boilerplate
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    sql=f"""
+WITH g AS (
+  SELECT doc_id, {_duck_grams(BOILER_N)} AS gs
+  FROM (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents)
+),
+df AS (
+  SELECT gm AS gram, count(*) AS doc_freq
+  FROM (SELECT doc_id, unnest(gs) AS gm FROM g) GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+  round(doc_freq * 1.0 / n_docs, 4) AS df_frac
+FROM df, n WHERE doc_freq >= {BOILER_MIN_DOCS}
+""",
+    tags=("boilerplate", "doc-frequency"),
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate detection: {BOILER_N}-grams occurring in >=
+    {BOILER_MIN_DOCS} distinct documents (headers, footers, license
+    blurbs at corpus scale).  Per-doc distinct grams explode into ONE
+    hash-aggregation keyed by gram — map-side partial counts make the
+    shuffle carry (gram, count) not (gram, doc) pairs; the corpus size
+    joins in as a broadcast 1-row aggregate, never a driver action."""
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(F.expr(_gram_expr("text", BOILER_N))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        counts.filter(F.col("doc_freq") >= BOILER_MIN_DOCS)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "gram",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.round(F.col("doc_freq") / F.col("n_docs"), 4).alias("df_frac"),
+        )
+    )
+
+
+# --- within-document repetition ---------------------------------------------
+
+@register(
+    "llm_repetition",
+    sql=f"""
+WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+    [array_to_string(tk[i:i+{BOILER_N - 1}], ' ')
+     for i in generate_series(1, greatest(len(tk) - {BOILER_N - 1}, 1))] AS gs
+  FROM t
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2
+),
+tt AS (SELECT doc_id, max(c) AS top_tok_n FROM tc GROUP BY 1),
+nt AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+SELECT g.doc_id,
+  CAST(len(gs) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(gs)) AS BIGINT) AS n_unique_grams,
+  round(1 - len(list_distinct(gs)) * 1.0 / greatest(len(gs), 1), 4) AS rep_ratio,
+  round(tt.top_tok_n * 1.0 / greatest(nt.n_tokens, 1), 4) AS top_tok_frac
+FROM g JOIN tt USING (doc_id) JOIN nt USING (doc_id)
+""",
+    tags=("repetition", "quality"),
+)
+def llm_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition: duplicated-{BOILER_N}-gram ratio plus the
+    top single-token frequency — the cheap degenerate-text detectors (looped
+    generations, keyword stuffing) a corpus filter runs before perplexity
+    scoring.  The gram ratio is per-row array math (no shuffle); the top
+    token count is one (doc_id, token) hash-agg then a max keyed by doc_id,
+    both map-side-combinable at 100 TB."""
+    d = _t(spark, sf, "documents")
+    gs = F.expr(_gram_expr("text", BOILER_N, distinct=False))
+    n_grams = F.size(gs)
+    n_unique = F.size(F.array_distinct(gs))
+    per_row = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        n_grams.cast("bigint").alias("n_grams"),
+        n_unique.cast("bigint").alias("n_unique_grams"),
+        F.round(
+            F.lit(1) - n_unique / F.greatest(n_grams, F.lit(1)), 4
+        ).alias("rep_ratio"),
+    )
+    top = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    return per_row.join(top, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_unique_grams",
+        "rep_ratio",
+        F.round(
+            F.col("top_tok_n") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+        ).alias("top_tok_frac"),
+    )
+
+
+# --- domain mixture sampling -------------------------------------------------
+
+# target keep-rate per source in permille: the eval source is excluded
+# entirely; even-numbered sources are majority domains (70%), odd are
+# downweighted (40%); unknown sources fall back to 50%.
+MIX_RATES = {
+    f"src{i}": (0 if i == 19 else 700 if i % 2 == 0 else 400) for i in range(20)
+}
+MIX_DEFAULT = 500
+
+
+@register(
+    "llm_domain_mix",
+    sql=f"""
+WITH rated AS (
+  SELECT source,
+    CASE source {' '.join(f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items())}
+      ELSE {MIX_DEFAULT} END AS rate_permille,
+    {_duck_bucket('doc_id', 1000)} AS bucket
+  FROM documents
+)
+SELECT source, CAST(rate_permille AS BIGINT) AS rate_permille,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM rated GROUP BY 1, 2
+""",
+    tags=("sampling", "domain-mix"),
+)
+def llm_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain mixture sampling: downsample each source toward a target
+    mixture with a DETERMINISTIC hash gate (md5 permille of doc_id <
+    per-source rate) — stable across runs, engines, and partitionings,
+    unlike RNG-seeded sample().  The keep decision is a map-side predicate;
+    only the per-source audit counts shuffle.  At 100 TB the same
+    expression gates the write path and this query is its audit report."""
+    d = _t(spark, sf, "documents")
+    rate = F.lit(MIX_DEFAULT)
+    for s, r in MIX_RATES.items():
+        rate = F.when(F.col("source") == s, r).otherwise(rate)
+    bucket = _bucket(F.col("doc_id"), 1000)
+    return (
+        d.select("source", rate.alias("rate_permille"), bucket.alias("bucket"))
+        .groupBy("source", "rate_permille")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("rate_permille"), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "source",
+            F.col("rate_permille").cast("bigint").alias("rate_permille"),
+            "n_total",
+            "n_kept",
+        )
+    )
+
+
+# --- shard assignment --------------------------------------------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "llm_shard_assign",
+    sql=f"""
+SELECT {_duck_bucket('doc_id', N_SHARDS)} AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY 1
+""",
+    tags=("sharding", "output-layout"),
+)
+def llm_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment: shard = md5-bucket(doc_id)
+    % {N_SHARDS}, the content-stable layout for tokenized output files
+    (resumable, engine-independent, no RNG).  This query is the balance
+    audit — docs/bytes/source-spread per shard; a skewed shard here means a
+    skewed training file.  One hash-agg keyed by shard; the real write is
+    ``df.repartition(shard).write`` using the same expression."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            _bucket(F.col("doc_id"), N_SHARDS).alias("shard"), "n_chars", "source"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+# --- duplicate-cluster resolution -------------------------------------------
+
+CLUSTER_JACCARD = 0.8
+CLUSTER_ITERS = 3  # >= max component diameter; near-dup clusters at
+                   # jaccard 0.8 are near-cliques (measured diameter 1 on
+                   # the fixtures), so 3 hops is already conservative —
+                   # production runs with convergence detection instead of
+                   # a fixed count
+
+
+@register(
+    "llm_dedup_clusters",
+    sql=None,  # assigned below: embeds the llm_dedup_minhash oracle as a CTE
+    tags=("dedup", "connected-components"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: pairwise near-dup output (MinHash LSH,
+    Jaccard >= {CLUSTER_JACCARD}) -> connected components -> one keeper per
+    cluster (min doc_id), the step that turns a pair list into delete
+    decisions.  Components via iterated min-label propagation over the
+    (symmetric, cached) edge list — {CLUSTER_ITERS} bounded Pregel rounds,
+    each a broadcast-sized join + hash-agg keyed by node.  Edge count
+    tracks the near-dup rate (tiny vs corpus), so at 100 TB the rounds are
+    cheap relative to the LSH scan; production would localCheckpoint per
+    round to truncate lineage (the alternating-star variant of
+    Kiveris et al. cuts rounds to O(log n) for pathological chains)."""
+    docs = _t(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    pairs = dd.candidate_pairs(
+        dd.lsh_bands(dd.with_minhash(hashed), "doc_id"), "doc_id"
+    )
+    verified = dd.jaccard_verify(pairs, dd.with_shingles(docs, "text"), "doc_id")
+    near = verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
+        "id_a", "id_b"
+    )
+    # symmetric edges WITH self-loops, cached: self-loops make one round
+    # `labels(b) -> min per a` alone (labels referenced ONCE per round, so
+    # the logical plan stays LINEAR in rounds — the textbook two-reference
+    # form `labels ∪ msgs` doubles the plan tree per round, 2^k analysis
+    # cost); the cache keeps the LSH pipeline from re-running per round
+    edges = (
+        near.union(
+            near.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .union(
+            near.select("id_a", F.col("id_a").alias("id_b"))
+            .union(near.select(F.col("id_b").alias("id_a"), "id_b"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("id_a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(CLUSTER_ITERS):
+        labels = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("id_b"), F.col("label").alias("nb_label")
+                ),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("nb_label").alias("label"))
+        )
+    # converged labels feed both the size agg and the final join — cache so
+    # the propagation chain executes once, not twice
+    labels = labels.cache()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+_REGISTRY["llm_dedup_clusters"].sql = f"""
+WITH RECURSIVE verified AS (
+{_REGISTRY["llm_dedup_minhash"].sql}
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {CLUSTER_JACCARD}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
+"""

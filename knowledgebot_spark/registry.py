@@ -23,6 +23,7 @@ _MODULES = (
     "knowledgebot_spark.queries_pipeline",
     "knowledgebot_spark.queries_relational",
     "knowledgebot_spark.queries_llm",
+    "knowledgebot_spark.queries_corpus",
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_formats",
 )
