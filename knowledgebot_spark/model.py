@@ -127,7 +127,11 @@ MODEL_CTE = f"""WITH users_dim AS (
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Route through the cached table loader: one analyzed relation per
+    # (session, path), zero jobs and zero reader round-trips per re-build.
+    from knowledgebot_spark.tables import read_table
+
+    return read_table(spark, sf_dir, table)
 
 
 def users_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
