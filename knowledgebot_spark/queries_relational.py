@@ -1460,3 +1460,68 @@ def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         F.col("asof_value").alias("view_value"),
     )
+
+
+@register(
+    "rel_merge_upsert",
+    sql="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         (o_orderkey % 13 = 0) AS is_delete
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', 100.0, o_orderdate,
+         o_orderpriority, false
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT
+    CASE WHEN s.is_delete IS NOT NULL THEN s.o_orderstatus
+         ELSE t.o_orderstatus END AS o_orderstatus,
+    CASE WHEN s.is_delete IS NOT NULL THEN s.o_totalprice
+         ELSE t.o_totalprice END AS o_totalprice
+  FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE NOT COALESCE(s.is_delete, false)
+)
+SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM merged GROUP BY o_orderstatus
+""",
+    tags=("merge", "upsert", "join"),
+)
+def rel_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN MATCHED AND
+    is_delete DELETE / WHEN NOT MATCHED INSERT) via operators/merge.py —
+    the relational twin of the keyed sink's delete-then-rewrite
+    (KnowledgeBot.py:351-379,483-485).  Amendments derive deterministically
+    from orders: every 7th key updated (+1000.00), every 13th-of-those
+    deleted, every 97th key re-inserted under a disjoint key range.  One
+    full-outer equi-join on the merge key (single hash shuffle per side,
+    no nested loops — plan-asserted); output is the post-merge status
+    summary in exact integer cents (half-up, identical on both engines)."""
+    from knowledgebot_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("is_delete", F.col("o_orderkey") % 13 == 0)
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.lit(100.0))
+        .withColumn("is_delete", F.lit(False))
+    )
+    merged = merge_upsert(
+        o, upd.unionByName(ins), keys=["o_orderkey"], delete_col="is_delete"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "cents"
+        ),
+    )
