@@ -1525,3 +1525,42 @@ def rel_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
             "cents"
         ),
     )
+
+
+@register(
+    "rel_join_interval_binned",
+    sql="""
+SELECT s.s_suppkey,
+  CAST(count(*) AS BIGINT) AS n_in_band,
+  CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM supplier s JOIN customer c
+  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500.0
+GROUP BY s.s_suppkey
+""",
+    tags=("join", "range", "binned"),
+)
+def rel_join_interval_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join via operators/rangejoin.py binning —
+    the BOTH-SIDES-LARGE scale path rel_join_range (broadcast BNLJ) cannot
+    take: intervals explode over overlapping fixed-width bins, points
+    equi-join on the bin id (one hash shuffle per side, sort-merge
+    asymptotics), exact [lo, hi) refine after.  Plan-asserted to contain
+    no nested-loop/cartesian join.  Oracle: the same BETWEEN predicate
+    joined directly in DuckDB."""
+    from knowledgebot_spark.operators.rangejoin import bin_interval_join
+
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + F.lit(500.0)).alias("hi"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    joined = bin_interval_join(
+        c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi", bin_width=500.0
+    )
+    return joined.groupBy("s_suppkey").agg(
+        F.count("*").alias("n_in_band"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")).alias(
+            "cents"
+        ),
+    )

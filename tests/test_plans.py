@@ -159,3 +159,56 @@ def test_dedup_ngram_join_keys_include_sub_block(spark, sf_dir):
         assert "sub" in plan, f"{name} lost the sub-block join key"
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binned_interval_join_no_allpairs(spark, sf_dir):
+    """The binned range join must plan as an equi-join on the bin id —
+    never BNLJ/cartesian — even with broadcast disabled (both-sides-large
+    posture)."""
+    from knowledgebot_spark.registry import load
+
+    qd = load()["rel_join_interval_binned"]
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(qd.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_binned_interval_join_matches_direct(spark):
+    """Bin-equi-join + refine == the direct theta join, including boundary
+    inclusivity ([lo, hi)), intervals spanning many bins, and null bounds."""
+    from knowledgebot_spark.operators.rangejoin import bin_interval_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 55.5), (5, -3.0), (6, 1000.0)],
+        "pid bigint, v double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 0.0, 10.0),      # [0, 10): catches 0.0, 9.99, not 10.0
+            (11, 10.0, 10.0),     # empty interval
+            (12, -5.0, 60.0),     # spans many bins
+            (13, None, 10.0),     # null lo: never matches
+            (14, 999.0, 1001.0),
+        ],
+        "iid bigint, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bin_interval_join(
+            points, intervals, "v", "lo", "hi", bin_width=7.0
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+        ).collect()
+    )
+    assert got == want and len(got) == 8
