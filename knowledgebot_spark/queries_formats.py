@@ -238,3 +238,30 @@ def rel_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT s.p_partkey, t.word_no, t.word "
         "FROM udtf_part_src s, LATERAL split_words(s.p_name) t"
     )
+
+
+@register(
+    "rel_scan_orc",
+    sql="""
+SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+FROM part GROUP BY p_brand
+""",
+    tags=("scan", "orc"),
+)
+def rel_scan_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC scan — the second columnar format Spark ships natively (zero
+    extra deps): stage part as ORC, read it back, aggregate.  ORC carries
+    the same pushdown/pruning story as parquet (predicate pushdown +
+    column projection reach the reader via the DSv2 ORC source)."""
+    path = _stage(sf, "part_orc")
+    (
+        _t(spark, sf, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )

@@ -911,3 +911,62 @@ def llm_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
         mean_tok_len.alias("mean_tok_len"),
         verdict.alias("verdict"),
     )
+
+
+@register(
+    "llm_embed_quantize",
+    sql="""
+WITH scaled AS (
+  SELECT label,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m,
+    embedding
+  FROM embeddings
+), quant AS (
+  SELECT label,
+    list_transform(
+      embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) / nullif(m, 0) * 127 + 0.5) AS BIGINT)
+    ) AS q
+  FROM scaled
+)
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT)) AS BIGINT)
+    AS sum_abs_q,
+  CAST(min(list_min(q)) AS BIGINT) AS min_q,
+  CAST(max(list_max(q)) AS BIGINT) AS max_q
+FROM quant GROUP BY label
+""",
+    tags=("embedding", "quantization"),
+)
+def llm_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization (max-abs scaling) — the storage-
+    reduction pass a 100 TB embedding store runs before indexing (float32
+    -> int8 is 4x smaller; IVF/LSH recall is scale-invariant).  Max-abs
+    scaling is chosen over L2 because max() is order-independent, so the
+    quantized codes are bit-identical across engines (no float summation
+    anywhere before the integer domain) — every output column is exact.
+    Per-row array math, no shuffle except the final label rollup."""
+    d = _t(spark, sf, "embeddings")
+    scaled = d.select(
+        "label",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        ).alias("m"),
+    )
+    quant = scaled.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " / nullif(m, 0d) * 127d + 0.5d) as bigint))"
+        ).alias("q"),
+    )
+    return quant.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(
+            F.expr("aggregate(q, 0L, (a, v) -> a + abs(v))")
+        ).cast("bigint").alias("sum_abs_q"),
+        F.min(F.array_min("q")).cast("bigint").alias("min_q"),
+        F.max(F.array_max("q")).cast("bigint").alias("max_q"),
+    )
