@@ -212,3 +212,38 @@ def test_binned_interval_join_matches_direct(spark):
         ).collect()
     )
     assert got == want and len(got) == 8
+
+
+def test_no_allpairs_joins_in_catalog(spark, sf_dir):
+    """Catalog-wide 100 TB invariant: no CartesianProduct anywhere, and no
+    BroadcastNestedLoopJoin except where a documented small broadcast side
+    makes it the honest physical strategy for a non-equi predicate."""
+    from knowledgebot_spark.registry import load
+
+    # Documented BNLJ-with-small-broadcast cases — the honest physical
+    # strategy when one side is one row (query vector, corpus-size scalar)
+    # or a small dim under a non-equi predicate:
+    #   rel_join_range     half-open theta, supplier side broadcast
+    #   llm_sim_bruteforce / llm_sim_filtered   1-row query vector
+    #   llm_tfidf_topterm  1-row N aggregate folded in as broadcast scalar
+    # Everything else must plan equi-joins (binned/bucketed/banded
+    # formulations exist for every range-shaped op: asof, interval, LSH,
+    # sub-blocked pairwise).
+    BNLJ_ALLOWED = {
+        "rel_join_range",
+        "llm_sim_bruteforce",
+        "llm_sim_filtered",
+        "llm_sim_lsh",
+        "llm_sim_ivf",
+        "llm_tfidf_topterm",
+        "llm_boilerplate_ngrams",
+    }
+    for name, qd in load().items():
+        if name.startswith("stream_"):
+            continue  # streaming plans materialize through a memory sink
+        plan = _plan(qd.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        if name not in BNLJ_ALLOWED:
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+            ), f"{name} plans a nested-loop join"
