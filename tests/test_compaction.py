@@ -134,3 +134,84 @@ def test_merge_upsert_without_delete_col(spark):
     source = spark.createDataFrame([(1, "A"), (2, "b")], "k bigint, v string")
     out = merge_upsert(target, source, keys=["k"])
     assert sorted(tuple(r) for r in out.collect()) == [(1, "A"), (2, "b")]
+
+
+# --- property-based: MERGE and binned range join vs direct formulations ------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = st.integers(0, 12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    tgt=st.lists(_KEYS, min_size=0, max_size=8, unique=True),
+    src=st.lists(
+        st.tuples(_KEYS, st.booleans()),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_property(spark, tgt, src):
+    """merge_upsert == the set-algebra reference model for any disjoint
+    key sets: (target - src_keys) + (src rows not deleted)."""
+    target = spark.createDataFrame(
+        [(k, f"t{k}") for k in tgt], "k bigint, v string"
+    )
+    source = spark.createDataFrame(
+        [(k, f"s{k}", d) for k, d in src], "k bigint, v string, is_delete boolean"
+    )
+    got = sorted(
+        tuple(r)
+        for r in merge_upsert(
+            target, source, keys=["k"], delete_col="is_delete"
+        ).collect()
+    )
+    src_keys = {k for k, _ in src}
+    want = sorted(
+        [(k, f"t{k}") for k in tgt if k not in src_keys]
+        + [(k, f"s{k}") for k, d in src if not d]
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    points=st.lists(
+        st.floats(-50, 50, allow_nan=False, width=32), min_size=0, max_size=10
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.floats(-50, 50, allow_nan=False, width=32),
+            st.floats(0, 40, allow_nan=False, width=32),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    width=st.sampled_from([1.0, 7.5, 100.0]),
+)
+def test_binned_interval_join_property(spark, points, intervals, width):
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators.rangejoin import bin_interval_join
+
+    p = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], "pid bigint, v double"
+    )
+    i_ = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(intervals)],
+        "iid bigint, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bin_interval_join(p, i_, "v", "lo", "hi", bin_width=width).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in p.join(
+            i_, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert got == want
