@@ -494,3 +494,119 @@ sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
 SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
 FROM lab l JOIN sizes s USING (cluster_id)
 """
+
+
+# --- end-to-end pipeline composition ----------------------------------------
+
+
+@register(
+    "llm_pipeline_e2e",
+    sql=f"""
+WITH scored AS (
+  SELECT doc_id, source, text, n_chars,
+    len(str_split(text, ' ')) AS n_tokens,
+    round(len(list_filter(str_split(lower(text), ' '),
+                          t -> t IN ('the', 'a'))) * 1.0
+          / greatest(len(str_split(text, ' ')), 1), 4) AS stop_ratio,
+    round(n_chars * 1.0 / greatest(len(str_split(text, ' ')), 1), 4)
+      AS mean_tok_len
+  FROM documents
+), kept AS (
+  SELECT doc_id, source, text, n_chars FROM scored
+  WHERE n_tokens >= 10 AND n_tokens <= 100000
+    AND mean_tok_len <= 12 AND stop_ratio > 0
+), deduped AS (
+  SELECT doc_id, source, text, n_chars FROM (
+    SELECT *, md5(array_to_string(str_split(lower(text), ' ')[1:8], ' '))
+      AS dup_key
+    FROM kept
+  ) QUALIFY doc_id = min(doc_id) OVER (PARTITION BY dup_key)
+), g AS (
+  SELECT doc_id, source, n_chars, {_duck_grams(DECON_N)} AS gs
+  FROM (SELECT doc_id, source, n_chars,
+               str_split(lower(text), ' ') AS tk FROM deduped)
+), bench AS (
+  SELECT DISTINCT unnest({_duck_grams(DECON_N)}) AS gm
+  FROM (SELECT str_split(lower(text), ' ') AS tk FROM documents
+        WHERE source = '{BENCH_SOURCE}')
+), contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(gs) AS gm FROM g) c JOIN bench USING (gm)
+), clean AS (
+  SELECT doc_id, n_chars FROM g
+  WHERE source <> '{BENCH_SOURCE}'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT {_duck_bucket('doc_id', N_SHARDS)} AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM clean GROUP BY 1
+""",
+    tags=("pipeline", "composition"),
+)
+def llm_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed curation pipeline a training-data run executes as ONE
+    Spark job: C4-style quality filter -> exact dedup (min-doc_id keeper
+    per content key) -> benchmark decontamination (drop docs sharing any
+    {DECON_N}-gram with the held-out eval source) -> shard assignment with
+    per-shard balance stats.  Stage semantics are byte-identical to the
+    standalone queries (llm_corpus_filter / llm_dedup_exact /
+    llm_decontaminate / llm_shard_assign); composing them declaratively
+    lets Catalyst pipeline the per-row stages into a single pass over the
+    corpus — shuffles only at the dedup window, the hit count, and the
+    final shard rollup, all keyed and bounded.  This is the 'switch your
+    pipeline to one plan' artifact: no materialization between stages."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = F.round(
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t.isin("the", "a"))
+        )
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    mean_tok_len = F.round(F.col("n_chars") / F.greatest(n_tokens, F.lit(1)), 4)
+    kept = d.filter(
+        (n_tokens >= 10)
+        & (n_tokens <= 100000)
+        & (mean_tok_len <= 12)
+        & (stop_ratio > 0)
+    ).select("doc_id", "source", "text", "n_chars")
+
+    dup_key = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+    )
+    deduped = (
+        kept.withColumn("dup_key", dup_key)
+        .withColumn("_keeper", F.min("doc_id").over(W.partitionBy("dup_key")))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("dup_key", "_keeper")
+    )
+
+    grams = deduped.select(
+        "doc_id", "source", "n_chars",
+        F.expr(_gram_expr("text", DECON_N)).alias("gs"),
+    )
+    bench = (
+        d.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode(F.expr(_gram_expr("text", DECON_N))).alias("gm"))
+        .distinct()
+    )
+    contaminated = (
+        grams.select("doc_id", F.explode("gs").alias("gm"))
+        .join(F.broadcast(bench), "gm")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = grams.filter(F.col("source") != BENCH_SOURCE).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return clean.select(
+        _bucket(F.col("doc_id"), N_SHARDS).alias("shard"), "n_chars"
+    ).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
