@@ -37,6 +37,8 @@ HEADLINE = [
     "llm_text_quality",
     "rel_asof_join",
     "llm_pack_sequences",
+    "rel_merge_upsert",
+    "llm_pipeline_e2e",
     "stream_tumbling",
 ]
 
