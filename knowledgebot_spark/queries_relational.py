@@ -1564,3 +1564,222 @@ def rel_join_interval_binned(spark: SparkSession, sf: str) -> DataFrame:
             "cents"
         ),
     )
+
+
+# --- statistical aggregates ---------------------------------------------------
+
+@register(
+    "rel_stats_agg",
+    sql="""
+SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp_pop,
+  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+  round(var_pop(l_discount), 6) AS var_disc,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def rel_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family: corr / covariance / stddev / variance
+    plus the regr_* linear-regression aggregates — all single-pass
+    partial+final hash aggs (each is a moments computation Catalyst folds
+    into one Aggregate; no second scan, no window).  Spark's skewness /
+    kurtosis are deliberately absent: their population-moment definitions
+    differ from DuckDB's sample-corrected estimators, so they cannot share
+    one oracle text (documented deviation)."""
+    li = _t(spark, sf, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_qp"),
+        F.round(F.covar_pop(q, p), 2).alias("covar_qp_pop"),
+        F.round(F.stddev_samp(p), 2).alias("sd_price"),
+        F.round(F.var_pop("l_discount"), 6).alias("var_disc"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 2).alias("intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+    )
+
+
+# --- deterministic hash functions --------------------------------------------
+
+@register(
+    "rel_hash_functions",
+    sql="""
+SELECT p_partkey,
+  md5(p_name) AS md5_name,
+  sha256(p_name) AS sha_name,
+  CAST(length(p_name) AS BIGINT) AS name_len
+FROM part
+""",
+    tags=("scalar", "hash"),
+)
+def rel_hash_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Cryptographic digest functions (md5 / sha2-256) — cross-engine
+    bit-exact over UTF-8 input, JVM-evaluated inside whole-stage codegen.
+    These are the primitives the dedup family builds on (content keys in
+    llm_dedup_exact, shingle hashing in MinHash): this query pins their
+    cross-engine stability standalone.  Scan prunes to p_partkey, p_name
+    only."""
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        F.md5("p_name").alias("md5_name"),
+        F.sha2(F.col("p_name"), 256).alias("sha_name"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+# --- ordered string aggregation (listagg) ------------------------------------
+
+@register(
+    "rel_listagg",
+    sql="""
+SELECT n_regionkey,
+  string_agg(n_name, ', ' ORDER BY n_name) AS names,
+  CAST(count(*) AS BIGINT) AS n
+FROM nation GROUP BY n_regionkey
+""",
+    tags=("agg", "listagg"),
+)
+def rel_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation: Spark 4 ``listagg(...) WITHIN GROUP
+    (ORDER BY ...)`` vs DuckDB ``string_agg(... ORDER BY ...)``.  The
+    in-agg ORDER BY makes the result deterministic under any partitioning
+    (shuffle order never leaks into the output) — same discipline as the
+    sorted collect_list in A1/J2."""
+    return _t(spark, sf, "nation").groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ', ') WITHIN GROUP (ORDER BY n_name)").alias(
+            "names"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# --- lateral join (correlated per-row subquery) ------------------------------
+
+@register(
+    "rel_lateral_join",
+    sql="""
+SELECT n.n_nationkey, l.c_custkey, l.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) l
+""",
+    tags=("join", "lateral"),
+)
+def rel_lateral_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row ORDER BY + LIMIT (top-3
+    customers per nation).  Catalyst decorrelates this into a windowed
+    rank over the customer side — one shuffle on c_nationkey, never a
+    per-outer-row rescan — which is exactly the plan you'd hand-write at
+    100 TB; the declarative LATERAL form just proves the surface."""
+    _t(spark, sf, "nation").createOrReplaceTempView("rel_lat_nation")
+    _t(spark, sf, "customer").createOrReplaceTempView("rel_lat_customer")
+    return spark.sql("""
+SELECT n.n_nationkey, l.c_custkey, l.c_acctbal
+FROM rel_lat_nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM rel_lat_customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) l
+""")
+
+
+# --- recursive CTE ------------------------------------------------------------
+
+@register(
+    "rel_recursive_cte",
+    sql="""
+WITH RECURSIVE chain(rk, nk, depth) AS (
+  SELECT n_regionkey, min(n_nationkey), 1 FROM nation GROUP BY n_regionkey
+  UNION ALL
+  SELECT c.rk,
+         (SELECT min(n_nationkey) FROM nation n
+          WHERE n.n_regionkey = c.rk AND n.n_nationkey > c.nk),
+         c.depth + 1
+  FROM chain c
+  WHERE EXISTS (SELECT 1 FROM nation n
+                WHERE n.n_regionkey = c.rk AND n.n_nationkey > c.nk)
+)
+SELECT rk AS n_regionkey,
+  CAST(max(depth) AS BIGINT) AS chain_len,
+  CAST(max(nk) AS BIGINT) AS last_key
+FROM chain GROUP BY rk
+""",
+    tags=("recursive", "cte"),
+)
+def rel_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTEs): iterative linked-list walk
+    over each region's nation keys — the anchor seeds min(n_nationkey) per
+    region, each step advances to the next-larger key, and the final agg
+    reports chain length (= nations per region) and the last key reached.
+    Exercises a genuinely iterative plan (UnionLoop) the relational
+    surface otherwise never touches; both engines run the identical query
+    text.  Bounded: iteration count = max group size, and each step is a
+    broadcast-size frontier (one row per region)."""
+    _t(spark, sf, "nation").createOrReplaceTempView("nation_rec")
+    return spark.sql("""
+WITH RECURSIVE chain(rk, nk, depth) AS (
+  SELECT n_regionkey, min(n_nationkey), 1 FROM nation_rec GROUP BY n_regionkey
+  UNION ALL
+  SELECT c.rk,
+         (SELECT min(n_nationkey) FROM nation_rec n
+          WHERE n.n_regionkey = c.rk AND n.n_nationkey > c.nk),
+         c.depth + 1
+  FROM chain c
+  WHERE EXISTS (SELECT 1 FROM nation_rec n
+                WHERE n.n_regionkey = c.rk AND n.n_nationkey > c.nk)
+)
+SELECT rk AS n_regionkey,
+  CAST(max(depth) AS BIGINT) AS chain_len,
+  CAST(max(nk) AS BIGINT) AS last_key
+FROM chain GROUP BY rk
+""")
+
+
+# --- date/interval arithmetic -------------------------------------------------
+
+@register(
+    "rel_interval_arith",
+    sql="""
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT)
+    AS age_days
+FROM orders
+""",
+    tags=("scalar", "date", "interval"),
+)
+def rel_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/interval arithmetic family: day and calendar-month addition
+    (month-end clamping semantics agree across engines: Jan 31 + 1 month =
+    Feb 29), last_day / trunc-to-month, quarter, day-of-week (Spark is
+    1=Sunday, DuckDB 0=Sunday — oracle shifts by +1), and day diffs
+    against a fixed horizon.  All JVM built-ins in one codegen stage; the
+    scan prunes to (o_orderkey, o_orderdate)."""
+    d = F.to_date("o_orderdate")
+    iso = "yyyy-MM-dd"
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 90), iso).alias("plus90"),
+        F.date_format(F.add_months(d, 2), iso).alias("plus2m"),
+        F.date_format(F.last_day(d), iso).alias("month_end"),
+        F.date_format(F.trunc(d, "month"), iso).alias("month_start"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).cast("long").alias(
+            "age_days"
+        ),
+    )
