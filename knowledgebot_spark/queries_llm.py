@@ -970,3 +970,49 @@ def llm_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.array_min("q")).cast("bigint").alias("min_q"),
         F.max(F.array_max("q")).cast("bigint").alias("max_q"),
     )
+
+
+@register(
+    "llm_inverted_index",
+    sql="""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents
+  ) WHERE length(term) > 0
+)
+SELECT term,
+  CAST(count(*) AS BIGINT) AS df,
+  array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',') AS postings
+FROM pairs GROUP BY term HAVING count(*) >= 5
+""",
+    tags=("text", "inverted-index"),
+)
+def llm_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus inverted index: term -> document frequency + sorted posting
+    list.  Explode-distinct-groupBy — one shuffle keyed by term.  Postings
+    are truncated to the first 20 doc ids (the ``df`` column keeps the true
+    frequency, so nothing is silently lost); a production index shards the
+    full lists by (term, bucket) instead of capping.  The df >= 5 floor
+    drops the long hapax tail, and stop-word-grade hot terms are exactly
+    the skewed keys rel_salted_agg's salting pattern handles — here the
+    per-term payload after the distinct is just doc ids, so the reduce
+    side stays small even for hot terms."""
+    d = _t(spark, sf, "documents")
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )

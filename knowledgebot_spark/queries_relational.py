@@ -1783,3 +1783,105 @@ def rel_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
             "age_days"
         ),
     )
+
+
+# --- cascaded time-bucket rollup (hypertable pattern) -------------------------
+
+@register(
+    "rel_events_rollup_cascade",
+    sql="""
+WITH mn AS (
+  SELECT date_trunc('minute', ts) AS m, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), hr AS (
+  SELECT date_trunc('hour', m) AS h, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS cents
+  FROM mn GROUP BY 1
+), dy AS (
+  SELECT date_trunc('day', h) AS d, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS cents
+  FROM hr GROUP BY 1
+)
+SELECT 'minute' AS grain, strftime(m, '%Y-%m-%d %H:%M:%S') AS bucket, n, cents FROM mn
+UNION ALL
+SELECT 'hour' AS grain, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, n, cents FROM hr
+UNION ALL
+SELECT 'day' AS grain, strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket, n, cents FROM dy
+""",
+    tags=("agg", "rollup", "time-series"),
+)
+def rel_events_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution time rollup built as a CASCADE: the hour aggregate
+    re-aggregates the minute aggregate and the day re-aggregates the hour —
+    never re-scanning the fact table (the hypertable / continuous-aggregate
+    pattern).  At 100 TB this is the difference between one fact scan and
+    three: coarser grains read ~1/60th the rows of the grain below, and the
+    measures (counts, integer cents) are associative so partial
+    re-aggregation is exact.  One shuffle per grain, each over an
+    already-reduced input."""
+    ev = _t(spark, sf, "events").select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    minute = ev.groupBy("m").agg(
+        F.count("*").alias("n"), F.sum("c").alias("cents")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "m").alias("h")).agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents")
+    )
+    day = hour.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents")
+    )
+    return (
+        minute.select(
+            F.lit("minute").alias("grain"), fmt("m").alias("bucket"), "n", "cents"
+        )
+        .unionAll(
+            hour.select(
+                F.lit("hour").alias("grain"), fmt("h").alias("bucket"), "n", "cents"
+            )
+        )
+        .unionAll(
+            day.select(
+                F.lit("day").alias("grain"), fmt("d").alias("bucket"), "n", "cents"
+            )
+        )
+    )
+
+
+# --- approximate percentile (tolerance-gated) ---------------------------------
+
+@register(
+    "rel_approx_percentile",
+    sql="""
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+  TRUE AS p50_within_1pct,
+  TRUE AS p95_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "approx", "percentile"),
+)
+def rel_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy 10000) gated
+    the same way as rel_approx_distinct: the query emits the exact
+    percentiles plus in-query booleans asserting the sketch lands within
+    1% of them, so estimator drift FAILS the hash gate instead of hiding
+    behind a rows-only check.  The sketch is the 100 TB path (mergeable,
+    single-pass, bounded memory); the exact percentile is the oracle
+    anchor."""
+    li = _t(spark, sf, "lineitem")
+    gate = (
+        "abs(approx_percentile(l_extendedprice, {p}, 10000) - "
+        "percentile(l_extendedprice, {p})) <= "
+        "0.01 * abs(percentile(l_extendedprice, {p}))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("exact_p95"),
+        F.expr(gate.format(p="0.5")).alias("p50_within_1pct"),
+        F.expr(gate.format(p="0.95")).alias("p95_within_1pct"),
+    )

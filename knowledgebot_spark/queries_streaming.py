@@ -242,3 +242,44 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         "inner",
     ).select("id_a", "id_b", "user_id")
     return sp.run_to_memory(joined, "append")
+
+
+_STREAM_STATIC_SQL = """
+SELECT e.event_id, e.user_id, p.n_hist
+FROM events e JOIN (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hist
+  FROM events GROUP BY user_id
+) p USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register(
+    "stream_static_join",
+    sql=_STREAM_STATIC_SQL,
+    tags=("streaming", "stream-static-join", "broadcast"),
+)
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join: each micro-batch of purchase events is enriched
+    against a STATIC per-user profile (a batch aggregate of the same events
+    table) via broadcast hash join — the streaming analogue of J1/J3 dim
+    enrichment.  Stateless (no watermark needed: the static side is fixed,
+    so append mode re-evaluates only the batch rows), which is exactly how
+    a 100 TB stream joins a dimension snapshot: broadcast the dim, never
+    shuffle the stream."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.tables import read_table
+
+    profile = (
+        read_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_hist"))
+    )
+    stream = sp.read_events_stream(spark, sf).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream.join(F.broadcast(profile), "user_id").select(
+        "event_id", "user_id", "n_hist"
+    )
+    return sp.run_to_memory(joined, "append")
