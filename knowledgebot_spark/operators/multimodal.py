@@ -73,6 +73,57 @@ def decode_meta(assets: DataFrame, deterministic_fake: bool = True) -> DataFrame
     return assets.mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
+def audio_window_indices(assets: DataFrame) -> DataFrame:
+    """Audio windowing plumbing: one row per 1-second analysis window with a
+    50% hop, computed purely from typed metadata (sample_rate, n_samples) —
+    the actual PCM decode is the stubbed seam.  sequence+posexplode keeps
+    the fan-out JVM-side and partition-local (no shuffle: each asset's
+    windows are derived from its own row), which is the shape a real
+    feature-extraction pass over 100 TB of audio needs — the expensive part
+    is per-window DSP in a later mapInPandas, and this plumbing hands it
+    evenly-sized Arrow batches."""
+    sr = "CASE asset_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END"
+    with_meta = assets.select(
+        "asset_id",
+        F.expr(f"CAST({sr} AS INT)").alias("sample_rate"),
+        F.expr(f"CAST((asset_id * 7919) % 200000 + {sr} AS BIGINT)").alias(
+            "n_samples"
+        ),
+    )
+    return with_meta.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        F.posexplode(
+            F.expr(
+                "sequence(CAST(0 AS BIGINT), n_samples - sample_rate, "
+                "CAST(sample_rate DIV 2 AS BIGINT))"
+            )
+        ).alias("window_no", "start_sample"),
+    ).withColumn(
+        "end_sample", F.col("start_sample") + F.col("sample_rate")
+    )
+
+
+def resize_targets(assets_meta: DataFrame, max_side: int = 224) -> DataFrame:
+    """Aspect-preserving resize planning from decoded dimensions: target
+    (w, h) scaled so the longer side equals ``max_side``.  floor(x + 0.5)
+    instead of round() so both engines (and any future SIMD path) agree on
+    .5 ties.  Pure JVM arithmetic — the actual pixel resample happens in
+    the decode seam; planning targets relationally first lets a 100 TB
+    pipeline group assets by target shape and hand the GPU/UDF stage
+    uniform batches."""
+    scale = F.lit(float(max_side)) / F.greatest("width", "height")
+    tgt = lambda c: F.floor(F.col(c) * scale + F.lit(0.5)).cast("int")  # noqa: E731
+    return assets_meta.select(
+        "asset_id",
+        "width",
+        "height",
+        tgt("width").alias("target_w"),
+        tgt("height").alias("target_h"),
+    )
+
+
 def frame_sample_indices(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video assets: one row per sampled frame
     index (the actual frame grab is the stubbed decode)."""

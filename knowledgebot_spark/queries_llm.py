@@ -1016,3 +1016,236 @@ def llm_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+# --- corpus n-gram counts -----------------------------------------------------
+
+@register(
+    "llm_ngram_counts",
+    sql="""
+WITH tok AS (SELECT str_split(lower(text), ' ') AS tk FROM documents),
+big AS (
+  SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) t
+  WHERE len(tk) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM big GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 50
+""",
+    tags=("text", "ngram-counts"),
+)
+def llm_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-50 bigram counts — the canonical "count n-grams over
+    the whole crawl" job.  transform-over-sequence builds bigrams inside the
+    row (no self-join), explode+groupBy is one shuffle keyed by bigram with
+    map-side partial counts, and the top-50 is TakeOrderedAndProject (no
+    global sort).  Tie-broken by (n DESC, bigram) so the cut is
+    deterministic."""
+    d = _t(spark, sf, "documents")
+    bigrams = (
+        d.select(F.split(F.lower("text"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+# --- quality-signal ensemble --------------------------------------------------
+
+@register(
+    "llm_quality_ensemble",
+    sql="""
+WITH scored AS (
+  SELECT doc_id,
+    round(0.5 * least(n_chars / 2000.0, 1.0)
+        + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1)), 6) AS quality
+  FROM documents
+), bucketed AS (
+  SELECT quality, ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM scored
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q
+FROM bucketed GROUP BY decile
+""",
+    tags=("text", "quality", "ensemble"),
+)
+def llm_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Ensemble quality score (length signal + alphabetic-ratio signal,
+    equal weights) bucketed into deciles — the shape of every
+    classifier-based corpus filter: score per doc (embarrassingly
+    parallel), then a quantile cut to pick the keep set.  ntile is ordered
+    by (quality, doc_id) so bucket assignment is deterministic; at 100 TB
+    the single-partition ntile window is replaced by approx_percentile
+    cutpoints (see rel_approx_percentile) — documented, not hidden."""
+    d = _t(spark, sf, "documents")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    scored = d.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(F.col("n_chars") / 2000.0, F.lit(1.0)) + 0.5 * alpha_ratio,
+            6,
+        ).alias("quality"),
+    )
+    w = Window.orderBy("quality", "doc_id")
+    bucketed = scored.select("quality", F.ntile(10).over(w).alias("decile"))
+    return bucketed.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
+    )
+
+
+# --- corpus length histogram --------------------------------------------------
+
+@register(
+    "llm_length_histogram",
+    sql="""
+SELECT CAST(floor(log2(greatest(n_chars, 1))) AS INTEGER) AS bucket_log2,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(n_chars) AS BIGINT) AS min_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+""",
+    tags=("text", "histogram", "corpus-stats"),
+)
+def llm_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the first diagnostic every
+    corpus build runs.  A fixed, data-independent bucket function means the
+    histogram is a plain hash agg (mergeable partials, ~60 buckets total
+    regardless of corpus size) — never a sort and never a collect; floor/
+    log2 on integers is exact in IEEE doubles so both engines agree."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(
+            F.floor(F.log2(F.greatest("n_chars", F.lit(1))))
+            .cast("int")
+            .alias("bucket_log2")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# --- Zipf fit over term frequencies -------------------------------------------
+
+@register(
+    "llm_zipf_slope",
+    sql="""
+WITH tf AS (
+  SELECT term, count(*) AS freq FROM (
+    SELECT unnest(str_split(lower(text), ' ')) AS term FROM documents
+  ) WHERE length(term) > 0 GROUP BY term
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+  round(regr_slope(ln(freq), ln(rnk)), 3) AS zipf_slope,
+  round(regr_r2(ln(freq), ln(rnk)), 3) AS fit_r2
+FROM ranked WHERE rnk <= 1000
+""",
+    tags=("text", "zipf", "corpus-stats"),
+)
+def llm_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit: regress log(freq) on log(rank) over the top-1000
+    terms — a one-number corpus health check (natural text slopes ~ -1;
+    boilerplate-heavy or synthetic corpora drift off).  The explode+count
+    shuffles on term with map-side partials; the rank window runs over the
+    VOCABULARY (orders of magnitude smaller than the corpus — the docstring
+    caveat on single-partition windows does not bite, and at 100 TB the
+    top-1000 cut happens via TakeOrdered before ranking)."""
+    d = _t(spark, sf, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "term")).alias("rnk"),
+    ).filter(F.col("rnk") <= 1000)
+    lf, lr = F.log("freq"), F.log("rnk")
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 3).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 3).alias("fit_r2"),
+    )
+
+
+# --- multimodal: audio windowing + image resize planning ----------------------
+
+_DUCK_SR = "CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END"
+
+
+@register(
+    "llm_multimodal_audio",
+    sql=f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+    CAST({_DUCK_SR} AS INTEGER) AS sample_rate,
+    CAST((doc_id * 7919) % 200000 + {_DUCK_SR} AS BIGINT) AS n_samples
+  FROM documents
+)
+SELECT asset_id, sample_rate, n_samples,
+  CAST(t.pos - 1 AS INTEGER) AS window_no,
+  CAST(t.v AS BIGINT) AS start_sample,
+  CAST(t.v + sample_rate AS BIGINT) AS end_sample
+FROM a, LATERAL (
+  SELECT unnest(generate_series(0, n_samples - sample_rate, sample_rate // 2)) AS v,
+         generate_subscripts(generate_series(0, n_samples - sample_rate, sample_rate // 2), 1) AS pos
+) t
+""",
+    tags=("multimodal", "audio", "windowing"),
+)
+def llm_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio analysis-window plumbing: 1-second windows, 50% hop, from
+    typed metadata (operators/multimodal.audio_window_indices); the PCM
+    decode is the documented stub seam."""
+    assets = mm.to_media_assets(_t(spark, sf, "documents")).drop("payload")
+    return mm.audio_window_indices(assets)
+
+
+@register(
+    "llm_multimodal_resize",
+    sql="""
+SELECT doc_id AS asset_id, width, height,
+  CAST(floor(width * 224.0 / greatest(width, height) + 0.5) AS INTEGER) AS target_w,
+  CAST(floor(height * 224.0 / greatest(width, height) + 0.5) AS INTEGER) AS target_h
+FROM (
+  SELECT doc_id,
+    CAST((doc_id * 37) % 640 + 1 AS INTEGER) AS width,
+    CAST((doc_id * 53) % 480 + 1 AS INTEGER) AS height
+  FROM documents
+)
+""",
+    tags=("multimodal", "image", "resize"),
+)
+def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-preserving resize planning (max side 224) over decoded image
+    dimensions (operators/multimodal.resize_targets) — relational planning
+    of the UDF stage's batch shapes; the pixel resample is the stub seam."""
+    meta = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("CAST((doc_id * 37) % 640 + 1 AS INT)").alias("width"),
+        F.expr("CAST((doc_id * 53) % 480 + 1 AS INT)").alias("height"),
+    )
+    return mm.resize_targets(meta, max_side=224)

@@ -1885,3 +1885,173 @@ def rel_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(gate.format(p="0.5")).alias("p50_within_1pct"),
         F.expr(gate.format(p="0.95")).alias("p95_within_1pct"),
     )
+
+
+# --- arg-min/max aggregates ---------------------------------------------------
+
+@register(
+    "rel_arg_minmax",
+    sql="""
+SELECT c_mktsegment,
+  max_by(c_name, c_custkey) AS newest_name,
+  min_by(c_name, c_custkey) AS oldest_name,
+  CAST(max(c_custkey) AS BIGINT) AS max_key,
+  CAST(min(c_custkey) AS BIGINT) AS min_key
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("agg", "arg-minmax"),
+)
+def rel_arg_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) aggregates — fetch the row attribute
+    at the extremum WITHOUT a self-join or window: single-pass hash agg
+    carrying (value, arg) pairs, partial+final mergeable.  At 100 TB this
+    replaces the classic "join back on the max" double-scan.  The ordering
+    key is c_custkey (unique), so the argmax is deterministic on both
+    engines."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_name"),
+        F.min_by("c_name", "c_custkey").alias("oldest_name"),
+        F.max("c_custkey").alias("max_key"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+# --- conditional + bitmap aggregates ------------------------------------------
+
+@register(
+    "rel_conditional_agg",
+    sql="""
+SELECT c_mktsegment,
+  CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_high_bal,
+  bool_and(c_acctbal >= 0) AS all_nonneg,
+  bool_or(c_acctbal > 9900) AS any_near_cap,
+  CAST(bit_or(1 << CAST(c_nationkey % 16 AS INTEGER)) AS BIGINT) AS nation_bitmap,
+  CAST(bit_xor(CAST(c_custkey AS BIGINT)) AS BIGINT) AS key_parity
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("agg", "conditional", "bitmap"),
+)
+def rel_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """count_if / bool_and / bool_or plus BITMAP aggregation: bit_or over a
+    one-hot nation mask builds a 16-bit membership bitmap per segment in one
+    pass — the poor-man's roaring bitmap, the standard trick for distinct-
+    membership rollups at 100 TB (a bitmap OR is mergeable and fixed-width,
+    where collect_set would balloon).  bit_xor gives an order-insensitive
+    parity check usable as a cheap content checksum."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("count_if(c_acctbal > 5000)").alias("n_high_bal"),
+        F.expr("bool_and(c_acctbal >= 0)").alias("all_nonneg"),
+        F.expr("bool_or(c_acctbal > 9900)").alias("any_near_cap"),
+        F.expr(
+            "bit_or(shiftleft(1, CAST(c_nationkey % 16 AS INT)))"
+        ).cast("bigint").alias("nation_bitmap"),
+        F.expr("bit_xor(CAST(c_custkey AS BIGINT))").alias("key_parity"),
+    )
+
+
+# --- regexp function family ---------------------------------------------------
+
+@register(
+    "rel_regexp_family",
+    sql="""
+SELECT c_custkey,
+  CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) AS name_id,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+  CAST(len(regexp_extract_all(c_name, '0+')) AS INTEGER) AS n_zero_runs,
+  regexp_matches(c_name, '^Customer#[0-9]{9}$') AS well_formed
+FROM customer
+""",
+    tags=("scalar", "regexp"),
+)
+def rel_regexp_family(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract / replace-all / extract_all+count / rlike — the
+    regexp scalar family, all JVM-codegen (no Python).  Note the dialect
+    seam the oracle encodes: DuckDB regexp_replace needs the explicit 'g'
+    flag for replace-all while Spark replaces all matches by default."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "#([0-9]+)", 1).cast("bigint").alias("name_id"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.size(F.expr("regexp_extract_all(c_name, '0+', 0)")).alias("n_zero_runs"),
+        F.col("c_name").rlike("^Customer#[0-9]{9}$").alias("well_formed"),
+    )
+
+
+# --- ordered-set aggregates: median + mode ------------------------------------
+
+@register(
+    "rel_mode_median",
+    sql="""
+SELECT l_returnflag,
+  round(median(l_extendedprice), 2) AS med_price,
+  round(median(l_quantity), 1) AS med_qty,
+  mode(CASE WHEN l_quantity <= 9 THEN 'low'
+            WHEN l_quantity <= 30 THEN 'mid'
+            ELSE 'high' END) AS mode_band
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "ordered-set"),
+)
+def rel_mode_median(spark: SparkSession, sf: str) -> DataFrame:
+    """median() and mode() ordered-set aggregates.  mode() runs over a
+    3-value quantity band whose construction guarantees a unique winner
+    ('mid' spans 21 of the 50 uniform quantity values), because mode ties
+    are resolved arbitrarily by both engines and would be
+    non-deterministic; a production profiler wanting full tie data uses the
+    count-groupBy form instead."""
+    li = _t(spark, sf, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 9, "low")
+        .when(F.col("l_quantity") <= 30, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+        F.round(F.median("l_quantity"), 1).alias("med_qty"),
+        F.mode(band).alias("mode_band"),
+    )
+
+
+# --- gaps and islands ---------------------------------------------------------
+
+@register(
+    "rel_gaps_islands",
+    sql="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), marked AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM days
+)
+SELECT user_id,
+  strftime(min(d), '%Y-%m-%d') AS streak_start,
+  strftime(max(d), '%Y-%m-%d') AS streak_end,
+  CAST(count(*) AS BIGINT) AS streak_days
+FROM marked GROUP BY user_id, grp
+""",
+    tags=("window", "gaps-islands", "time-series"),
+)
+def rel_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active DAYS per user
+    via the date-minus-row_number constant-group trick — one window keyed
+    by user (no self-join, no recursive expansion) plus one groupBy, both
+    shuffling on user_id only.  This is how you sessionize calendar
+    activity at 100 TB: the distinct() first collapses the fact table to
+    at most |users|x|days| rows before any window state is built."""
+    ev = _t(spark, sf, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    return marked.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count("*").alias("streak_days"),
+    ).drop("grp")
