@@ -1249,3 +1249,90 @@ def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST((doc_id * 53) % 480 + 1 AS INT)").alias("height"),
     )
     return mm.resize_targets(meta, max_side=224)
+
+
+# --- deterministic train/val/test split ---------------------------------------
+
+@register(
+    "llm_train_val_split",
+    sql="""
+WITH assigned AS (
+  SELECT doc_id,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS min_id,
+  CAST(max(doc_id) AS BIGINT) AS max_id
+FROM assigned GROUP BY split
+""",
+    tags=("sampling", "split", "training-data"),
+)
+def llm_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by hashing the
+    DOCUMENT ID (md5 hex prefix thresholds: 'cc' = 204/256 ~ 79.7%,
+    'e6' = 230/256 ~ 89.8%) — the reproducible-split pattern every corpus
+    build needs: membership is a pure function of the id, so re-runs,
+    backfills, and incremental additions never migrate a document across
+    splits (no global shuffle, no stored assignment table).  Spark md5 and
+    DuckDB md5 agree byte-for-byte, making the assignment itself
+    oracle-verified."""
+    d = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = d.select(
+        "doc_id",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# --- token-budget greedy selection --------------------------------------------
+
+@register(
+    "llm_token_budget",
+    sql="""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    round(least(n_chars / 2000.0, 1.0), 6) AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, quality,
+    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, quality, cum_tokens
+FROM ranked WHERE cum_tokens <= 20000
+""",
+    tags=("sampling", "token-budget", "training-data"),
+)
+def llm_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy token-budget selection: take documents in descending quality
+    order until the cumulative token count hits the budget — how a curation
+    pass fills a fixed training-token allowance with the best material.
+    Deterministic order (quality DESC, doc_id).  The running sum is a
+    single-partition window here; at 100 TB the same selection is done
+    without any global window by binary-searching a quality CUTPOINT with
+    approx_percentile + a one-row cumulative check per candidate cut (2-3
+    cheap agg passes), documented here as the scale path."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.round(F.least(F.col("n_chars") / 2000.0, F.lit(1.0)), 6).alias("quality"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.filter(F.col("cum_tokens") <= 20000)

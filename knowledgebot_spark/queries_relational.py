@@ -2055,3 +2055,120 @@ def rel_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
         F.count("*").alias("streak_days"),
     ).drop("grp")
+
+
+# --- TPC-H Q3: shipping priority ----------------------------------------------
+
+@register(
+    "rel_shipping_priority",
+    sql="""
+SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+    tags=("join", "topk", "tpch-q3"),
+)
+def rel_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) -> orders
+    (date-pruned at the scan) -> lineitem, aggregated per order, top-10 by
+    revenue via TakeOrderedAndProject.  Both selective filters sit ON the
+    scans (PushedFilters), so the expensive lineitem join only sees
+    surviving orders; the customer dim broadcasts.  Deterministic tiebreak
+    (revenue DESC, l_orderkey)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- skew handling: salted join -----------------------------------------------
+
+@register(
+    "rel_salted_join",
+    sql="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(s_nationkey AS BIGINT)) AS BIGINT) AS nation_sum
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY l_returnflag
+""",
+    tags=("join", "skew", "salting"),
+)
+def rel_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Manually SALTED join — the skew-join companion to rel_salted_agg.
+    The big (fact) side gets a random-free deterministic salt
+    (l_orderkey % 8) appended to its join key; the small (dim) side is
+    EXPLODED 8x, one replica per salt value, so every (key, salt) pair
+    matches exactly once.  A hot l_suppkey's rows now land on 8 reducers
+    instead of 1.  Result is provably identical to the unsalted join (the
+    oracle runs the plain join); AQE's skewedJoin does this adaptively, the
+    manual form is for engines/pipelines where AQE cannot see the skew
+    (e.g. pre-partitioned bucketing)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_suppkey",
+        F.pmod("l_orderkey", F.lit(8)).alias("salt"),
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+        .withColumn("salt", F.explode(F.expr("sequence(0, 7)")))
+    )
+    joined = li.join(s, ["l_suppkey", "salt"])
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("s_nationkey").cast("bigint")).alias("nation_sum"),
+    )
+
+
+# --- multi-column distinct aggregation (Expand) -------------------------------
+
+@register(
+    "rel_count_distinct_multi",
+    sql="""
+SELECT o_orderpriority,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg", "multi-distinct"),
+)
+def rel_count_distinct_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple count(DISTINCT ...) over DIFFERENT columns in one
+    aggregation — Catalyst plans this with an Expand (one row replica per
+    distinct group) feeding a single shuffle, not one job per distinct.
+    The month distinct is a derived expression, showing distinct-on-expr.
+    At 100 TB you watch the Expand multiplier (here 3x) and switch
+    wide multi-distincts to approx_count_distinct (rel_approx_distinct)
+    when exactness is negotiable."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias("n_months"),
+        F.count("*").alias("n_orders"),
+    )
