@@ -1336,3 +1336,132 @@ def llm_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     )
     ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return ranked.filter(F.col("cum_tokens") <= 20000)
+
+
+# --- temperature-scaled source mixing -----------------------------------------
+
+@register(
+    "llm_source_mixing",
+    sql="""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+powed AS (
+  SELECT source, n_docs, pow(n_docs * 1.0 / tot.total, 0.7) AS p_alpha
+  FROM counts CROSS JOIN tot
+), z AS (SELECT sum(p_alpha) AS norm FROM powed)
+SELECT source, n_docs,
+  round(n_docs * 1.0 / (SELECT total FROM tot), 6) AS p_raw,
+  round(p_alpha / z.norm, 6) AS p_mixed
+FROM powed CROSS JOIN z
+""",
+    tags=("sampling", "mixing", "training-data"),
+)
+def llm_source_mixing(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixing weights, p_i^alpha / sum(p_j^alpha)
+    with alpha = 0.7 — the standard recipe for up-sampling tail
+    sources/languages in a training mix.  Every scalar (total, norm) is a
+    broadcast one-row aggregate folded into the plan via crossJoin, never a
+    driver-side collect; the per-source table is dimension-sized, so all
+    joins broadcast."""
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    powed = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total",
+        F.pow(F.col("n_docs") / F.col("total"), 0.7).alias("p_alpha"),
+    )
+    z = powed.agg(F.sum("p_alpha").alias("norm"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("p_raw"),
+        F.round(F.col("p_alpha") / F.col("norm"), 6).alias("p_mixed"),
+    )
+
+
+# --- per-document token entropy -----------------------------------------------
+
+@register(
+    "llm_word_entropy",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents
+), tc AS (
+  SELECT doc_id, term, count(*) AS c FROM tok WHERE length(term) > 0 GROUP BY 1, 2
+), tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1)
+SELECT tc.doc_id, CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+  round(-sum((c * 1.0 / tot.n) * ln(c * 1.0 / tot.n)), 4) AS entropy
+FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+GROUP BY tc.doc_id
+""",
+    tags=("text", "entropy", "quality"),
+)
+def llm_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy — the cheap perplexity
+    proxy: highly repetitive or template documents score low and get
+    filtered.  Two shuffles, both keyed by doc_id (term counts aggregate
+    map-side first); the totals join is doc_id-co-partitioned with the
+    groupBy so no extra exchange.  All JVM built-ins — no UDF in the
+    scoring path."""
+    d = _t(spark, sf, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("n")).cast("bigint").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
+
+
+# --- cross-shard duplicate accounting -----------------------------------------
+
+@register(
+    "llm_dedup_cross_shard",
+    sql="""
+WITH keyed AS (
+  SELECT DISTINCT
+    md5(array_to_string(str_split(lower(text), ' ')[1:8], ' ')) AS dup_key,
+    source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared_keys
+FROM keyed a JOIN keyed b ON a.dup_key = b.dup_key AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    tags=("dedup", "cross-shard", "training-data"),
+)
+def llm_dedup_cross_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-shard duplicate accounting: for every pair of sources, how
+    many normalized content keys they share — the report that decides
+    which corpus overlaps which before a global dedup pass.  The self-join
+    runs on the DISTINCT (key, source) projection, so per-key fan-out is
+    bounded by the number of sources (a handful), never by document
+    multiplicity; the a < b predicate keeps each pair once."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        F.expr("md5(array_join(slice(split(lower(text), ' '), 1, 8), ' '))").alias(
+            "dup_key"
+        ),
+        "source",
+    ).distinct()
+    a = keyed.select(F.col("dup_key"), F.col("source").alias("source_a"))
+    b = keyed.select(F.col("dup_key"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "dup_key")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_keys"))
+    )

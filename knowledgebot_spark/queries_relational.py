@@ -2172,3 +2172,76 @@ def rel_count_distinct_multi(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias("n_months"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --- error-safe (TRY) arithmetic and casts ------------------------------------
+
+@register(
+    "rel_try_arith",
+    sql="""
+SELECT o_orderkey,
+  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+  CAST(floor(o_totalprice * 100 / nullif(o_custkey % 10, 0)) AS BIGINT) AS per_bucket_cents,
+  coalesce(TRY_CAST(o_orderstatus AS INTEGER), -1) AS status_or_default
+FROM orders
+""",
+    tags=("scalar", "try", "error-safe"),
+)
+def rel_try_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe scalar family: try_cast (malformed input -> NULL, never a
+    task failure) and try_divide (div-by-zero -> NULL).  At 100 TB this is
+    the difference between a pipeline that survives the one malformed row
+    in shard 7,312 and one that dies 6 hours in: wrap the cast, quarantine
+    the NULLs.  The oracle encodes the dialect seam — DuckDB spells
+    try_divide as x / nullif(y, 0)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.floor(
+            F.try_divide(F.col("o_totalprice") * 100, F.pmod("o_custkey", F.lit(10)))
+        )
+        .cast("bigint")
+        .alias("per_bucket_cents"),
+        F.coalesce(
+            F.expr("try_cast(o_orderstatus AS INT)"), F.lit(-1)
+        ).alias("status_or_default"),
+    )
+
+
+# --- blocked fuzzy join (entity resolution) -----------------------------------
+
+@register(
+    "rel_fuzzy_join",
+    sql="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
+FROM nation a JOIN nation b
+  ON substr(a.n_name, 1, 1) = substr(b.n_name, 1, 1)
+ AND a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 4
+""",
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def rel_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): candidate pairs come
+    from an EQUI-join on a blocking key (first letter), then the expensive
+    levenshtein similarity runs only within blocks — never an all-pairs
+    cross join (the catalog-wide no-cartesian plan test covers this query
+    too).  The a < b predicate halves the pair space and drops self-pairs.
+    Production blocking keys are phonetic codes or LSH buckets; the
+    structure is identical."""
+    n = _t(spark, sf, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+    )
