@@ -114,7 +114,11 @@ def resize_targets(assets_meta: DataFrame, max_side: int = 224) -> DataFrame:
     pipeline group assets by target shape and hand the GPU/UDF stage
     uniform batches."""
     scale = F.lit(float(max_side)) / F.greatest("width", "height")
-    tgt = lambda c: F.floor(F.col(c) * scale + F.lit(0.5)).cast("int")  # noqa: E731
+    # greatest(..., 1): extreme aspect ratios (e.g. 481x1) would otherwise
+    # round the short side to 0 pixels
+    tgt = lambda c: F.greatest(  # noqa: E731
+        F.floor(F.col(c) * scale + F.lit(0.5)).cast("int"), F.lit(1)
+    )
     return assets_meta.select(
         "asset_id",
         "width",

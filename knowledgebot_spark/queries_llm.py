@@ -1228,8 +1228,8 @@ def llm_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     "llm_multimodal_resize",
     sql="""
 SELECT doc_id AS asset_id, width, height,
-  CAST(floor(width * 224.0 / greatest(width, height) + 0.5) AS INTEGER) AS target_w,
-  CAST(floor(height * 224.0 / greatest(width, height) + 0.5) AS INTEGER) AS target_h
+  CAST(greatest(floor(width * 224.0 / greatest(width, height) + 0.5), 1) AS INTEGER) AS target_w,
+  CAST(greatest(floor(height * 224.0 / greatest(width, height) + 0.5), 1) AS INTEGER) AS target_h
 FROM (
   SELECT doc_id,
     CAST((doc_id * 37) % 640 + 1 AS INTEGER) AS width,

@@ -2245,3 +2245,34 @@ def rel_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 4)
     )
+
+
+# --- distribution window functions --------------------------------------------
+
+@register(
+    "rel_window_distribution",
+    sql="""
+SELECT p_brand, p_partkey,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  CAST(row_number() OVER w AS INTEGER) AS rn
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+""",
+    tags=("window", "distribution"),
+)
+def rel_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist distribution window functions — relative
+    standing within a partition, the building block for per-group quantile
+    flags without a percentile sort.  Order key (price, partkey) is unique
+    so ranks are deterministic; both functions are rank-arithmetic over the
+    same single window sort."""
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
