@@ -248,3 +248,37 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
             assert (
                 "BroadcastNestedLoopJoin" not in plan
             ), f"{name} plans a nested-loop join"
+
+
+def test_shipping_priority_plan_shape(spark, sf_dir):
+    """TPC-H Q3 shape: every selective filter reaches its parquet scan
+    (PushedFilters), the dims broadcast, and the top-10 plans as
+    TakeOrderedAndProject — never a global sort."""
+    from knowledgebot_spark.registry import load
+
+    plan = _plan(load()["rel_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThan(l_shipdate" in plan  # pushed to lineitem scan
+    assert "LessThan(o_orderdate" in plan    # pushed to orders scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to customer scan
+
+
+def test_observe_metrics_on_spine(spark, sf_dir):
+    """Production observability: the Observation API collects row-count /
+    distinct-count metrics from a query's own execution — no second pass
+    over the data (the A3 run-counter pattern done the zero-cost way)."""
+    from pyspark.sql import Observation
+
+    from knowledgebot_spark.registry import load
+
+    obs = Observation("spine_metrics")
+    df = load()["kb_extract_blocks"].fn(spark, sf_dir)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("msg_key").alias("n_msgs"),
+    )
+    n = observed.count()
+    assert obs.get["n_rows"] == n
+    assert 0 < obs.get["n_msgs"] <= n
