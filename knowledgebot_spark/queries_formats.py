@@ -265,3 +265,75 @@ def rel_scan_orc(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
     )
+
+
+# --- custom Python data source (Spark 4 DataSource API) -----------------------
+
+@register(
+    "rel_scan_python_ds",
+    sql="""
+WITH g AS (SELECT unnest(generate_series(0, 499)) AS doc_id)
+SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(doc_id) AS BIGINT) AS min_id,
+  CAST(max(doc_id) AS BIGINT) AS max_id,
+  min(md5('doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS min_md5
+FROM g GROUP BY 1
+""",
+    tags=("scan", "python-datasource"),
+)
+def rel_scan_python_ds(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan through a CUSTOM Python data source (Spark 4 DataSource API,
+    sources/synthetic.py): partitions() declares the parallel fetch plan
+    (8 shards), read() yields only its shard's rows — the Spark-native
+    model for the reference's paginated Slack API source.  The md5 over
+    the payload proves the bytes, not just the counts, round-tripped."""
+    from knowledgebot_spark.sources.synthetic import register_sources
+
+    register_sources(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("n", "500")
+        .option("parts", "8")
+        .load()
+    )
+    return docs.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.min(F.md5("payload")).alias("min_md5"),
+    )
+
+
+# --- mapInArrow UDF surface ---------------------------------------------------
+
+@register(
+    "rel_map_in_arrow",
+    sql="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars_arrow
+FROM documents
+""",
+    tags=("udf-surface", "mapInArrow"),
+)
+def rel_map_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas: the function
+    receives raw pyarrow RecordBatches (no pandas conversion) and runs
+    vectorized kernels from pyarrow.compute.  The right surface when the
+    Python step is itself Arrow-native (tokenizers, Arrow-backed models):
+    skips the pandas materialization both ways."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def char_counts(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int32()),
+                ],
+                ["doc_id", "n_chars_arrow"],
+            )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return d.mapInArrow(char_counts, schema="doc_id long, n_chars_arrow int")
