@@ -283,3 +283,44 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "n_hist"
     )
     return sp.run_to_memory(joined, "append")
+
+
+_PY_STREAM_SQL = """
+WITH g AS (SELECT unnest(generate_series(0, 499)) AS event_id)
+SELECT CAST(event_id // 100 AS INTEGER) AS batch,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(event_id) AS BIGINT) AS lo,
+  CAST(max(event_id) AS BIGINT) AS hi
+FROM g GROUP BY 1
+"""
+
+
+@register(
+    "stream_python_source",
+    sql=_PY_STREAM_SQL,
+    tags=("streaming", "python-datasource"),
+)
+def stream_python_source(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream through a CUSTOM streaming Python data source
+    (sources/synthetic.py SyntheticEventsStreamSource): offset-managed
+    micro-batches from a cursor-paginated generator — the reference's
+    Slack-history polling loop inverted into a source the engine
+    schedules, checkpoints, and replays.  The oracle verifies the full
+    drained content (5 batches x 100 deterministic events)."""
+    from knowledgebot_spark.sources.synthetic import register_stream_sources
+
+    register_stream_sources(spark)
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("batches", "5")
+        .option("rows_per_batch", "100")
+        .load()
+    )
+    agg = stream.groupBy("batch").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    )
+    return sp.run_to_memory(agg, "complete")

@@ -17,7 +17,12 @@ cursor in the partition value — the Spark plumbing is identical.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -56,3 +61,59 @@ def register_sources(spark) -> None:
         spark.dataSource.register(SyntheticDocsDataSource)
     except Exception:
         pass  # already registered in this session
+
+
+# --- streaming variant --------------------------------------------------------
+
+class SyntheticEventsStreamSource(DataSource):
+    """Streaming Python data source (Spark 4 ``simpleStreamReader`` API):
+    deterministic event micro-batches with real offset management — the
+    Spark-native model of a cursor-paginated service API consumed as a
+    stream (the reference polls Slack history with a ``oldest`` cursor;
+    this is that loop inverted into a source the engine schedules).
+
+    ``read(start)`` returns every batch available beyond ``start`` in one
+    call (Trigger.AvailableNow snapshots availability at ONE read), and
+    ``readBetweenOffsets`` replays any committed range exactly — restart
+    safety comes from offsets alone, not source state."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, batch int"
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.max_batches = int(options.get("batches", 5))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"v": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the engine's prefetch cache copy.copy()s
+        # the returned iterator, which generators don't support
+        r = self.rows_per_batch
+        return [(b * r + i, b) for b in range(lo, hi) for i in range(r)]
+
+    def read(self, start: dict):
+        v = start["v"]
+        if v >= self.max_batches:
+            return [], start
+        return self._rows(v, self.max_batches), {"v": self.max_batches}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["v"], end["v"])
+
+
+def register_stream_sources(spark) -> None:
+    try:
+        spark.dataSource.register(SyntheticEventsStreamSource)
+    except Exception:
+        pass

@@ -269,3 +269,19 @@ def test_foreach_batch_upsert_tag_removal_tombstone(spark, tmp_path):
     ).coalesce(1).write.parquet(f"{src}/b2")
     run_once()
     assert spark.read.parquet(out_path).count() == 0
+
+
+def test_python_stream_source_replay_is_deterministic():
+    """Restart safety of the streaming Python data source: replaying any
+    committed offset range (readBetweenOffsets) returns exactly the rows
+    the original read() produced for it — offsets alone define content."""
+    from knowledgebot_spark.sources.synthetic import SyntheticEventsStreamReader
+
+    r = SyntheticEventsStreamReader({"batches": "5", "rows_per_batch": "100"})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert end == {"v": 5}
+    assert list(rows) == list(r.readBetweenOffsets(start, end))
+    # caught-up source reports no progress and no rows
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
