@@ -324,3 +324,58 @@ def stream_python_source(spark: SparkSession, sf: str) -> DataFrame:
         F.max("event_id").alias("hi"),
     )
     return sp.run_to_memory(agg, "complete")
+
+
+_PY_SINK_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "stream_python_sink",
+    sql=_PY_SINK_SQL,
+    tags=("streaming", "python-datasource", "sink", "exactly-once"),
+)
+def stream_python_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream the events table through the CUSTOM streaming Python sink
+    (sources/jsonl_sink.py: task-staged temp files + atomic driver-side
+    commit rename = exactly-once), then read the committed files back and
+    aggregate — the oracle checks the round-tripped CONTENT, so a lost or
+    doubled row anywhere in the stage/commit protocol fails the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.sources.jsonl_sink import register_sink
+
+    register_sink(spark)
+    out = tempfile.mkdtemp(prefix="kb_pysink_")
+    ckpt = out + "_ckpt"
+    try:
+        events = sp.read_events_stream(spark, sf).selectExpr(
+            "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents"
+        )
+        q = (
+            events.writeStream.format("jsonlines_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.schema("event_type string, cents long").json(
+            f"file://{out}/b*.jsonl"
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # committed shard files are read during localCheckpoint above
+        shutil.rmtree(out, ignore_errors=True)

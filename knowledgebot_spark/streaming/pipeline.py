@@ -218,3 +218,45 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_totals_v2(events: DataFrame) -> DataFrame:
+    """Per-event-type running totals via transformWithStateInPandas — the
+    Spark 4 stateful v2 API (typed ValueState handles, timers, TTL) that
+    supersedes applyInPandasWithState for custom operators.
+
+    Requires ``google.protobuf`` (the state-server wire protocol) and the
+    RocksDB state store provider; this container ships neither, so the
+    production path stays ``stream_stateful``'s applyInPandasWithState and
+    this builder is exercised by a skip-if-absent parity test
+    (tests/test_streaming.py), the same seam pattern as the tiktoken
+    tokenizer.  Input: columns (event_type, cents)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self.totals.update((n, cents))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="event_type string, n_events bigint, sum_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

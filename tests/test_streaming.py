@@ -285,3 +285,39 @@ def test_python_stream_source_replay_is_deterministic():
     # caught-up source reports no progress and no rows
     rows2, end2 = r.read(end)
     assert list(rows2) == [] and end2 == end
+
+
+def test_stateful_v2_parity_with_v1(spark, sf_dir):
+    """transformWithStateInPandas (stateful v2) must produce the same
+    final totals as the applyInPandasWithState path.  Exercised only where
+    google.protobuf exists (the v2 state-server wire protocol — not in
+    this container); the seam is sp.stateful_totals_v2."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from knowledgebot_spark.streaming import pipeline as sp
+
+    before = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = sp.read_events_stream(spark, sf_dir).selectExpr(
+            "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents"
+        )
+        v2 = sp.run_to_memory(sp.stateful_totals_v2(events), "update")
+        got = {(r.event_type, r.n_events, r.sum_cents) for r in v2.collect()}
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+        )
+        want = {(r.event_type, r.n, r.c) for r in batch.collect()}
+        assert got == want
+    finally:
+        if before:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", before)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
