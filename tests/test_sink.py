@@ -180,3 +180,30 @@ def test_tombstone_escaped_partition_value(spark, tmp_path):
     keys = spark.createDataFrame([("K1",)], ["msg_key"])
     upsert_chunks(spark, path, _chunks(spark, []), reprocessed_keys=keys)
     assert _snapshot(spark, path) == [("K2", "normal", "20250101", 1, "keep")]
+
+
+def test_keyed_sink_reads_prune_partitions(spark, tmp_path):
+    """A channel/date predicate over the keyed table must prune at the
+    DIRECTORY level (PartitionFilters on the scan), never by reading all
+    partitions and filtering rows — the property that makes per-channel
+    incremental reads O(channel) instead of O(corpus) at 100 TB."""
+    path = str(tmp_path / "chunks")
+    upsert_chunks(
+        spark,
+        path,
+        _chunks(
+            spark,
+            [
+                ("m1", "general", "20240101", 0, "a"),
+                ("m2", "random", "20240102", 0, "b"),
+            ],
+        ),
+        key_col="msg_key",
+        partition_cols=("channel_name", "msg_date"),
+    )
+    df = spark.read.parquet(path).filter(F.col("channel_name") == "general")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "channel_name" in plan.split("PartitionFilters:")[1].splitlines()[0]
