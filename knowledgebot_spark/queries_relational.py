@@ -1986,8 +1986,8 @@ def rel_regexp_family(spark: SparkSession, sf: str) -> DataFrame:
     "rel_mode_median",
     sql="""
 SELECT l_returnflag,
-  round(median(l_extendedprice), 2) AS med_price,
-  round(median(l_quantity), 1) AS med_qty,
+  CAST(floor(median(l_extendedprice) * 100) AS BIGINT) AS med_price_cents,
+  CAST(floor(median(l_quantity) * 10) AS BIGINT) AS med_qty_deci,
   mode(CASE WHEN l_quantity <= 9 THEN 'low'
             WHEN l_quantity <= 30 THEN 'mid'
             ELSE 'high' END) AS mode_band
@@ -2001,7 +2001,10 @@ def rel_mode_median(spark: SparkSession, sf: str) -> DataFrame:
     ('mid' spans 21 of the 50 uniform quantity values), because mode ties
     are resolved arbitrarily by both engines and would be
     non-deterministic; a production profiler wanting full tie data uses the
-    count-groupBy form instead."""
+    count-groupBy form instead.  Medians are emitted as floor()ed
+    cents/deci-units (not round()) because an even-count median averages two
+    values and can land exactly on a .5 rounding tie, which the engines
+    resolve differently."""
     li = _t(spark, sf, "lineitem")
     band = (
         F.when(F.col("l_quantity") <= 9, "low")
@@ -2009,8 +2012,8 @@ def rel_mode_median(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("high")
     )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 2).alias("med_price"),
-        F.round(F.median("l_quantity"), 1).alias("med_qty"),
+        F.floor(F.median("l_extendedprice") * 100).cast("long").alias("med_price_cents"),
+        F.floor(F.median("l_quantity") * 10).cast("long").alias("med_qty_deci"),
         F.mode(band).alias("mode_band"),
     )
 
@@ -2275,4 +2278,82 @@ def rel_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.row_number().over(w).alias("rn"),
+    )
+
+
+# --- precise mergeable distinct via bitmaps -----------------------------------
+
+@register(
+    "rel_bitmap_distinct",
+    sql="""
+SELECT o_orderpriority,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_bitmap,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg", "bitmap", "distinct"),
+)
+def rel_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """PRECISE distinct counting via bitmap aggregates (Spark 3.5 bitmap_*
+    family): keys bucket into 32k-bit bitmaps (bitmap_bucket_number /
+    bitmap_bit_position), per-bucket bitmaps OR-merge
+    (bitmap_construct_agg), and the final count sums per-bucket popcounts.
+    Unlike count(DISTINCT) this is fully MERGEABLE fixed-width state —
+    partials combine across executors, stages, even incremental runs —
+    and unlike HLL (rel_approx_distinct) it is exact.  The query emits the
+    bitmap-derived count next to plain count(DISTINCT); the oracle
+    asserts they are equal column-for-column."""
+    o = _t(spark, sf, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    return (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_customers_bitmap"),
+        )
+        .join(
+            o.groupBy("o_orderpriority").agg(
+                F.countDistinct("o_custkey").alias("n_customers_exact")
+            ),
+            "o_orderpriority",
+        )
+    )
+
+
+# --- VARIANT semi-structured type ---------------------------------------------
+
+@register(
+    "rel_variant_json",
+    sql="""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    tags=("scalar", "variant", "semi-structured"),
+)
+def rel_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured data through the VARIANT type (Spark 4):
+    parse_json once into a binary-encoded variant column, then typed
+    variant_get extractions — the schema-on-read path that replaces
+    repeated string JSON parsing (parse once, extract many, predicate
+    pushdown into the variant's shredded columns on supporting readers).
+    The oracle reads the same payloads with DuckDB's JSON extraction."""
+    ev = _t(spark, sf, "events").withColumn("v", F.parse_json("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
     )
