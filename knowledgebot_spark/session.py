@@ -64,9 +64,10 @@ def get_session(
         # keep partition columns as written (msg_date '20250101' stays a
         # string on read-back — the keyed sink round-trips its own schema)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp type — read as long and convert in tables.read_table
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: spark.sql.legacy.parquet.nanosAsLong is deliberately NOT set:
+        # Spark 4.1 ignores it and reads TIMESTAMP(NANOS) natively as
+        # TIMESTAMP_NTZ; tables.read_table carries a unit-detecting fallback
+        # plus a canary for older/newer reader semantics.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.minPartitionNum", str(min_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

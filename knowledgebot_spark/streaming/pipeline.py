@@ -34,14 +34,21 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) -> read as long
-# under spark.sql.legacy.parquet.nanosAsLong (see tables.read_table).
+# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC
+# = false).  Spark 4.1 reads that natively as TIMESTAMP_NTZ (truncating to
+# micros) on both the batch and streaming paths, so the stream declares the
+# same type the batch loader (tables.read_table) gets — the two paths MUST
+# agree or windowed results diverge from the oracle.  (Declaring LongType
+# here used to yield raw micros under 4.1 and nanos under the removed
+# nanosAsLong conf — a silent unit trap; see tests/test_streaming.py's
+# parity + canary tests.)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -71,9 +78,17 @@ def _stage_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (S2 streaming form)."""
+    """File-source stream over the events table (S2 streaming form).
+
+    ``ts`` arrives as TIMESTAMP_NTZ straight from the reader — no unit
+    conversion, so any reader-semantics drift (a future pyspark delivering
+    longs again) fails analysis loudly instead of silently shifting epochs.
+    Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and
+    the session TZ is pinned UTC, so the cast is value-preserving and the
+    formatted output stays identical to the batch/NTZ path.
+    """
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(

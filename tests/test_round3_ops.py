@@ -21,9 +21,11 @@ def test_gaps_islands_partition_days(spark, sf_dir):
     to the distinct active-day count, and consecutive streaks are separated
     by a real gap (start > prev end + 1 day)."""
     out = _q("rel_gaps_islands")(spark, sf_dir).collect()
+    from knowledgebot_spark.tables import read_table
+
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("d"))
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
         .groupBy("user_id")
         .count()
