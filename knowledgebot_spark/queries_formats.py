@@ -337,3 +337,49 @@ def rel_map_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     return d.mapInArrow(char_counts, schema="doc_id long, n_chars_arrow int")
+
+
+# --- U1 subword chunker (vendored BPE) ---------------------------------------
+
+@register(
+    "kb_chunker_subword",
+    sql="""
+SELECT doc_id, text AS reassembled FROM documents
+""",
+    tags=("U1", "udf-surface", "bpe"),
+)
+def kb_chunker_subword(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 with a REAL subword tokenizer: the vendored byte-level BPE
+    (operators/bpe.py — the always-importable stand-in for the reference's
+    tiktoken cl100k_base, TextProcessor.py:38-40) drives the pandas-UDF
+    chunker over documents with overlap=0, and the query reassembles each
+    document from its windows in chunk order.  The oracle states the
+    lossless contract: reassembly == original text, hash-checked — a full
+    differential gate on encode -> token windowing -> decode.  (Like
+    tiktoken, token windows may split a multi-byte character at a window
+    boundary; the testdata corpus is ASCII, where reassembly is exact.)
+
+    Scale posture: the UDF is Arrow-batched and embarrassingly parallel;
+    the reassembly groupBy shuffles once on doc_id with sort_array over
+    (pos, text) structs — no window function, no driver collect."""
+    from knowledgebot_spark.operators import bpe
+
+    enc_fn, dec_fn = bpe.pair()
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    chunks = ck.chunk_text_pandas(
+        d, "text", chunk_size=32, overlap=0, tokenizer=enc_fn, detokenizer=dec_fn
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_pos", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                "",
+            ).alias("reassembled")
+        )
+    )

@@ -180,3 +180,42 @@ def test_chunk_udf_tiktoken_parity():
     enc_fn, dec_fn = ch.tiktoken_pair()
     toks = enc_fn("the quick brown fox jumps over the lazy dog " * 10)
     assert dec_fn(toks[:8]) and enc_fn(dec_fn(toks[:8]))[:8] == list(toks[:8])
+
+
+def test_chunk_udf_vendored_bpe_subword(spark):
+    """The SAME parity property as the tiktoken test, but always executed:
+    the vendored byte-level BPE (operators/bpe.py) drives the pandas-UDF
+    chunker — real subword windows (merged multi-char tokens), correct
+    stride arithmetic in TOKEN units, and window re-encode stability."""
+    from knowledgebot_spark.operators import bpe
+
+    enc_fn, dec_fn = bpe.pair()
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    toks = enc_fn(text)
+    assert len(toks) < len(text.encode())  # genuinely subword, not bytes
+    assert enc_fn(dec_fn(toks[:8]))[:8] == toks[:8]
+
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = ch.chunk_text_pandas(
+        df, chunk_size=10, overlap=3, tokenizer=enc_fn, detokenizer=dec_fn
+    ).orderBy("chunk_pos")
+    got = [r.chunk_text for r in out.collect()]
+    # expected windows computed driver-side with the same pair
+    stride = 7
+    expect = [
+        dec_fn(toks[s : s + 10]) for s in range(0, len(toks), stride)
+    ]
+    assert got == expect
+    # full coverage: stride-concatenation of non-overlap prefixes + tail
+    # reassembles the original text exactly (byte-level BPE is lossless)
+    reassembled = "".join(
+        dec_fn(toks[s : s + stride]) for s in range(0, len(toks), stride)
+    )
+    assert reassembled == text
+
+
+def test_vendored_bpe_lossless_roundtrip():
+    from knowledgebot_spark.operators import bpe
+
+    for t in ("", "a", "héllo wörld ✓", "  spaces  ", "the theatre is over"):
+        assert bpe.decode(bpe.encode(t)) == t, repr(t)
