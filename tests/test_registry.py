@@ -17,6 +17,23 @@ def test_catalog_loads_and_oracle_subset():
     assert len(o) >= round(len(q) * 0.95)
 
 
+def test_output_order_is_evidence_policy():
+    """The driver hash-checks only the FIRST 50 queries() entries, so output
+    ordering is part of the correctness-evidence contract: modules surface
+    in _OUTPUT_ORDER, registration order within a module, and the round-4
+    window (positions 1-50) is exactly streaming + llm + first corpus."""
+    from knowledgebot_spark.registry import _OUTPUT_ORDER, load
+
+    catalog = load()
+    mods = [qd.fn.__module__ for qd in catalog.values()]
+    rank = {m: i for i, m in enumerate(_OUTPUT_ORDER)}
+    ranks = [rank.get(m, len(rank)) for m in mods]
+    assert ranks == sorted(ranks), "catalog not ordered by _OUTPUT_ORDER"
+    window = list(catalog)[:50]
+    assert all(n.startswith(("stream_", "llm_", "kb_")) for n in window)
+    assert sum(n.startswith("stream_") for n in window) == 10
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as e
 
