@@ -610,3 +610,197 @@ def llm_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# --- duplicated-span detection (substring-level dedup planning) --------------
+
+SPAN_N = 8  # span width in tokens — the "long enough to be meaningful"
+            # threshold of substring-dedup work (Lee et al. 2022 use 50
+            # BPE tokens; scaled to the fixture's short docs)
+
+
+@register(
+    "llm_span_dedup",
+    sql=f"""
+WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id, unnest(spans) AS gram FROM (
+    SELECT doc_id,
+      [array_to_string(tk[i:i+{SPAN_N - 1}], ' ')
+       for i in generate_series(1, greatest(len(tk) - {SPAN_N - 1}, 1))] AS spans
+    FROM t)
+),
+df AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY 1)
+SELECT s.doc_id,
+  count(*) AS n_spans,
+  CAST(count(*) FILTER (WHERE df.ndocs >= 2) AS BIGINT) AS n_dup_spans,
+  round(count(*) FILTER (WHERE df.ndocs >= 2) * 1.0 / count(*), 4) AS dup_frac
+FROM s JOIN df USING (gram)
+GROUP BY s.doc_id
+""",
+    tags=("dedup", "span", "substring"),
+)
+def llm_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-span dedup PLANNING (the Spark-expressible core of exact
+    substring deduplication, Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better'): every positional {SPAN_N}-token span,
+    scored by whether it recurs in >= 2 distinct documents — per doc, the
+    fraction of its spans that are cross-document duplicates (the material
+    a substring-cut pass would remove).
+
+    Differs from llm_boilerplate_ngrams (corpus-level frequent-gram list)
+    by being positional and per-document: the same gram at 3 positions
+    counts 3 spans.
+
+    Scale: one hash-agg keyed by gram computes distinct-doc counts with
+    map-side partials (count_distinct rewrites to two-stage agg under
+    Catalyst), one shuffle joins spans back on gram, one final agg keys by
+    doc_id — all keyed, nothing all-pairs, no driver action."""
+    d = _t(spark, sf, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(F.expr(_gram_expr("text", SPAN_N, distinct=False))).alias("gram"),
+    )
+    docfreq = spans.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        spans.join(docfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# --- deterministic global shuffle (training order) ---------------------------
+
+SHUFFLE_SEED = "epoch0"
+SHUFFLE_SHARDS = 16
+
+
+@register(
+    "llm_global_shuffle",
+    sql=f"""
+WITH keyed AS (
+  SELECT doc_id, md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+  CAST({_duck_bucket("doc_id", SHUFFLE_SHARDS).replace("doc_id", "shuffle_key")} AS BIGINT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY {_duck_bucket("doc_id", SHUFFLE_SHARDS).replace("doc_id", "shuffle_key")}
+    ORDER BY shuffle_key, doc_id) AS BIGINT) AS rank_in_shard
+FROM keyed
+""",
+    tags=("shuffle", "training-order", "determinism"),
+)
+def llm_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every epoch's read
+    order must be (a) pseudorandom, (b) reproducible across reruns and
+    engines, (c) computable without a global sort.  Keyed md5(seed:doc_id)
+    gives (a)+(b); sharding the keyspace and ranking WITHIN each shard
+    gives (c) — readers consume shards round-robin, and the window is
+    partitioned (per-shard sort), never a single-partition global
+    row_number, which is the anti-pattern at 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))),
+    ).withColumn("shard", _bucket(F.col("shuffle_key"), SHUFFLE_SHARDS))
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("rank_in_shard"),
+    )
+
+
+# --- segment-level exact dedup with reassembly -------------------------------
+
+SEG_TOKENS = 20  # segment width: the C4/Dolma-style sub-document dedup unit
+                 # (they use lines/paragraphs; the fixture corpus has no
+                 # newlines, so fixed token blocks stand in)
+
+
+@register(
+    "llm_segment_dedup",
+    sql=f"""
+WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+seg AS (
+  SELECT doc_id, seg, CAST(pos AS BIGINT) AS pos FROM (
+    SELECT doc_id,
+      [array_to_string(tk[i:i+{SEG_TOKENS - 1}], ' ')
+       for i in generate_series(1, greatest(len(tk), 1), {SEG_TOKENS})] AS segs
+    FROM t),
+  LATERAL (SELECT unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos)
+),
+ranked AS (
+  SELECT doc_id, seg, pos,
+    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM seg
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+    AS text_dedup
+FROM ranked GROUP BY doc_id
+""",
+    tags=("dedup", "segment", "reassembly"),
+)
+def llm_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document exact dedup with surgical removal (C4/Dolma drop
+    duplicate lines corpus-wide; fixed {SEG_TOKENS}-token segments stand in
+    for lines here): each segment is kept only at its FIRST corpus
+    occurrence (min (doc_id, pos)), and each document is reassembled from
+    its surviving segments in position order.
+
+    Scale: winner election is one hash-agg keyed by segment (min struct —
+    map-side combinable, no window over the corpus); the keep-filter is a
+    join back on segment; reassembly groups by doc_id with sort_array —
+    three keyed shuffles, no all-pairs, no driver action."""
+    d = _t(spark, sf, "documents")
+    toks = "split(lower(text), ' ')"
+    segs_expr = (
+        f"transform(sequence(1, greatest(size({toks}), 1), {SEG_TOKENS}), "
+        f"s -> array_join(slice({toks}, s, {SEG_TOKENS}), ' '))"
+    )
+    seg = d.select(
+        "doc_id", F.posexplode(F.expr(segs_expr)).alias("pos0", "seg")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "seg")
+    winners = seg.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    flagged = seg.join(winners, "seg").withColumn(
+        "kept", (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )
