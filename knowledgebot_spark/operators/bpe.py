@@ -100,8 +100,8 @@ _TOKEN_ID: dict[bytes, int] = {tok: i for i, tok in enumerate(VOCAB)}
 
 def _apply_bpe(parts: list[bytes]) -> list[bytes]:
     """Greedy BPE: repeatedly merge the lowest-rank adjacent pair until no
-    mergeable pair remains.  O(n * merges) worst case — fine for UDF-batch
-    use on document-sized inputs."""
+    mergeable pair remains.  Reference implementation — exact but O(n^2);
+    ``encode`` uses the piece-cached fast path and a test pins equality."""
     while len(parts) > 1:
         best_rank = None
         best_i = -1
@@ -130,11 +130,61 @@ def _apply_bpe(parts: list[bytes]) -> list[bytes]:
     return parts
 
 
+def _apply_bpe_fast(parts: list[bytes]) -> list[bytes]:
+    """Sequential rank-order application — equivalent to lowest-rank-first
+    greedy because the merge table is well-ordered (every pair's components
+    are created by strictly lower-rank merges, as in any trained BPE list),
+    so applying rank r can never surface an un-applied rank < r.  One pass
+    per present rank instead of one full rescan per merge step."""
+    for rank, (a, b) in enumerate(MERGES):
+        if len(parts) < 2:
+            break
+        out: list[bytes] = []
+        i = 0
+        n = len(parts)
+        while i < n:
+            if i < n - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+# Piece-level encode cache (GPT-2's lru_cache-per-word trick): splitting on
+# word boundaries WITH the leading space attached is exact for this merge
+# table because no merge's right-hand component begins with a space, so no
+# pair can span two pieces.  Natural corpora repeat words massively, making
+# encode ~dict-lookup cost; the cache is capped to bound executor memory.
+_PIECE_CACHE: dict[str, list[int]] = {}
+_PIECE_CACHE_MAX = 200_000
+
+
+def _encode_piece(piece: str) -> list[int]:
+    ids = _PIECE_CACHE.get(piece)
+    if ids is None:
+        parts = [bytes([b]) for b in piece.encode("utf-8")]
+        ids = [_TOKEN_ID[p] for p in _apply_bpe_fast(parts)]
+        if len(_PIECE_CACHE) < _PIECE_CACHE_MAX:
+            _PIECE_CACHE[piece] = ids
+    return ids
+
+
 def encode(text: str) -> list[int]:
     if not text:
         return []
-    parts = [bytes([b]) for b in text.encode("utf-8")]
-    return [_TOKEN_ID[p] for p in _apply_bpe(parts)]
+    out: list[int] = []
+    start = 0
+    # pieces: maximal space-runs are split so each piece is either the text
+    # head or begins with exactly one space boundary (" word")
+    for i in range(1, len(text)):
+        if text[i] == " " and text[i - 1] != " ":
+            out.extend(_encode_piece(text[start:i]))
+            start = i
+    out.extend(_encode_piece(text[start:]))
+    return out
 
 
 def decode(ids) -> str:

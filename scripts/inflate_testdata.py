@@ -8,8 +8,11 @@ Usage: python scripts/inflate_testdata.py [factor] [out_dir]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -24,6 +27,7 @@ INFLATED = {"documents", "events", "orders", "lineitem", "embeddings"}
 
 
 def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     copies = spark.range(FACTOR).withColumnRenamed("id", "copy")
@@ -48,10 +52,10 @@ def main() -> None:
             df = df.withColumn(
                 "event_id", F.col("event_id") + F.col("copy") * 10_000_000
             ).withColumn(
-                # raw read sees TIMESTAMP(NANOS) as bigint nanos (session
-                # sets nanosAsLong); shift each copy by 5s of nanos — the
-                # loader's micros conversion handles it downstream
-                "ts", F.col("ts") + F.col("copy") * F.lit(5_000_000_000)
+                # Spark 4.1 reads TIMESTAMP(NANOS) as timestamp_ntz; shift
+                # each copy by 5 seconds via interval arithmetic
+                "ts",
+                F.col("ts") + F.expr("make_interval(0,0,0,0,0,0, copy * 5)"),
             )
         elif t == "orders":
             df = df.withColumn(

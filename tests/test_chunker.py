@@ -219,3 +219,41 @@ def test_vendored_bpe_lossless_roundtrip():
 
     for t in ("", "a", "héllo wörld ✓", "  spaces  ", "the theatre is over"):
         assert bpe.decode(bpe.encode(t)) == t, repr(t)
+
+
+def test_vendored_bpe_merge_table_well_ordered():
+    """Every merge's components must be single bytes or products of
+    strictly lower-rank merges — the property that makes sequential
+    rank-order application equal to lowest-rank-first greedy."""
+    from knowledgebot_spark.operators import bpe
+
+    for rank, (a, b) in enumerate(bpe.MERGES):
+        for comp in (a, b):
+            if len(comp) > 1:
+                creator = bpe._TOKEN_ID[comp] - 256
+                assert 0 <= creator < rank, (rank, comp)
+    # and no pair can span a piece boundary: right components never start
+    # with a space; left components never end with one (except ' ' itself,
+    # which always begins its piece)
+    for a, b in bpe.MERGES:
+        assert not b.startswith(b" ")
+        assert a == b" " or not a.endswith(b" ")
+
+
+def test_vendored_bpe_fast_path_matches_reference():
+    """The piece-cached fast encode must equal whole-sequence greedy BPE
+    (reference _apply_bpe) token-for-token on real corpus text."""
+    import duckdb
+
+    from knowledgebot_spark.operators import bpe
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') LIMIT 60"
+    ).fetchall()
+    texts = [r[0] for r in rows] + ["", " ", "a  double  space", "the the the"]
+    for t in texts:
+        whole = [
+            bpe._TOKEN_ID[p]
+            for p in bpe._apply_bpe([bytes([x]) for x in t.encode("utf-8")])
+        ]
+        assert bpe.encode(t) == whole, repr(t[:60])
