@@ -40,6 +40,11 @@ HEADLINE = [
     "rel_merge_upsert",
     "llm_pipeline_e2e",
     "stream_tumbling",
+    # round-4 additions
+    "kb_chunker_subword",
+    "llm_span_dedup",
+    "llm_segment_dedup",
+    "llm_global_shuffle",
 ]
 
 

@@ -652,31 +652,32 @@ def llm_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     by being positional and per-document: the same gram at 3 positions
     counts 3 spans.
 
-    Scale: one hash-agg keyed by gram computes distinct-doc counts with
-    map-side partials (count_distinct rewrites to two-stage agg under
-    Catalyst), one shuffle joins spans back on gram, one final agg keys by
-    doc_id — all keyed, nothing all-pairs, no driver action."""
+    Scale: positional spans collapse FIRST to (doc_id, gram, multiplicity)
+    — a map-side-combinable hash-agg — so the gram-keyed doc-frequency agg
+    and the join-back both carry distinct pairs, not every position (the
+    payload that blows up on repetitive corpora); the final agg re-weights
+    by multiplicity and keys by doc_id.  All keyed, nothing all-pairs, no
+    driver action."""
     d = _t(spark, sf, "documents")
-    spans = d.select(
-        "doc_id",
-        F.explode(F.expr(_gram_expr("text", SPAN_N, distinct=False))).alias("gram"),
+    per = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(_gram_expr("text", SPAN_N, distinct=False))
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("mult"))
     )
-    docfreq = spans.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
+    docfreq = per.groupBy("gram").agg(F.count("*").alias("ndocs"))
+    dup_w = F.sum(F.when(F.col("ndocs") >= 2, F.col("mult")).otherwise(0))
     return (
-        spans.join(docfreq, "gram")
+        per.join(docfreq, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup_spans"),
-            F.round(
-                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
-                / F.count("*"),
-                4,
-            ).alias("dup_frac"),
+            F.sum("mult").alias("n_spans"),
+            dup_w.cast("bigint").alias("n_dup_spans"),
+            F.round(dup_w / F.sum("mult"), 4).alias("dup_frac"),
         )
     )
 
