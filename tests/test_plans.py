@@ -282,3 +282,26 @@ def test_observe_metrics_on_spine(spark, sf_dir):
     n = observed.count()
     assert obs.get["n_rows"] == n
     assert 0 < obs.get["n_msgs"] <= n
+
+
+def test_global_shuffle_no_single_partition_sort(spark, sf_dir):
+    """llm_global_shuffle must rank within shards (hash-partitioned window),
+    never via a single-partition global sort — the difference between a
+    plan that survives 100 TB and one that funnels the corpus through one
+    task."""
+    from knowledgebot_spark.registry import load
+
+    plan = _plan(load()["llm_global_shuffle"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_segment_dedup_no_corpus_window(spark, sf_dir):
+    """Winner election is a min-struct hash aggregation keyed by segment
+    (map-side combinable), not a window over the corpus."""
+    from knowledgebot_spark.registry import load
+
+    plan = _plan(load()["llm_segment_dedup"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final winner agg
