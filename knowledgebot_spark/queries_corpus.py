@@ -805,3 +805,47 @@ def llm_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(""),
         ).alias("text_dedup"),
     )
+
+
+# --- BPE-ish regex token accounting ------------------------------------------
+
+# GPT-2-style pre-tokenizer classes, restricted to the regex subset Java
+# and RE2 agree on: letter runs, digit runs, non-alphanumeric runs.
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "llm_token_count_regex",
+    sql=f"""
+WITH per AS (
+  SELECT source,
+    len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_toks
+  FROM documents
+)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+  round(avg(n_toks), 4) AS avg_tokens
+FROM per GROUP BY source
+""",
+    tags=("token-count", "accounting"),
+)
+def llm_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token accounting with a BPE-ish pre-tokenizer regex (the
+    GPT-2 pattern's portable core: letter runs / digit runs / punctuation
+    runs) — the budget unit sits between whitespace words
+    (llm_token_budget) and true subword BPE (kb_chunker_subword).  Pure
+    JVM regex per row then a per-source hash-agg: pipelined,
+    map-side-combinable, no shuffle growth with corpus size beyond the
+    bounded source key space."""
+    d = _t(spark, sf, "documents")
+    n_toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+    return (
+        d.select("source", n_toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        )
+    )
