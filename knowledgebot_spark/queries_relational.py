@@ -2357,3 +2357,68 @@ def rel_variant_json(spark: SparkSession, sf: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --- data profiling (ANALYZE-style column statistics) ------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_returnflag", "l_shipdate", "l_extendedprice")
+
+
+@register(
+    "rel_profile_table",
+    sql="""
+SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT l_quantity) AS n_distinct,
+  CAST(min(l_quantity) AS VARCHAR) AS min_value,
+  CAST(max(l_quantity) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*),
+  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT l_returnflag),
+  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*),
+  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT l_shipdate),
+  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*),
+  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT l_extendedprice),
+  CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR)
+FROM lineitem
+""",
+    tags=("profiling", "analyze", "multi-distinct"),
+)
+def rel_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style data profiling: per-column row/null/distinct counts and
+    min/max, computed in ONE pass over the fact table (multi-distinct
+    rewrites to a single Expand-based aggregate under Catalyst — 4 distinct
+    groups share one scan+shuffle, where the naive per-column formulation
+    scans 4x), then reshaped to one row per column with stack().  The
+    profiling pattern every ingestion pipeline runs for schema-drift and
+    null-regression gates."""
+    li = _t(spark, sf, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
