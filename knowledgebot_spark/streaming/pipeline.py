@@ -58,22 +58,41 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def _stage_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory*; testdata ships a bare
-    parquet file, so stage a symlink dir (no data copy).  Keyed by a hash
-    of the FULL source path — two datasets sharing a basename must not
-    share a stage — and re-pointed if the link exists but targets
-    elsewhere (lexists also catches broken links)."""
+    """The file stream source requires a *directory* of data files; the
+    driver testdata ships a bare parquet file, while Spark-written datasets
+    (e.g. the inflated stress sets) are directories of part files — the
+    stream source does NOT recurse into a nested dataset directory, so a
+    directory target is staged by symlinking each part file flat (silently
+    streaming 0 rows otherwise).  Keyed by a hash of the FULL source path —
+    two datasets sharing a basename must not share a stage — and re-staged
+    whenever the target set changes (lexists also catches broken links)."""
     import hashlib
 
     target = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
-    key = hashlib.md5(target.encode()).hexdigest()[:12]
-    stage = f"/tmp/knowledgebot_spark/stream_src/{key}/events"
+    if os.path.isdir(target):
+        files = sorted(
+            f"{target}/{f}"
+            for f in os.listdir(target)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files = [target]
+    if not files:
+        raise FileNotFoundError(f"no parquet data files under {target}")
+    key = hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
+    # versioned namespace: layout changes must never share a stage with a
+    # prior scheme (a stale extra link = silently duplicated events)
+    stage = f"/tmp/knowledgebot_spark/stream_src/v2/{key}/events"
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if os.path.lexists(link) and os.path.realpath(link) != target:
-        os.unlink(link)
-    if not os.path.lexists(link):
-        os.symlink(target, link)
+    expected = {f"part-{i:05d}.parquet": src for i, src in enumerate(files)}
+    for name in os.listdir(stage):
+        link = os.path.join(stage, name)
+        if name not in expected or os.path.realpath(link) != expected[name]:
+            os.unlink(link)
+    for name, src in expected.items():
+        link = os.path.join(stage, name)
+        if not os.path.lexists(link):
+            os.symlink(src, link)
     return stage
 
 

@@ -321,3 +321,26 @@ def test_stateful_v2_parity_with_v1(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", before)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stage_handles_directory_datasets(spark, tmp_path, sf_dir):
+    """Spark-written datasets are DIRECTORIES of part files; the file-stream
+    stage must flatten them (the source does not recurse into a nested
+    dataset dir — it silently streamed 0 rows), and re-staging the same
+    single-file target must never leave stale duplicate links (which
+    silently doubled every event)."""
+    from knowledgebot_spark.tables import read_table
+
+    sfdir = str(tmp_path / "sf")
+    batch = read_table(spark, sf_dir, "events").limit(1000)
+    batch.repartition(4).write.parquet(f"{sfdir}/events.parquet")
+
+    streamed = sp.run_to_memory(
+        sp.read_events_stream(spark, sfdir).groupBy().count(), "complete"
+    ).first()[0]
+    assert streamed == 1000
+    # restage same target: counts stay exact (no accumulated links)
+    streamed2 = sp.run_to_memory(
+        sp.read_events_stream(spark, sfdir).groupBy().count(), "complete"
+    ).first()[0]
+    assert streamed2 == 1000
