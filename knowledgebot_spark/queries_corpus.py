@@ -652,27 +652,32 @@ def llm_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     by being positional and per-document: the same gram at 3 positions
     counts 3 spans.
 
-    Scale: positional spans collapse FIRST to (doc_id, gram, multiplicity)
-    — a map-side-combinable hash-agg — so the gram-keyed doc-frequency agg
-    and the join-back both carry distinct pairs, not every position (the
-    payload that blows up on repetitive corpora); the final agg re-weights
-    by multiplicity and keys by doc_id.  All keyed, nothing all-pairs, no
-    driver action."""
+    Scale: span STRINGS (~50 bytes each) are hashed to 64-bit keys before
+    any wide operator, then positional spans collapse to (doc_id, ghash,
+    multiplicity) — a map-side-combinable hash-agg — so the doc-frequency
+    agg and the join-back shuffle ~6x fewer bytes than the string-keyed
+    formulation; the final agg re-weights by multiplicity and keys by
+    doc_id.  (xxhash64 collisions across distinct grams are ~(n^2)/2^65 —
+    immaterial next to the SPAN_N-gram approximation itself.)  All keyed,
+    nothing all-pairs, no driver action."""
     d = _t(spark, sf, "documents")
     per = (
         d.select(
             "doc_id",
             F.explode(
-                F.expr(_gram_expr("text", SPAN_N, distinct=False))
-            ).alias("gram"),
+                F.expr(
+                    f"transform({_gram_expr('text', SPAN_N, distinct=False)}, "
+                    "g -> xxhash64(g))"
+                )
+            ).alias("ghash"),
         )
-        .groupBy("doc_id", "gram")
+        .groupBy("doc_id", "ghash")
         .agg(F.count("*").alias("mult"))
     )
-    docfreq = per.groupBy("gram").agg(F.count("*").alias("ndocs"))
+    docfreq = per.groupBy("ghash").agg(F.count("*").alias("ndocs"))
     dup_w = F.sum(F.when(F.col("ndocs") >= 2, F.col("mult")).otherwise(0))
     return (
-        per.join(docfreq, "gram")
+        per.join(docfreq, "ghash")
         .groupBy("doc_id")
         .agg(
             F.sum("mult").alias("n_spans"),
