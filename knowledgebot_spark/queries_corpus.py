@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from knowledgebot_spark.operators import dedup as dd
 from knowledgebot_spark.registry import _REGISTRY, register
+from knowledgebot_spark.tables import read_spread as _ts
 from knowledgebot_spark.tables import read_table as _t
 
 # make sure the minhash query (whose oracle SQL llm_dedup_clusters embeds)
@@ -219,7 +220,7 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     hash-aggregation keyed by gram — map-side partial counts make the
     shuffle carry (gram, count) not (gram, doc) pairs; the corpus size
     joins in as a broadcast 1-row aggregate, never a driver action."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     counts = (
         d.select(F.explode(F.expr(_gram_expr("text", BOILER_N))).alias("gram"))
         .groupBy("gram")
@@ -660,7 +661,7 @@ def llm_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     doc_id.  (xxhash64 collisions across distinct grams are ~(n^2)/2^65 —
     immaterial next to the SPAN_N-gram approximation itself.)  All keyed,
     nothing all-pairs, no driver action."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     per = (
         d.select(
             "doc_id",
@@ -777,7 +778,7 @@ def llm_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     map-side combinable, no window over the corpus); the keep-filter is a
     join back on segment; reassembly groups by doc_id with sort_array —
     three keyed shuffles, no all-pairs, no driver action."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     toks = "split(lower(text), ' ')"
     segs_expr = (
         f"transform(sequence(1, greatest(size({toks}), 1), {SEG_TOKENS}), "
@@ -843,7 +844,7 @@ def llm_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
     JVM regex per row then a per-source hash-agg: pipelined,
     map-side-combinable, no shuffle growth with corpus size beyond the
     bounded source key space."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     n_toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
     return (
         d.select("source", n_toks.alias("n_toks"))

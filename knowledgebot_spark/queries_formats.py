@@ -364,8 +364,10 @@ def kb_chunker_subword(spark: SparkSession, sf: str) -> DataFrame:
     (pos, text) structs — no window function, no driver collect."""
     from knowledgebot_spark.operators import bpe
 
+    from knowledgebot_spark.tables import read_spread
+
     enc_fn, dec_fn = bpe.pair()
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = read_spread(spark, sf, "documents").select("doc_id", "text")
     chunks = ck.chunk_text_pandas(
         d, "text", chunk_size=32, overlap=0, tokenizer=enc_fn, detokenizer=dec_fn
     )

@@ -19,6 +19,7 @@ from knowledgebot_spark.operators import multimodal as mm
 from knowledgebot_spark.operators import similarity as sim
 from knowledgebot_spark.operators import text_analysis as ta
 from knowledgebot_spark.registry import register
+from knowledgebot_spark.tables import read_spread as _ts
 from knowledgebot_spark.tables import read_table as _t
 
 # DuckDB equivalent of operators.dedup.shingle_expr
@@ -114,7 +115,7 @@ def llm_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     banded bucket join -> exact-Jaccard verify.  Never all-pairs.  The
     signature path skips array_distinct (min over multiset == min over
     set); the verify path keeps distinct shingles for exact Jaccard."""
-    docs = _t(spark, sf, "documents")
+    docs = _ts(spark, sf, "documents")
     hashed = docs.select(
         "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
     )
@@ -210,7 +211,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {dd.SIMHASH_MAX_HAMMING}
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 32-bit signatures, disjoint-block bucket join
     (pigeonhole-exhaustive for Hamming <= 4), never all-pairs."""
-    d = dd.with_simhash(_t(spark, sf, "documents"), "text")
+    d = dd.with_simhash(_ts(spark, sf, "documents"), "text")
     pairs = dd.simhash_near_pairs(d.select("doc_id", "simhash"), "doc_id", 4)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -472,7 +473,7 @@ LATERAL (SELECT unnest(w) AS cw, generate_subscripts(w, 1) AS pos) t
 def kb_chunker(spark: SparkSession, sf: str) -> DataFrame:
     """U1 token-window chunker: size 20, overlap 5 (reference defaults,
     TextProcessor.py:36-37), tail partial kept, JVM built-in path."""
-    d = ck.chunk_windows(_t(spark, sf, "documents"), "text", chunk_size=20, overlap=5)
+    d = ck.chunk_windows(_ts(spark, sf, "documents"), "text", chunk_size=20, overlap=5)
     return d.select(
         "doc_id",
         "chunk_pos",
@@ -590,16 +591,35 @@ FROM (SELECT doc_id, str_split(text, ' ') tk FROM documents),
 def kb_embed(spark: SparkSession, sf: str) -> DataFrame:
     """U4 deterministic hash embedder, JVM built-in formulation in exact
     integer micro-units (the pandas-UDF float variant with matching
-    semantics is operators.embedding)."""
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("dim_idx")
-    ).select(
+    semantics is operators.embedding).
+
+    Formulated as ONE token explode with 16 codegen'd md5 component
+    columns per token row -> per-doc partial+final agg of 16 sums -> a
+    16-row stack, rather than a higher-order aggregate() lambda (HOF
+    lambdas run interpreted per element, which made this the slowest
+    headline query) or a token x dim double explode (16x the rows through
+    Generate for the same hash count).  The shuffle carries 16 partial
+    sums + a count per doc; everything row-wise is whole-stage codegen."""
+    d = _ts(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+
+    def comp(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", "t", F.lit(j))), 1, 8), 16, 10
+            ).cast("bigint")
+            % 1000
+        ).alias(f"c{j}")
+
+    per_tok = toks.select("doc_id", *[comp(j) for j in range(16)])
+    sums = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(16)],
+    )
+    stack_args = ", ".join(f"{j}, (s{j} * 1000) div n" for j in range(16))
+    return sums.selectExpr(
         "doc_id",
-        "dim_idx",
-        F.expr(em.hash_component_micro_expr("text", "CAST(dim_idx AS STRING)")).alias(
-            "value_micro"
-        ),
+        f"stack(16, {stack_args}) AS (dim_idx, value_micro)",
     )
 
 

@@ -67,6 +67,35 @@ def _canary(df: DataFrame, path: str) -> None:
         )
 
 
+_NPART_CACHE: dict = {}
+
+
+def read_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_parts: int | None = None
+) -> DataFrame:
+    """read_table + round-robin repartition when the scan cannot split.
+
+    Parquet splits at ROW-GROUP granularity; the small testdata files are
+    single row groups, so ``spark.sql.files.minPartitionNum`` cannot help
+    and every pre-shuffle expression downstream of the scan runs in ONE
+    task.  Compute-heavy per-row operators (hash embedding, BPE, simhash,
+    span hashing) use this loader to spread the rows across cores first.
+    The guard keeps it scale-correct: inputs that already split (any real
+    multi-row-group/multi-file dataset — i.e. everything at 100 TB) pass
+    through untouched, so the raw-text reshuffle is paid exactly when the
+    alternative is a single-core stage."""
+    df = read_table(spark, sf_dir, name)
+    target = min_parts or spark.sparkContext.defaultParallelism
+    key = (id(spark), f"{sf_dir}/{name}")
+    nparts = _NPART_CACHE.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _NPART_CACHE[key] = nparts
+    if nparts >= max(target // 2, 2):
+        return df
+    return df.repartition(target)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     key = (id(spark), path)
