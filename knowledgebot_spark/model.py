@@ -129,8 +129,13 @@ MODEL_CTE = f"""WITH users_dim AS (
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Route through the cached table loader: one analyzed relation per
     # (session, path), zero jobs and zero reader round-trips per re-build.
-    from knowledgebot_spark.tables import read_table
+    # The fact scan (documents -> messages) additionally spreads when the
+    # file is a single parquet row group, so the regex/explode spine work
+    # parallelizes (see tables.read_spread; pass-through on real inputs).
+    from knowledgebot_spark.tables import read_spread, read_table
 
+    if table == "documents":
+        return read_spread(spark, sf_dir, table)
     return read_table(spark, sf_dir, table)
 
 
