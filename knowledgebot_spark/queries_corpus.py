@@ -559,7 +559,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     pipeline to one plan' artifact: no materialization between stages."""
     from pyspark.sql import Window as W
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents")  # NOT spread: 6 scan subtrees would each pay the reshuffle (measured 24% slower)
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     stop_ratio = F.round(
