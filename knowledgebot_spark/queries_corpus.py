@@ -778,7 +778,7 @@ def llm_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     map-side combinable, no window over the corpus); the keep-filter is a
     join back on segment; reassembly groups by doc_id with sort_array —
     three keyed shuffles, no all-pairs, no driver action."""
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     toks = "split(lower(text), ' ')"
     segs_expr = (
         f"transform(sequence(1, greatest(size({toks}), 1), {SEG_TOKENS}), "
@@ -844,7 +844,7 @@ def llm_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
     JVM regex per row then a per-source hash-agg: pipelined,
     map-side-combinable, no shuffle growth with corpus size beyond the
     bounded source key space."""
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     n_toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
     return (
         d.select("source", n_toks.alias("n_toks"))

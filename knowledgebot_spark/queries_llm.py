@@ -211,7 +211,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {dd.SIMHASH_MAX_HAMMING}
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 32-bit signatures, disjoint-block bucket join
     (pigeonhole-exhaustive for Hamming <= 4), never all-pairs."""
-    d = dd.with_simhash(_ts(spark, sf, "documents"), "text")
+    d = dd.with_simhash(_t(spark, sf, "documents"), "text")  # not spread: measured slower
     pairs = dd.simhash_near_pairs(d.select("doc_id", "simhash"), "doc_id", 4)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
