@@ -385,3 +385,43 @@ def kb_chunker_subword(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("reassembled")
         )
     )
+
+
+# --- PERMISSIVE corrupt-record JSON scan -------------------------------------
+
+@register(
+    "rel_scan_json_corrupt",
+    sql="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+FROM nation WHERE n_nationkey % 3 <> 0
+ORDER BY n_nationkey
+""",
+    tags=("scan", "json", "robustness"),
+)
+def rel_scan_json_corrupt(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-drift tolerance: a JSON scan in PERMISSIVE mode quarantines
+    malformed lines into ``_corrupt_record`` instead of failing the job —
+    the posture a 100 TB crawl ingest needs (one bad shard must not kill
+    the run).  Every 3rd nation row is staged as deliberately broken JSON;
+    the query returns the clean subset and the oracle states exactly which
+    rows survive.  (FAILFAST is the complementary mode for curated inputs;
+    the corrupt rows stay queryable for quarantine audits.)"""
+    path = _stage(sf, "nation_json_corrupt")
+    rows = _t(spark, sf, "nation").selectExpr(
+        "n_nationkey",
+        "CASE WHEN n_nationkey % 3 = 0 THEN"
+        "  '{\"n_nationkey\": ' || CAST(n_nationkey AS STRING) || ', \"n_name\": '"
+        " ELSE"
+        "  '{\"n_nationkey\": ' || CAST(n_nationkey AS STRING)"
+        "    || ', \"n_name\": \"' || n_name || '\"}'"
+        " END AS line",
+    )
+    rows.select("line").coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").json(path)
+    return (
+        back.filter(F.col("_corrupt_record").isNull())
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
