@@ -2422,3 +2422,55 @@ def rel_profile_table(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+# --- mergeable HLL sketches (DataSketches) -----------------------------------
+
+@register(
+    "rel_hll_sketch",
+    sql="""
+SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_distinct, true AS within_tol
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL', count(DISTINCT l_orderkey), true FROM lineitem
+""",
+    tags=("approx", "hll-sketch", "mergeable"),
+)
+def rel_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): each
+    group aggregates to a sketch, and the corpus-wide figure comes from
+    hll_union_agg over the PER-GROUP sketches — no second scan of the fact
+    table.  Mergeability is the property that matters at 100 TB: partial
+    sketches combine across partitions/days/shards without rescanning, the
+    same way the map-side partials combine here.  Like rel_approx_distinct,
+    the oracle gate is the in-query tolerance boolean (sketch internals are
+    not SQL-reproducible; estimates sit well inside 5% at this
+    cardinality), alongside the exact distinct count."""
+    li = _t(spark, sf, "lineitem")
+    per = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+    )
+    gated = per.select(
+        "grp",
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_tol"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    total_exact = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
+    merged_row = merged.crossJoin(F.broadcast(total_exact)).select(
+        F.lit("ALL").alias("grp"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_tol"),
+    )
+    return gated.unionByName(merged_row)
