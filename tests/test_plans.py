@@ -238,6 +238,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_tfidf_topterm",
         "llm_boilerplate_ngrams",
         "llm_source_mixing",  # 1-row total + 1-row norm broadcast scalars
+        "rel_hll_sketch",  # 1-row merged-sketch x 1-row exact-total scalars
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
