@@ -48,6 +48,10 @@ HEADLINE = [
     "llm_span_dedup",
     "llm_segment_dedup",
     "llm_global_shuffle",
+    "llm_dedup_incremental",
+    "rel_kll_quantiles",
+    "rel_theta_setops",
+    "rel_funnel_conversion",
 ]
 
 

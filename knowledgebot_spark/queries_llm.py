@@ -1485,3 +1485,198 @@ def llm_dedup_cross_shard(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared_keys"))
     )
+
+
+# --- vocabulary coverage / OOV accounting -------------------------------------
+
+@register(
+    "llm_vocab_coverage",
+    sql="""
+WITH tok AS (
+  SELECT source, unnest(str_split(lower(text), ' ')) AS term FROM documents
+),
+nz AS (SELECT source, term FROM tok WHERE length(term) > 0),
+vocab AS (
+  SELECT term FROM nz GROUP BY term ORDER BY count(*) DESC, term LIMIT 20
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS oov_rate
+FROM nz LEFT JOIN vocab v USING (term)
+GROUP BY source
+""",
+    tags=("text", "vocab", "tokenizer-design", "training-data"),
+)
+def llm_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-design diagnostic: induce a top-K frequency vocabulary
+    over the whole corpus, then report per-source token counts and
+    out-of-vocabulary rate — the measurement that decides vocab size and
+    flags sources a fixed vocab would shred into bytes.  The vocab is ONE
+    hash agg + TakeOrderedAndProject (top-K, never a global sort) and is
+    broadcast into the coverage join, so the token stream is scanned
+    without any shuffle-by-term on the big side; per-source stats are a
+    second map-side-combined hash agg.  Tie-broken by (count DESC, term)
+    so the vocab cut is deterministic across engines."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+        .select("term")
+    )
+    return (
+        toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.isnull("in_vocab").cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.isnull("in_vocab").cast("long")) / F.count("*"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --- incremental (CDC-shaped) near-dup gate vs an existing corpus -------------
+
+@register(
+    "llm_dedup_incremental",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, source, str_split(lower(text), ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i) t
+  WHERE len(tk) >= 5
+),
+corpus AS (SELECT DISTINCT g FROM sh WHERE source SIMILAR TO 'src[0-9]'),
+inc AS (SELECT doc_id, source, g FROM sh WHERE source SIMILAR TO 'src1[0-9]'),
+cov AS (
+  SELECT i.doc_id, i.source, count(*) AS total,
+    sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM inc i LEFT JOIN corpus c USING (g)
+  GROUP BY i.doc_id, i.source
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN hit * 1.0 / total >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup,
+  CAST(sum(CASE WHEN hit * 1.0 / total >= 0.8 THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_kept
+FROM cov GROUP BY source
+""",
+    tags=("dedup", "incremental", "cdc", "training-data"),
+)
+def llm_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus ingestion gate: an incoming batch (sources
+    src10..src19) is deduped AGAINST the existing corpus (src0..src9)
+    without re-deduping the corpus itself — the CDC shape every recurring
+    crawl ingest runs, where the corpus is orders of magnitude larger than
+    the increment.  A doc is a duplicate when >= 80% of its 5-gram word
+    shingles already exist corpus-side (Dolma/C4-style segment coverage,
+    robust to small edits where an exact hash is not).  The only shuffle
+    on the corpus side is the DISTINCT shingle projection — at 100 TB that
+    set is precomputed once and reused per increment (or replaced by a
+    bloom filter for the first pass); the join is shingle-keyed hash
+    equi-join, never doc x doc."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 4), "
+                "i -> array_join(slice(split(lower(text), ' '), i, 5), ' '))"
+            )
+        ).alias("g"),
+    )
+    corpus = (
+        sh.filter(F.col("source").rlike("^src[0-9]$"))
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    inc = sh.filter(F.col("source").rlike("^src1[0-9]$"))
+    cov = (
+        inc.join(corpus, "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.coalesce("hit", F.lit(0)).cast("long")).alias("hit_n"),
+        )
+    )
+    is_dup = F.col("hit_n") / F.col("total") >= 0.8
+    return cov.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(is_dup.cast("long")).alias("n_dup"),
+        F.sum((~is_dup).cast("long")).alias("n_kept"),
+    )
+
+
+# --- per-source quantile quality filter ---------------------------------------
+
+@register(
+    "llm_quality_filter_quantile",
+    sql="""
+WITH scored AS (
+  SELECT doc_id, source,
+    round(0.5 * least(n_chars / 2000.0, 1.0)
+        + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1)), 6) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT source, quality,
+    percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+  FROM scored
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(min(CASE WHEN pr >= 0.2 THEN quality END), 6) AS min_kept_quality
+FROM ranked GROUP BY source
+""",
+    tags=("text", "quality", "quantile-filter", "training-data"),
+)
+def llm_quality_filter_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quantile quality filter: drop each source's bottom 20%
+    by quality score rather than applying one global threshold — the
+    stratified cut that keeps a low-resource source from being wiped out
+    by a filter tuned on the dominant source.  percent_rank partitions by
+    source (bounded partitions, no whole-corpus window) ordered by
+    (quality, doc_id) so the cut is deterministic under ties; at 100 TB
+    the same stratified cut swaps to per-source approx_percentile
+    thresholds (see rel_approx_percentile) without changing the output
+    contract."""
+    d = _t(spark, sf, "documents")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            0.5 * F.least(F.col("n_chars") / 2000.0, F.lit(1.0)) + 0.5 * alpha_ratio,
+            6,
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = scored.select(
+        "source", "quality", F.percent_rank().over(w).alias("pr")
+    )
+    kept = F.col("pr") >= 0.2
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.round(F.min(F.when(kept, F.col("quality"))), 6).alias(
+            "min_kept_quality"
+        ),
+    )

@@ -2474,3 +2474,188 @@ def rel_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("within_tol"),
     )
     return gated.unionByName(merged_row)
+
+
+# --- mergeable KLL quantile sketches (DataSketches) ---------------------------
+
+@register(
+    "rel_kll_quantiles",
+    sql="""
+SELECT l_returnflag AS grp,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+  true AS within_tol
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL', round(quantile_cont(l_extendedprice, 0.5), 4), true FROM lineitem
+""",
+    tags=("approx", "kll-sketch", "quantiles", "mergeable"),
+)
+def rel_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL): each group
+    aggregates l_extendedprice into a KLL sketch, and the corpus-wide
+    median comes from kll_merge_agg over the PER-GROUP sketches — the
+    mergeability that lets 100 TB jobs compute daily/shard-level sketches
+    once and combine them for any rollup without rescanning (the exact
+    `percentile` by contrast buffers all values per group).  The oracle
+    gate is rank-based, matching KLL's guarantee (rank error ~1.65% at the
+    default k=200): the estimated median must land between the exact 0.45
+    and 0.55 quantiles.  Exact medians ride along for the hash check
+    (Spark `percentile` == DuckDB `quantile_cont`, linear interpolation)."""
+    li = _t(spark, sf, "lineitem")
+    band = F.expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55))")
+    per = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        band.alias("band"),
+    )
+    in_band = lambda est, b: est.between(  # noqa: E731
+        F.element_at(b, 1), F.element_at(b, 3)
+    )
+    gated = per.select(
+        "grp",
+        F.round(F.element_at("band", 2), 4).alias("exact_median"),
+        in_band(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), F.col("band")
+        ).alias("within_tol"),
+    )
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("mk"))
+    total_band = li.agg(band.alias("band"))
+    merged_row = merged.crossJoin(F.broadcast(total_band)).select(
+        F.lit("ALL").alias("grp"),
+        F.round(F.element_at("band", 2), 4).alias("exact_median"),
+        in_band(
+            F.kll_sketch_get_quantile_double("mk", F.lit(0.5)), F.col("band")
+        ).alias("within_tol"),
+    )
+    return gated.unionByName(merged_row)
+
+
+# --- theta sketch distinct set operations -------------------------------------
+
+@register(
+    "rel_theta_setops",
+    sql="""
+WITH flags AS (
+  SELECT l_orderkey,
+    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_r,
+    max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_a
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT op, exact_n, true AS within_tol FROM (
+  SELECT 'union' AS op,
+    CAST(sum(CASE WHEN in_r = 1 OR in_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_n,
+    1 AS ord
+  FROM flags
+  UNION ALL
+  SELECT 'intersect',
+    CAST(sum(CASE WHEN in_r = 1 AND in_a = 1 THEN 1 ELSE 0 END) AS BIGINT), 2
+  FROM flags
+  UNION ALL
+  SELECT 'diff_r_minus_a',
+    CAST(sum(CASE WHEN in_r = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS BIGINT), 3
+  FROM flags
+) ORDER BY ord
+""",
+    tags=("approx", "theta-sketch", "set-ops", "mergeable"),
+)
+def rel_theta_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-set ALGEBRA without materializing the sets (Apache
+    DataSketches Theta): ONE scan builds a sketch of the distinct
+    l_orderkey values on each side (returned vs accepted lineitems), then
+    union/intersection/difference cardinalities come from sketch ops on
+    two tiny summaries.  This is the cross-shard overlap-estimation
+    pattern for corpus dedup at 100 TB — |A∩B| across snapshots without
+    shuffling either side's key set (HLL can union but never intersect;
+    theta is the sketch that supports the full algebra).  Gate: each
+    estimate within 5% of the exact figure, computed by a groupBy-orderkey
+    flags pass that serves as the oracle."""
+    li = _t(spark, sf, "lineitem")
+    sk = li.agg(
+        F.theta_sketch_agg(F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))).alias("s_r"),
+        F.theta_sketch_agg(F.when(F.col("l_returnflag") == "A", F.col("l_orderkey"))).alias("s_a"),
+    ).select(
+        F.theta_sketch_estimate(F.theta_union("s_r", "s_a")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("s_r", "s_a")).alias("est_intersect"),
+        F.theta_sketch_estimate(F.theta_difference("s_r", "s_a")).alias("est_diff"),
+    )
+    flags = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_r"),
+        F.max((F.col("l_returnflag") == "A").cast("int")).alias("in_a"),
+    )
+    exact = flags.agg(
+        F.sum(((F.col("in_r") == 1) | (F.col("in_a") == 1)).cast("long")).alias("x_union"),
+        F.sum(((F.col("in_r") == 1) & (F.col("in_a") == 1)).cast("long")).alias("x_intersect"),
+        F.sum(((F.col("in_r") == 1) & (F.col("in_a") == 0)).cast("long")).alias("x_diff"),
+    )
+    both = sk.crossJoin(F.broadcast(exact))
+    return both.selectExpr(
+        "stack(3, "
+        "  'union',          x_union,     abs(est_union - x_union) <= 0.05 * x_union, "
+        "  'intersect',      x_intersect, abs(est_intersect - x_intersect) <= 0.05 * x_intersect, "
+        "  'diff_r_minus_a', x_diff,      abs(est_diff - x_diff) <= 0.05 * x_diff"
+        ") AS (op, exact_n, within_tol)"
+    )
+
+
+# --- ordered event funnel ------------------------------------------------------
+
+@register(
+    "rel_funnel_conversion",
+    sql="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_view_click,
+       (SELECT count(*) FROM s3) AS n_view_click_purchase
+""",
+    tags=("events", "funnel", "sequence"),
+)
+def rel_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing timestamps): the canonical behavioral-sequence query.  Each
+    stage is a user-keyed hash agg joined to the previous stage's first-hit
+    time — three shuffles all keyed by user_id (one exchange reused across
+    stages since the partitioning is identical), with the event-type
+    predicates pushed to the scan and stage cardinality monotonically
+    shrinking.  No window-over-whole-history sort and no per-user
+    collect_list: state per user is one timestamp per stage, which is what
+    keeps the shape viable on an unbounded event log at 100 TB."""
+    ev = _t(spark, sf, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count("*").alias("n_view")),
+        s2.agg(F.count("*").alias("n_view_click")),
+        s3.agg(F.count("*").alias("n_view_click_purchase")),
+    ]
+    out = counts[0].crossJoin(F.broadcast(counts[1])).crossJoin(
+        F.broadcast(counts[2])
+    )
+    return out

@@ -239,6 +239,9 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_boilerplate_ngrams",
         "llm_source_mixing",  # 1-row total + 1-row norm broadcast scalars
         "rel_hll_sketch",  # 1-row merged-sketch x 1-row exact-total scalars
+        "rel_kll_quantiles",  # 1-row merged-sketch x 1-row exact-band scalars
+        "rel_theta_setops",  # 1-row sketch-estimates x 1-row exact scalars
+        "rel_funnel_conversion",  # three 1-row stage counts crossJoined
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
