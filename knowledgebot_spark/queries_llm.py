@@ -1588,15 +1588,21 @@ def llm_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     bloom filter for the first pass); the join is shingle-keyed hash
     equi-join, never doc x doc."""
     d = _t(spark, sf, "documents")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(lower(text), ' ')) - 4), "
-                "i -> array_join(slice(split(lower(text), ' '), i, 5), ' '))"
-            )
-        ).alias("g"),
+    sh = (
+        d.select(
+            "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+        )
+        .filter(F.size("tk") >= 5)  # sequence(1, n) descends for n < 1
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 4), "
+                    "i -> array_join(slice(tk, i, 5), ' '))"
+                )
+            ).alias("g"),
+        )
     )
     corpus = (
         sh.filter(F.col("source").rlike("^src[0-9]$"))

@@ -2624,10 +2624,11 @@ def rel_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered conversion funnel (view -> click -> purchase, strictly
     increasing timestamps): the canonical behavioral-sequence query.  Each
     stage is a user-keyed hash agg joined to the previous stage's first-hit
-    time — three shuffles all keyed by user_id (one exchange reused across
-    stages since the partitioning is identical), with the event-type
-    predicates pushed to the scan and stage cardinality monotonically
-    shrinking.  No window-over-whole-history sort and no per-user
+    time — every shuffle keyed by user_id, with the event-type predicates
+    pushed to each scan (verified: PushedFilters carries the type
+    equality) and stage cardinality monotonically shrinking, so later
+    stages broadcast against the event scan at any realistic funnel
+    selectivity.  No window-over-whole-history sort and no per-user
     collect_list: state per user is one timestamp per stage, which is what
     keeps the shape viable on an unbounded event log at 100 TB."""
     ev = _t(spark, sf, "events")
@@ -2659,3 +2660,131 @@ def rel_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(counts[2])
     )
     return out
+
+
+# --- SCD2 validity intervals ---------------------------------------------------
+
+@register(
+    "rel_scd2_intervals",
+    sql="""
+WITH h AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+    lead(o_orderdate) OVER w AS next_date,
+    row_number() OVER w AS version_no
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, CAST(version_no AS INTEGER) AS version_no, o_orderstatus,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  coalesce(strftime(next_date, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+    AS valid_to,
+  next_date IS NULL AS is_current
+FROM h
+WHERE o_custkey <= 300
+""",
+    tags=("scd2", "window", "warehouse"),
+)
+def rel_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction: turn an event-style
+    history (orders per customer) into validity intervals — valid_from =
+    the change date, valid_to = the NEXT change (open interval sentinel
+    9999-12-31 for the current version), version_no = change ordinal.
+    One window shuffle keyed by the dimension's natural key; lead() is the
+    whole trick, no self-join (the naive FROM h a JOIN h b ON b.date >
+    a.date formulation is quadratic per key).  The shape every warehouse
+    uses to snapshot mutable entities, and the inverse of the as-of join
+    (rel_asof_join probes these intervals)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.row_number().over(w).cast("int").alias("version_no"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return h.select(
+        "o_custkey",
+        "version_no",
+        "o_orderstatus",
+        F.date_format("o_orderdate", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_date", fmt), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.isnull("next_date").alias("is_current"),
+    )
+
+
+# --- declarative data-quality checks ------------------------------------------
+
+@register(
+    "rel_dq_checks",
+    sql="""
+SELECT 'orders_orderkey_unique' AS check_name,
+  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    AS n_violations, 1 AS ord
+UNION ALL
+SELECT 'orders_custkey_not_null',
+  CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT), 2
+UNION ALL
+SELECT 'orders_customer_ref_integrity',
+  CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT), 3
+UNION ALL
+SELECT 'lineitem_orders_ref_integrity',
+  CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT), 4
+UNION ALL
+SELECT 'orders_totalprice_positive',
+  CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT), 5
+ORDER BY ord
+""",
+    tags=("data-quality", "constraints", "warehouse"),
+)
+def rel_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ/dbt-test shape): key
+    uniqueness, non-null, referential integrity (anti-join), and a value
+    constraint — each check reduced to a violation COUNT so the whole
+    suite is a handful of aggregates unioned into one tiny report.
+    Referential checks are left-anti joins that shuffle only the key
+    columns (column pruning reaches the scan); uniqueness is
+    count - count_distinct in one pass.  At 100 TB this runs as the
+    ingest gate in front of every pipeline here — violations fail the
+    run, the report is the evidence."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    li = _t(spark, sf, "lineitem")
+    uniq = o.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
+    ).select(F.lit("orders_orderkey_unique").alias("check_name"), "n",
+             F.lit(1).alias("ord"))
+    nn = o.filter(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("orders_custkey_not_null").alias("check_name"), "n",
+             F.lit(2).alias("ord"))
+    ref_oc = (
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orders_customer_ref_integrity").alias("check_name"),
+                "n", F.lit(3).alias("ord"))
+    )
+    ref_lo = (
+        li.select("l_orderkey")
+        .distinct()
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lineitem_orders_ref_integrity").alias("check_name"),
+                "n", F.lit(4).alias("ord"))
+    )
+    pos = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("orders_totalprice_positive").alias("check_name"), "n",
+             F.lit(5).alias("ord"))
+    out = uniq.unionByName(nn).unionByName(ref_oc).unionByName(ref_lo).unionByName(pos)
+    return out.select(
+        "check_name", F.col("n").cast("long").alias("n_violations"), "ord"
+    ).orderBy("ord")

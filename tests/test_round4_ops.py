@@ -125,3 +125,36 @@ def test_quality_filter_quantile_cut(spark, sf_dir):
         if r.n_docs >= 5:
             assert r.n_kept < r.n_docs
         assert r.min_kept_quality is not None
+
+
+def test_scd2_intervals_tile(spark, sf_dir):
+    """Per customer: versions are 1..n, consecutive intervals tile
+    (valid_to of version k == valid_from of version k+1), and exactly one
+    version is current (open-ended sentinel)."""
+    rows = _q("rel_scd2_intervals")(spark, sf_dir).collect()
+    assert rows
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.o_custkey, []).append(r)
+    for cust, vs in per.items():
+        vs.sort(key=lambda r: r.version_no)
+        assert [r.version_no for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r.is_current for r in vs) == 1
+        assert vs[-1].is_current and vs[-1].valid_to == "9999-12-31 00:00:00"
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_dq_checks_clean_testdata(spark, sf_dir):
+    """The generated testdata satisfies every constraint — all five checks
+    report zero violations (the suite exists to catch regressions in
+    loaders/sinks that would break these invariants)."""
+    rows = _q("rel_dq_checks")(spark, sf_dir).collect()
+    assert [r.check_name for r in rows] == [
+        "orders_orderkey_unique",
+        "orders_custkey_not_null",
+        "orders_customer_ref_integrity",
+        "lineitem_orders_ref_integrity",
+        "orders_totalprice_positive",
+    ]
+    assert all(r.n_violations == 0 for r in rows)
