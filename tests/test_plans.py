@@ -309,3 +309,46 @@ def test_segment_dedup_no_corpus_window(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final winner agg
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_joins(spark, sf_dir):
+    """Spark's runtime bloom-filter injection (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) is the 100 TB shuffle
+    reducer: when a selective dim filter feeds a SHUFFLE join, the
+    optimizer builds a bloom filter from the dim keys and semi-join-prunes
+    the fact side BEFORE the exchange.  Locally every dim broadcasts (so
+    the rule correctly stays out of the way — first assertion); this test
+    recreates the at-scale geometry by disabling broadcast and dropping
+    the size thresholds, then asserts the injection actually happens —
+    pinning that the engine's session defaults don't silently defeat the
+    feature."""
+    sql = """
+        SELECT o.o_orderpriority, count(*) AS n
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY o.o_orderpriority
+    """
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    plan_bc = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" not in plan_bc  # broadcast join: no filter needed
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        plan = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # probe side carries the filter
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
