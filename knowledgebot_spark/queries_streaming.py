@@ -379,3 +379,53 @@ def stream_python_sink(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         # committed shard files are read during localCheckpoint above
         shutil.rmtree(out, ignore_errors=True)
+
+
+_FUNNEL_STATEFUL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT s1.user_id,
+  CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+         + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+    AS reached
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s2.user_id = s3.user_id
+"""
+
+
+@register(
+    "stream_funnel",
+    sql=_FUNNEL_STATEFUL_SQL,
+    tags=("streaming", "applyInPandasWithState", "funnel"),
+)
+def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming conversion funnel as a custom stateful operator
+    (applyInPandasWithState): per-user GroupState buffers the stage
+    timestamps (view/click/purchase micros) seen so far, and each batch
+    re-derives the user's furthest ordered stage from the FULL buffer —
+    so a late-arriving earlier 'view' correctly revises which 'click'
+    counts, making the result exact under ANY micro-batch split (the
+    minimal (t1,t2,t3) summary is NOT sufficient state: an earlier t1
+    can resurrect a click that was discarded as too-early — pinned by
+    tests/test_streaming.py's adversarial three-batch replay).  State is
+    bounded by the user's funnel-relevant events inside the watermark
+    horizon, not stream length; the batch twin is rel_funnel_conversion
+    and the oracle is the same staged-min SQL emitting per-user reach."""
+    events = sp.read_events_stream(spark, sf).selectExpr(
+        "user_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+    ).where("event_type IN ('view', 'click', 'purchase')")
+    return sp.run_to_memory(sp.funnel_reach(events), "update")

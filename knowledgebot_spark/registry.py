@@ -54,8 +54,11 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # driver correctness row (import order above stays dependency-safe and does
 # not matter — cross-module imports resolve registration themselves).
 #   r03 window: pipeline(10) + relational(1-40)        -> all green
-#   r04 window: streaming(10) + llm(39) + corpus(1)    -> this round
-#   r05+ plan : corpus(2-8) + formats(10) + relational(41-72) + re-greens
+#   r04 window: streaming(11) + llm(1-39)              -> this round
+#     (second-wave additions landed llm at 42 and streaming at 11, so the
+#      50-row window now ends inside llm; llm 40-42, corpus, formats, and
+#      relational 41+ wait for the next rotation)
+#   r05+ plan : llm(40-42) + corpus(12) + formats(13) + relational(41+)
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_llm",

@@ -294,3 +294,57 @@ def stateful_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def funnel_reach(events: DataFrame) -> DataFrame:
+    """Ordered-funnel reach (view -> click -> purchase) as a custom
+    stateful operator: per-user GroupState buffers every funnel-relevant
+    timestamp seen so far and each batch re-derives the furthest ordered
+    stage from the FULL buffer.  Buffering is what makes the operator
+    exact under any micro-batch split / cross-batch disorder: the minimal
+    (t1, t2, t3) summary is insufficient state, because a late-arriving
+    EARLIER view lowers t1 and can resurrect a click previously discarded
+    as too-early.  Reach is therefore monotone non-decreasing in arriving
+    data (more events never shrink the qualifying sets), which is what
+    lets update-mode consumers keep max(reached) per user.  State is
+    bounded per user by funnel-relevant events inside the retention
+    horizon; input columns: (user_id, event_type, ts_us micros)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def funnel_state(key, pdfs, state: GroupState):
+        views, clicks, purchases = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            for t, ty in zip(pdf["ts_us"], pdf["event_type"]):
+                if ty == "view":
+                    views.append(int(t))
+                elif ty == "click":
+                    clicks.append(int(t))
+                else:
+                    purchases.append(int(t))
+        state.update((views, clicks, purchases))
+        if not views:
+            return  # funnel starts at a view; click/purchase-only users wait
+        t1 = min(views)
+        reached = 1
+        later_clicks = [t for t in clicks if t > t1]
+        if later_clicks:
+            reached = 2
+            t2 = min(later_clicks)
+            if any(t > t2 for t in purchases):
+                reached = 3
+        yield pd.DataFrame({"user_id": [int(key[0])], "reached": [reached]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        funnel_state,
+        outputStructType="user_id bigint, reached int",
+        stateStructType=(
+            "views array<bigint>, clicks array<bigint>, purchases array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -344,3 +344,45 @@ def test_stream_stage_handles_directory_datasets(spark, tmp_path, sf_dir):
         sp.read_events_stream(spark, sfdir).groupBy().count(), "complete"
     ).first()[0]
     assert streamed2 == 1000
+
+
+def test_funnel_state_exact_across_adversarial_batches(spark, tmp_path):
+    """The funnel operator's full-buffer state is what makes it exact under
+    cross-batch disorder: a click arrives FIRST (batch 1), the earlier view
+    that qualifies it arrives later (batch 2), the purchase last (batch 3).
+    A minimal (t1,t2,t3)-summary operator would discard the batch-1 click
+    (no view yet => too early to qualify) and finish at reached=2; the
+    buffered operator must report reached=3.  User 2 checks ordering is
+    enforced: its purchase PRECEDES its click, so reached stays 2."""
+    funnel_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    batches = [
+        # user 1: click at t=200 arrives before any view is known
+        [(1, "click", 200), (2, "view", 100)],
+        # user 1's qualifying view (t=100) arrives AFTER its click
+        [(1, "view", 100), (2, "purchase", 150)],
+        # user 1 completes; user 2's click (t=300) follows its purchase
+        [(1, "purchase", 500), (2, "click", 300)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, funnel_schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(funnel_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*/")
+    )
+    out = sp.run_to_memory(sp.funnel_reach(stream), "update", table="funnel_adv")
+    reach: dict[int, int] = {}
+    for r in out.collect():  # reach is monotone: max == final
+        reach[r.user_id] = max(reach.get(r.user_id, 0), r.reached)
+    assert reach == {1: 3, 2: 2}
