@@ -1,0 +1,271 @@
+"""Behavioral / time-series analytics over the ``events`` table.
+
+The reference's data model is an event log (Slack messages ordered by a
+timestamp cursor, KnowledgeBot.py:137-176 incremental scan); this module is
+the warehouse-analytics surface a production deployment runs ON such a log:
+cohort retention, sequence (Markov) transition matrices, sessionized path
+mining, and time-weighted gauges.  All pure Spark built-ins.
+
+Scale posture (100 TB event log), applied throughout:
+  * every shuffle is keyed by ``user_id`` (bounded per-key state: one first
+    event, one lag row, one running session counter) — no whole-log sort,
+    no self-join on time ranges;
+  * per-user windows carry O(1) frame state (lag/lead/row_number), never
+    collect_list over history;
+  * outputs aggregate to bounded cardinality (cohorts x offsets, type x
+    type transitions, top-k paths) before any driver-visible stage;
+  * time math runs on epoch micros (``unix_micros``) — integer arithmetic
+    inside whole-stage codegen, identical truncation semantics on the
+    DuckDB oracle (``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.registry import register
+from knowledgebot_spark.tables import read_table as _t
+
+
+def _micros(col: str) -> F.Column:
+    # events.ts is TIMESTAMP_NTZ on pyspark 4.1; unix_micros wants TIMESTAMP.
+    # Session TZ is pinned UTC (registry._REQUIRED_CONFS) so the cast is a
+    # pure reinterpretation — verified equal to DuckDB epoch_us on testdata.
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# --- cohort retention ---------------------------------------------------------
+
+@register(
+    "rel_cohort_retention",
+    sql="""
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER)
+    AS day_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+WHERE date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) <= 14
+GROUP BY 1, 2
+""",
+    tags=("events", "cohort", "retention"),
+)
+def rel_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, activity
+    counted per day-offset (0..14).  The canonical growth-analytics query.
+
+    Shape: one user-keyed hash agg to build the cohort dim, one user-keyed
+    shuffle join back to the log, one hash agg to (cohort_day, offset) —
+    output cardinality is |days| x 15 regardless of log size.  The cohort
+    side is |users| rows (tiny next to the log) so at scale it broadcasts
+    or AQE picks a shuffled hash join keyed the same as the agg that
+    produced it; never a window over the whole history.
+    """
+    ev = _t(spark, sf, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    joined = ev.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("cohort_day"))
+        .cast("int")
+        .alias("day_offset"),
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 14)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --- Markov transition matrix -------------------------------------------------
+
+@register(
+    "rel_markov_transitions",
+    sql="""
+WITH seq AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+  round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
+FROM pairs
+""",
+    tags=("events", "sequence", "markov"),
+)
+def rel_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | event_type).  The behavioral-model building block
+    (next-action prediction, anomaly scoring on improbable transitions).
+
+    Shape: one lead() window keyed by user_id (O(1) frame state), one hash
+    agg to the |types|^2 pair matrix, then the normalizing window runs on
+    that already-tiny matrix — the expensive part of the query never sees
+    more than one shuffle of the log, and the per-user ORDER BY sorts only
+    within each user's partition-local run, not globally.
+    """
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+# --- sessionized path mining --------------------------------------------------
+
+@register(
+    "rel_session_paths",
+    sql="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM marked
+), ranked AS (
+  SELECT user_id, sid, event_type,
+    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM sess
+), paths AS (
+  SELECT user_id, sid,
+    string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 10
+""",
+    tags=("events", "session", "path-mining", "top-k"),
+)
+def rel_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 session-opening paths: sessionize on a 30-minute inactivity
+    gap (gaps-and-islands over epoch-micro deltas), take each session's
+    first three event types as an ordered path, count path frequencies.
+    Clickstream path mining — the "what do users do first" query.
+
+    Shape: all three windows share ONE partitioning (user_id) so Catalyst
+    plans a single sort+shuffle for the whole window stack; the rn <= 3
+    filter bounds per-session state to 3 rows before the ordered listagg;
+    the path space is small by construction (|types|^3 max) and the final
+    top-10 is TakeOrderedAndProject, never a global sort.
+    """
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000  # 30 minutes in micros
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_micros("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp")) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws))
+    paths = (
+        ranked.filter(F.col("rn") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY rn)").alias(
+                "path"
+            )
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+# --- time-weighted average ----------------------------------------------------
+
+@register(
+    "rel_time_weighted_avg",
+    sql="""
+WITH spans AS (
+  SELECT user_id, value,
+    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+  round(sum(value * dur_us) / sum(dur_us), 4) AS twa_value,
+  round(sum(dur_us) / 1000000.0, 1) AS observed_s,
+  CAST(count(*) AS BIGINT) AS n_spans
+FROM spans WHERE dur_us IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("events", "time-series", "gauge"),
+)
+def rel_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average of a gauge: each reading holds until the next
+    one, so its weight is the micros until the user's next event
+    (last-observation-carried-forward).  The correct way to average
+    irregularly-sampled metrics — a plain avg() over-weights bursts.
+
+    Shape: one lead() window keyed by user_id, one user-keyed hash agg;
+    weights are integer micro deltas (codegen'd, no timestamp objects in
+    the agg loop).  This is the hypertable time_weight() shape expressed
+    as window + agg — no interpolation join, no per-user collect.
+    """
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - _micros("ts")
+        ).alias("dur_us"),
+    )
+    return (
+        spans.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4)
+            .alias("twa_value"),
+            F.round(F.sum("dur_us") / F.lit(1_000_000.0), 1).alias("observed_s"),
+            F.count("*").alias("n_spans"),
+        )
+    )

@@ -26,6 +26,7 @@ _MODULES = (
     "knowledgebot_spark.queries_corpus",
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_formats",
+    "knowledgebot_spark.queries_events",
 )
 
 
@@ -64,6 +65,7 @@ _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_llm",
     "knowledgebot_spark.queries_corpus",
     "knowledgebot_spark.queries_formats",
+    "knowledgebot_spark.queries_events",
     "knowledgebot_spark.queries_pipeline",
     "knowledgebot_spark.queries_relational",
 )

@@ -1,0 +1,78 @@
+"""Semantic invariants for the behavioral-analytics family
+(queries_events.py) that the oracle value-hash can't express: retention
+conservation, Markov row-stochasticity, path-session accounting, and
+time-weighted-average boundedness."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.registry import load
+from knowledgebot_spark.tables import read_table
+
+
+def _q(name):
+    return load()[name].fn
+
+
+def test_cohort_day_zero_counts_every_user(spark, sf_dir):
+    """Every user is active on their own cohort day, so the sum of n_active
+    at day_offset=0 equals the number of distinct users, and no offset's
+    count exceeds its cohort's day-0 count."""
+    rows = _q("rel_cohort_retention")(spark, sf_dir).collect()
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    day0 = {r.cohort_day: r.n_active for r in rows if r.day_offset == 0}
+    assert sum(day0.values()) == n_users
+    for r in rows:
+        assert 0 <= r.day_offset <= 14
+        assert r.n_active <= day0[r.cohort_day]
+
+
+def test_markov_rows_are_stochastic(spark, sf_dir):
+    """Outgoing probabilities per state sum to 1, and total transition count
+    is n_events − n_users (each user's last event has no successor)."""
+    rows = _q("rel_markov_transitions")(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_state: dict = {}
+    for r in rows:
+        by_state.setdefault(r.event_type, 0.0)
+        by_state[r.event_type] += r.p
+    for state, total in by_state.items():
+        assert abs(total - 1.0) < 1e-4, (state, total)
+
+
+def test_session_paths_shape_and_bounds(spark, sf_dir):
+    """Paths are 1..3 '>'-joined event types; top-10 is ordered by count
+    desc then path, and no path count exceeds the total session count."""
+    rows = _q("rel_session_paths")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    pat = re.compile(r"^[a-z]+(>[a-z]+){0,2}$")
+    assert all(pat.match(r.path) for r in rows)
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_time_weighted_avg_bounded_by_extremes(spark, sf_dir):
+    """A time-weighted average is a convex combination of the observed
+    values, so it lies within each user's [min, max] value range."""
+    out = {r.user_id: r for r in _q("rel_time_weighted_avg")(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    extremes = {
+        r.user_id: (r.lo, r.hi)
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert out
+    for uid, r in out.items():
+        lo, hi = extremes[uid]
+        assert lo - 1e-6 <= r.twa_value <= hi + 1e-6
+        assert r.observed_s > 0
+        assert r.n_spans >= 1
