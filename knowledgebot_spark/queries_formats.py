@@ -425,3 +425,75 @@ def rel_scan_json_corrupt(spark: SparkSession, sf: str) -> DataFrame:
         .select("n_nationkey", "n_name")
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "rel_scan_xml",
+    sql="""
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
+FROM supplier GROUP BY s_nationkey
+""",
+    tags=("scan", "xml"),
+)
+def rel_scan_xml(spark: SparkSession, sf: str) -> DataFrame:
+    """Native XML source (Spark 4 built-in, no external package): stage
+    supplier as an XML document tree (rowTag=supplier), read it back with
+    an explicit schema, aggregate.  The oracle computes the same aggregate
+    straight from parquet, so the assertion is round-trip fidelity of the
+    XML writer/reader pair.  Schema is pinned (no inference pass) — at
+    scale XML inference would be a second full read of the data."""
+    path = _stage(sf, "supplier_xml")
+    (
+        _t(spark, sf, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .option("rowTag", "supplier")
+        .option("rootTag", "suppliers")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+        )
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+@register(
+    "rel_xml_functions",
+    sql="""
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation ORDER BY n_nationkey
+""",
+    tags=("scan", "xml", "scalar"),
+)
+def rel_xml_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level XML codec: to_xml(struct) -> from_xml == identity on
+    every nation row — the message-envelope pattern (XML payloads inside
+    a fact column, e.g. legacy feeds landing in a lake) handled without
+    leaving the JVM row pipeline.  Parity partner of rel_json_roundtrip
+    and rel_variant_json; the oracle states the identity directly."""
+    n = _t(spark, sf, "nation")
+    xml = n.select(
+        F.to_xml(
+            F.struct("n_nationkey", "n_name", "n_regionkey"),
+            {"rowTag": "nation"},
+        ).alias("payload")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "payload", "n_nationkey bigint, n_name string, n_regionkey bigint"
+        ).alias("r")
+    )
+    return parsed.select("r.n_nationkey", "r.n_name", "r.n_regionkey").orderBy(
+        "n_nationkey"
+    )

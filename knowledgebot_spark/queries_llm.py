@@ -1686,3 +1686,137 @@ def llm_quality_filter_quantile(spark: SparkSession, sf: str) -> DataFrame:
             "min_kept_quality"
         ),
     )
+
+
+# --- kNN graph construction ---------------------------------------------------
+
+@register(
+    "llm_knn_graph",
+    sql=f"""
+SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, score
+FROM (
+  SELECT a.vec_id, b.vec_id AS nbr_id, round({_DUCK_COS}, 6) AS score,
+    row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY round({_DUCK_COS}, 6) DESC, b.vec_id
+    ) AS rnk
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+WHERE rnk <= 3
+""",
+    tags=("search", "knn-graph", "ann"),
+)
+def llm_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """k-nearest-neighbor graph over the embedding corpus (k=3), blocked
+    by the IVF-style partition key (``label``): exact cosine ranking runs
+    only INSIDE each block, so the join is a plain equi-join on the block
+    id — never an all-pairs product (catalog no-Cartesian invariant
+    holds).  The kNN graph is the backbone structure for graph-based ANN
+    (HNSW/NN-descent seeds), dedup-cluster refinement, and
+    semantic-neighborhood curation.
+
+    Scale: with balanced blocks of size B the work is |V|·B per shuffle
+    (B bounded by the partitioner — see llm_dedup_embedding's sub-block
+    cap for the skew guard); ranking state is a 3-row heap per vector via
+    row_number over (block-local) windows.  Scores fold left-to-right in
+    doubles — bit-identical to the DuckDB oracle."""
+    e = _t(spark, sf, "embeddings")
+    a = e.select(
+        F.col("vec_id"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
+    scored = pairs.withColumn(
+        "score", F.round(sim.cosine_col("va", "vb"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "nbr_id", F.col("rnk").cast("int"), "score")
+    )
+
+
+# --- curriculum ordering ------------------------------------------------------
+
+@register(
+    "llm_curriculum_order",
+    sql="""
+WITH staged AS (
+  SELECT doc_id, source,
+    ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS stage
+  FROM documents
+)
+SELECT doc_id, source, CAST(stage AS INTEGER) AS stage,
+  CAST(row_number() OVER (
+    PARTITION BY source, stage ORDER BY doc_id
+  ) AS INTEGER) AS pos_in_stage
+FROM staged
+""",
+    tags=("training-data", "curriculum", "ordering"),
+)
+def llm_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum ordering for training: stage documents easiest-first
+    (shortest quartile -> longest quartile) WITHIN each source, then
+    position them inside their (source, stage) cell.  A trainer streams
+    stage 1 across all sources before stage 2 — per-source staging stops
+    one verbose source from monopolizing the early curriculum.
+
+    Scale: both windows partition by source (bounded, never the whole
+    corpus); emitting (stage, pos_in_stage) instead of a global rank is
+    deliberate — a single global row_number would force a one-partition
+    window, whereas the (stage, source, pos) tuple IS a total order a
+    downstream reader can merge-sort shard-locally, same pattern as
+    llm_global_shuffle's sharded order key."""
+    d = _t(spark, sf, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    staged = d.select(
+        "doc_id", "source", F.ntile(4).over(ws).cast("int").alias("stage")
+    )
+    wp = Window.partitionBy("source", "stage").orderBy("doc_id")
+    return staged.withColumn(
+        "pos_in_stage", F.row_number().over(wp).cast("int")
+    )
+
+
+# --- sketched frequent tokens -------------------------------------------------
+
+@register(
+    "llm_freq_tokens_sketch",
+    sql="""
+WITH tok AS (
+  SELECT lower(t.tok) AS token
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) >= 3
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 15
+""",
+    tags=("text", "sketch", "frequent-items"),
+)
+def llm_freq_tokens_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide frequent tokens via the approx_top_k sketch (Spark
+    4.1): one pass, mergeable per-partition sketches, no full
+    token->count shuffle.  maxItemsTracked is sized above the corpus
+    vocabulary so the sketch is exact here and the DuckDB oracle can be
+    the plain exact top-15; at true 100 TB vocab the same plan degrades
+    gracefully to approximate counts with a bounded-memory guarantee
+    (the classic Misra-Gries / SpaceSaving trade), which is the entire
+    point of shipping the sketch instead of the exact groupBy.
+
+    The sketch emits top-50, then we re-rank (n DESC, token) and cut to
+    15 so boundary ties resolve identically to the oracle."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("raw")
+    ).select(F.lower("raw").alias("token")).filter(F.length("token") >= 3)
+    sk = tok.agg(F.expr("approx_top_k(token, 50, 200000)").alias("items"))
+    items = sk.select(F.explode("items").alias("it")).select(
+        F.col("it.item").alias("token"), F.col("it.count").alias("n")
+    )
+    return items.orderBy(F.desc("n"), "token").limit(15)
