@@ -269,3 +269,77 @@ def rel_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_spans"),
         )
     )
+
+
+# --- gap-fill / resample with LOCF --------------------------------------------
+
+@register(
+    "rel_gap_fill_locf",
+    sql="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+  FROM bounds
+), u AS (
+  SELECT user_id, ts, value, 0 AS is_grid FROM events
+  UNION ALL
+  SELECT user_id, ts, NULL AS value, 1 AS is_grid FROM grid
+), filled AS (
+  SELECT user_id, ts, is_grid,
+    last_value(value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_grid ROWS UNBOUNDED PRECEDING
+    ) AS locf
+  FROM u
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+  round(coalesce(locf, -1.0), 2) AS value
+FROM filled WHERE is_grid = 1
+""",
+    tags=("events", "time-series", "gap-fill", "resample"),
+)
+def rel_gap_fill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Resample each user's irregular event stream onto a regular hourly
+    grid, carrying the last observed value forward (LOCF) — the
+    hypertable ``time_bucket_gapfill + locf`` shape.  Grid hours before a
+    user's first observation emit the sentinel -1.0 (documented; NULL
+    would also round-trip).
+
+    Shape: the grid is GENERATED per user from their own [first, last]
+    hour bounds (sequence + explode — no calendar dim join, no global
+    grid), then a single union + one user-keyed window computes the fill
+    via last(value, ignorenulls) with events ordered before grid points
+    at equal timestamps.  Everything shuffles once on user_id; window
+    frame state is one scalar.  Output cardinality is sum of per-user
+    active spans in hours — proportional to entity-hours, not to raw
+    event volume, which is what makes gap-fill viable on a 100 TB log."""
+    ev = _t(spark, sf, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    obs = ev.select("user_id", "ts", "value", F.lit(0).alias("is_grid"))
+    u = obs.unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("locf", F.last("value", ignorenulls=True).over(w))
+    return filled.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.round(F.coalesce("locf", F.lit(-1.0)), 2).alias("value"),
+    )

@@ -1832,3 +1832,117 @@ def llm_freq_tokens_sketch(spark: SparkSession, sf: str) -> DataFrame:
         F.col("it.item").alias("token"), F.col("it.count").alias("n")
     )
     return items.orderBy(F.desc("n"), "token").limit(15)
+
+
+# --- PageRank over the kNN graph ----------------------------------------------
+
+# The kNN edge list as a reusable SQL fragment (same capped sub-blocking as
+# llm_knn_graph's oracle): directed vec_id -> nbr_id, k=3 per vector.
+_DUCK_KNN_EDGES = f"""
+  SELECT vec_id AS src, nbr_id AS dst
+  FROM (
+    SELECT a.vec_id, b.vec_id AS nbr_id,
+      row_number() OVER (
+        PARTITION BY a.vec_id ORDER BY round({{_DUCK_COS}}, 6) DESC, b.vec_id
+      ) AS rnk
+    FROM se a JOIN se b
+      ON a.label = b.label AND a.sub = b.sub AND a.vec_id <> b.vec_id
+  ) WHERE rnk <= 3
+"""
+
+
+def _duck_pagerank_sql(iters: int, damping: float) -> str:
+    """Unrolled power iteration as chained CTEs (DuckDB has no mutable
+    state; fixed iteration count keeps it ANSI-expressible, same approach
+    as rel_recursive_cte's bounded recursion)."""
+    edges = _DUCK_KNN_EDGES.format(_DUCK_COS=_DUCK_COS)
+    sql = f"""
+WITH se AS (
+  SELECT *, (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {dd.BLOCK_CAP} AS sub
+  FROM embeddings
+), edges AS ({edges}),
+nodes AS (SELECT vec_id AS v FROM embeddings),
+n_total AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM n_total) AS r FROM nodes)
+"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""", r{i} AS (
+  SELECT n.v,
+    (1.0 - {damping}) / (SELECT n FROM n_total)
+    + {damping} * coalesce(sum(p.r / o.d), 0.0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.v
+  LEFT JOIN {prev} p ON p.v = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.v
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT v AS vec_id, round(r, 8) AS rank
+FROM {prev}
+ORDER BY round(r, 8) DESC, v LIMIT 20
+"""
+    return sql
+
+
+@register(
+    "llm_pagerank_knn",
+    sql=_duck_pagerank_sql(3, 0.85),
+    tags=("graph", "pagerank", "iterative"),
+)
+def llm_pagerank_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled power iterations) over the
+    capped kNN graph — graph centrality for corpus curation: a document
+    whose embedding sits in many neighbors' top-3 lists is a semantic hub
+    (candidate for dedup-cluster exemplars or coreset selection).
+
+    Iterative algorithms on Spark are unrolled joins: each iteration is
+    edges ⋈ ranks grouped by dst — one shuffle per iteration keyed by
+    vertex id, the same plan Pregel-style systems lower to.  The rank
+    vector is |V| rows (tiny next to the edge list) so AQE broadcasts it
+    as the graph grows; dangling mass is dropped (simplified PageRank —
+    documented, matched exactly by the oracle).  A fixed iteration count
+    is the production norm (GraphX's staticPageRank); convergence-driven
+    loops just add a driver-side delta check between iterations.
+
+    The DuckDB oracle unrolls the same three iterations as chained CTEs."""
+    import knowledgebot_spark.queries_llm as _self
+
+    edges = (
+        _self.llm_knn_graph(spark, sf)
+        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+    )
+    bare = _t(spark, sf, "embeddings").select(F.col("vec_id").alias("v"))
+    # Graph size as a broadcast 1-row scalar (the catalog's no-driver-collect
+    # discipline): building this query launches zero jobs.
+    n_df = bare.agg(F.count("*").alias("n_total"))
+    nodes = bare.crossJoin(F.broadcast(n_df))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    contrib_src = edges.join(outdeg, "src")
+    damping = 0.85
+    ranks = nodes.select("v", (F.lit(1.0) / F.col("n_total")).alias("r"))
+    for _ in range(3):
+        contribs = (
+            contrib_src.join(ranks, contrib_src["src"] == ranks["v"])
+            .select(F.col("dst"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["v"] == contribs["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(1.0 - damping) / F.col("n_total")
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("v", F.round("r", 8).alias("rank"))
+        .withColumnRenamed("v", "vec_id")
+        .orderBy(F.desc("rank"), "vec_id")
+        .limit(20)
+    )

@@ -76,3 +76,51 @@ def test_time_weighted_avg_bounded_by_extremes(spark, sf_dir):
         assert lo - 1e-6 <= r.twa_value <= hi + 1e-6
         assert r.observed_s > 0
         assert r.n_spans >= 1
+
+
+def test_gap_fill_grid_is_dense_per_user(spark, sf_dir):
+    """Grid output is exactly one row per user-hour between each user's
+    first and last truncated hour (inclusive), values carry forward (never
+    NULL thanks to the sentinel), and row count matches the closed-form
+    span sum."""
+    rows = _q("rel_gap_fill_locf")(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    spans = {
+        r.user_id: int(r.span)
+        for r in ev.groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.unix_micros(F.date_trunc("hour", F.max("ts")).cast("timestamp"))
+                    - F.unix_micros(F.date_trunc("hour", F.min("ts")).cast("timestamp"))
+                )
+                / 3_600_000_000
+                + 1
+            ).alias("span")
+        )
+        .collect()
+    }
+    per_user: dict = {}
+    for r in rows:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+        assert r.value is not None
+    assert per_user == spans
+    assert len(rows) == sum(spans.values())
+
+
+def test_pagerank_is_deterministic_distribution(spark, sf_dir):
+    """Top-20 ranks are strictly positive, sorted desc, bounded above the
+    teleport floor (1-d)/N, and two independent builds agree exactly
+    (shuffle order never leaks into the rounded ranks)."""
+    from knowledgebot_spark.registry import load as _load
+
+    fn = _load()["llm_pagerank_knn"].fn
+    a = [(r.vec_id, r.rank) for r in fn(spark, sf_dir).collect()]
+    b = [(r.vec_id, r.rank) for r in fn(spark, sf_dir).collect()]
+    assert a == b
+    n = read_table(spark, sf_dir, "embeddings").count()
+    floor = (1.0 - 0.85) / n
+    ranks = [r for _, r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r >= floor for r in ranks)
+    assert len(a) == 20
