@@ -52,6 +52,12 @@ HEADLINE = [
     "rel_kll_quantiles",
     "rel_theta_setops",
     "rel_funnel_conversion",
+    # round-4 third wave
+    "rel_cohort_retention",
+    "rel_session_paths",
+    "rel_gap_fill_locf",
+    "llm_knn_graph",
+    "llm_pagerank_knn",
 ]
 
 

@@ -429,3 +429,59 @@ def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
     ).where("event_type IN ('view', 'click', 'purchase')")
     return sp.run_to_memory(sp.funnel_reach(events), "update")
+
+
+_HLL_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS within_tol
+FROM events GROUP BY 1
+"""
+
+
+@register("stream_hll_distinct", sql=_HLL_SQL, tags=("streaming", "sketch", "hll"))
+def stream_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming distinct users per hour via the mergeable DataSketches
+    HLL aggregate — the sketch state is what the state store holds per
+    window, so memory per window is KB-bounded no matter how many
+    distinct users an hour sees (exact streaming distinct would grow
+    state linearly with cardinality; dropDuplicates-based counting is the
+    stream_dedup query's job).  Mergeability is the streaming superpower:
+    micro-batch partial sketches union associatively, so the result is
+    batch-identical regardless of batch boundaries.
+
+    Correctness gate (same pattern as rel_hll_sketch): after the stream
+    drains, each window's estimate is joined against the BATCH exact
+    distinct count and gated within the published 5% error bound — the
+    oracle states the exact counts and `true`."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.tables import read_table
+
+    events = sp.read_events_stream(spark, sf)
+    sketched = (
+        events.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+    )
+    est = sp.run_to_memory(sketched, "complete")
+    exact = (
+        read_table(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "exact_users",
+        )
+    )
+    return est.join(exact, "window_start").select(
+        "window_start",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tol"),
+    )

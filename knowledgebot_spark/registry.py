@@ -55,11 +55,14 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # driver correctness row (import order above stays dependency-safe and does
 # not matter — cross-module imports resolve registration themselves).
 #   r03 window: pipeline(10) + relational(1-40)        -> all green
-#   r04 window: streaming(11) + llm(1-39)              -> this round
+#   r04 window: streaming(12) + llm(1-38)              -> this round
 #     (second-wave additions landed llm at 42 and streaming at 11, so the
 #      50-row window now ends inside llm; llm 40-42, corpus, formats, and
 #      relational 41+ wait for the next rotation)
-#   r05+ plan : llm(40-42) + corpus(12) + formats(13) + relational(41+)
+#   r05+ plan : llm(40-47, incl. knn/curriculum/sketch/pagerank) +
+#     corpus(12) + formats(15, incl. xml) + events(6) + relational 41+
+#     (third-wave additions registered at the TAIL of their modules so the
+#      r04 window stayed stable mid-round)
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_llm",

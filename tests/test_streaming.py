@@ -8,11 +8,14 @@ import os
 import time
 
 from pyspark.sql import functions as F
+import datetime
+
 from pyspark.sql.types import (
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -386,3 +389,38 @@ def test_funnel_state_exact_across_adversarial_batches(spark, tmp_path):
     for r in out.collect():  # reach is monotone: max == final
         reach[r.user_id] = max(reach.get(r.user_id, 0), r.reached)
     assert reach == {1: 3, 2: 2}
+
+
+def test_stream_hll_merges_across_batches(spark, tmp_path):
+    """Windowed HLL sketch state must union associatively across
+    micro-batches: users of one hour split over two forced batches (with
+    overlap) yield one window whose estimate equals the exact distinct
+    count (HLL is exact at this cardinality)."""
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampNTZType())]
+    )
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    b1 = [(i, base + datetime.timedelta(minutes=i)) for i in range(0, 30)]
+    b2 = [(i, base + datetime.timedelta(minutes=i + 1)) for i in range(20, 50)]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*/")
+    )
+    sketched = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+    )
+    out = sp.run_to_memory(sketched, "complete", table="hll_merge")
+    ests = [round(r.est) for r in out.collect()]
+    assert ests == [50]
