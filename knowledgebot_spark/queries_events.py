@@ -343,3 +343,124 @@ def rel_gap_fill_locf(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
         F.round(F.coalesce("locf", F.lit(-1.0)), 2).alias("value"),
     )
+
+
+# --- rolling z-score anomaly flags --------------------------------------------
+
+@register(
+    "rel_rolling_zscore",
+    sql="""
+WITH stats AS (
+  SELECT event_id, user_id, ts, value,
+    avg(value) OVER w AS mu,
+    stddev_samp(value) OVER w AS sigma,
+    count(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  round((value - mu) / sigma, 4) AS z
+FROM stats
+WHERE n_prior >= 10 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+""",
+    tags=("events", "anomaly", "window-frame"),
+)
+def rel_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: each event's value is
+    scored against the trailing 20-observation window of ITS OWN user
+    (ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING — the current row is
+    excluded so the anomaly can't dilute its own baseline), flagging
+    |z| > 2.5 once at least 10 priors exist.
+
+    Shape: one user-keyed window shuffle; the bounded ROWS frame keeps
+    per-row state at 21 values regardless of history length (a RANGE or
+    UNBOUNDED frame would not).  This is the monitoring query a pipeline
+    runs over its own telemetry — and the batch twin of what
+    transformWithState implements incrementally on the stream."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(
+            (F.col("n_prior") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+# --- period-over-period movers ------------------------------------------------
+
+@register(
+    "rel_period_over_period",
+    sql="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    round(sum(value), 2) AS revenue
+  FROM events GROUP BY 1, 2
+), chained AS (
+  SELECT event_type, d, revenue,
+    lag(revenue) OVER (PARTITION BY event_type ORDER BY d) AS prev_revenue
+  FROM daily
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, revenue, prev_revenue,
+  round((revenue - prev_revenue) / prev_revenue * 100, 2) AS pct_change
+FROM chained
+WHERE prev_revenue IS NOT NULL
+ORDER BY abs(round((revenue - prev_revenue) / prev_revenue * 100, 2)) DESC,
+  event_type, day
+LIMIT 15
+""",
+    tags=("events", "period-over-period", "top-k"),
+)
+def rel_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    """Period-over-period movement report: daily value totals per event
+    type, day-over-day percent change via lag(), top-15 largest absolute
+    movers.  The dashboard query behind every "what spiked yesterday"
+    alert.
+
+    Shape: the fact table collapses to |types| x |days| rows in ONE hash
+    agg before any window runs — the lag() and the final TakeOrdered see
+    only the tiny aggregate, so the query's cost is the scan + one
+    partial+final agg no matter how large the log grows."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    chained = daily.withColumn("prev_revenue", F.lag("revenue").over(w))
+    pct = F.round(
+        (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue") * 100, 2
+    )
+    return (
+        chained.filter(F.col("prev_revenue").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            "prev_revenue",
+            pct.alias("pct_change"),
+        )
+        .orderBy(F.abs(F.col("pct_change")).desc(), "event_type", "day")
+        .limit(15)
+    )

@@ -242,6 +242,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_kll_quantiles",  # 1-row merged-sketch x 1-row exact-band scalars
         "rel_theta_setops",  # 1-row sketch-estimates x 1-row exact scalars
         "rel_funnel_conversion",  # three 1-row stage counts crossJoined
+        "llm_pagerank_knn",  # 1-row graph-size scalar broadcast into ranks
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
