@@ -28,11 +28,12 @@ from knowledgebot_spark.registry import register
 from knowledgebot_spark.tables import read_table as _t
 
 
-def _micros(col: str) -> F.Column:
+def _micros(col) -> F.Column:
     # events.ts is TIMESTAMP_NTZ on pyspark 4.1; unix_micros wants TIMESTAMP.
     # Session TZ is pinned UTC (registry._REQUIRED_CONFS) so the cast is a
     # pure reinterpretation — verified equal to DuckDB epoch_us on testdata.
-    return F.unix_micros(F.col(col).cast("timestamp"))
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 # --- cohort retention ---------------------------------------------------------
@@ -191,7 +192,7 @@ def rel_session_paths(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (_micros("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp")) > gap_us),
+            | (_micros("ts") - _micros(F.lag("ts").over(w)) > gap_us),
             1,
         )
         .otherwise(0)
@@ -255,16 +256,19 @@ def rel_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     spans = ev.select(
         "user_id",
         "value",
-        (
-            F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - _micros("ts")
-        ).alias("dur_us"),
+        (_micros(F.lead("ts").over(w)) - _micros("ts")).alias("dur_us"),
     )
     return (
         spans.filter(F.col("dur_us").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4)
-            .alias("twa_value"),
+            # try_divide: a user whose spans are all zero-duration (events
+            # sharing one timestamp) has sum(dur_us)=0 — ANSI mode would
+            # abort the whole job on the plain divide; NULL matches the
+            # oracle's 0.0/0.0 result.
+            F.round(
+                F.try_divide(F.sum(F.col("value") * F.col("dur_us")), F.sum("dur_us")), 4
+            ).alias("twa_value"),
             F.round(F.sum("dur_us") / F.lit(1_000_000.0), 1).alias("observed_s"),
             F.count("*").alias("n_spans"),
         )
@@ -283,13 +287,13 @@ WITH bounds AS (
   SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
   FROM bounds
 ), u AS (
-  SELECT user_id, ts, value, 0 AS is_grid FROM events
+  SELECT user_id, ts, value, 0 AS is_grid, event_id FROM events
   UNION ALL
-  SELECT user_id, ts, NULL AS value, 1 AS is_grid FROM grid
+  SELECT user_id, ts, NULL AS value, 1 AS is_grid, -1 AS event_id FROM grid
 ), filled AS (
   SELECT user_id, ts, is_grid,
     last_value(value IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY ts, is_grid ROWS UNBOUNDED PRECEDING
+      PARTITION BY user_id ORDER BY ts, is_grid, event_id ROWS UNBOUNDED PRECEDING
     ) AS locf
   FROM u
 )
@@ -329,12 +333,16 @@ def rel_gap_fill_locf(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.lit(None).cast("double").alias("value"),
         F.lit(1).alias("is_grid"),
+        F.lit(-1).cast("long").alias("event_id"),
     )
-    obs = ev.select("user_id", "ts", "value", F.lit(0).alias("is_grid"))
+    obs = ev.select("user_id", "ts", "value", F.lit(0).alias("is_grid"), "event_id")
     u = obs.unionByName(grid)
+    # event_id tie-break: multiple observations at one (user, ts) would
+    # otherwise make the carried value depend on shuffle order (grid rows
+    # are unique per (user, hour); their -1 sentinel never collides).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
+        .orderBy("ts", "is_grid", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.withColumn("locf", F.last("value", ignorenulls=True).over(w))
@@ -395,7 +403,10 @@ def rel_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.stddev_samp("value").over(w).alias("sigma"),
         F.count("*").over(w).alias("n_prior"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # try_divide: the sigma > 0 conjunct below is only safe while Spark
+    # evaluates And left-to-right; NULL-on-zero removes the ANSI
+    # DIVIDE_BY_ZERO landmine if Catalyst ever reorders the conjuncts.
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     return (
         stats.filter(
             (F.col("n_prior") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
@@ -426,7 +437,7 @@ WITH daily AS (
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day, revenue, prev_revenue,
   round((revenue - prev_revenue) / prev_revenue * 100, 2) AS pct_change
 FROM chained
-WHERE prev_revenue IS NOT NULL
+WHERE prev_revenue IS NOT NULL AND prev_revenue <> 0
 ORDER BY abs(round((revenue - prev_revenue) / prev_revenue * 100, 2)) DESC,
   event_type, day
 LIMIT 15
@@ -449,11 +460,18 @@ def rel_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.round(F.sum("value"), 2).alias("revenue"))
     w = Window.partitionBy("event_type").orderBy("d")
     chained = daily.withColumn("prev_revenue", F.lag("revenue").over(w))
+    # A zero-revenue baseline day is legal input (refunds netting out);
+    # excluded on BOTH sides — a percent change against 0 is undefined —
+    # and try_divide keeps even a reordered plan abort-free under ANSI.
     pct = F.round(
-        (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue") * 100, 2
+        F.try_divide(F.col("revenue") - F.col("prev_revenue"), F.col("prev_revenue"))
+        * 100,
+        2,
     )
     return (
-        chained.filter(F.col("prev_revenue").isNotNull())
+        chained.filter(
+            F.col("prev_revenue").isNotNull() & (F.col("prev_revenue") != 0)
+        )
         .select(
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),

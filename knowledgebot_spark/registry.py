@@ -59,8 +59,8 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 #     (second-wave additions landed llm at 42 and streaming at 11, so the
 #      50-row window now ends inside llm; llm 40-42, corpus, formats, and
 #      relational 41+ wait for the next rotation)
-#   r05+ plan : llm(40-47, incl. knn/curriculum/sketch/pagerank) +
-#     corpus(12) + formats(15, incl. xml) + events(6) + relational 41+
+#   r05+ plan : llm(39-46, incl. knn/curriculum/sketch/pagerank) +
+#     corpus(12) + formats(15, incl. xml) + events(7) + relational 41+
 #     (third-wave additions registered at the TAIL of their modules so the
 #      r04 window stayed stable mid-round)
 _OUTPUT_ORDER = (

@@ -124,3 +124,52 @@ def test_pagerank_is_deterministic_distribution(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True)
     assert all(r >= floor for r in ranks)
     assert len(a) == 20
+
+
+def test_rolling_zscore_flags_match_recomputation(spark, sf_dir):
+    """Every flagged row recomputes to |z| > 2.5 from its user's trailing
+    window (independent pandas recomputation), and zero-sigma windows
+    never flag (try_divide yields NULL, filtered)."""
+    rows = _q("rel_rolling_zscore")(spark, sf_dir).collect()
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    flagged = {r.event_id: r.z for r in rows}
+    n_checked = 0
+    for _, g in ev.groupby("user_id"):
+        vals = list(g.value)
+        ids = list(g.event_id)
+        for i in range(len(vals)):
+            prior = vals[max(0, i - 20) : i]
+            if len(prior) < 10:
+                assert ids[i] not in flagged
+                continue
+            import statistics
+
+            mu = statistics.fmean(prior)
+            sigma = statistics.stdev(prior)
+            if sigma == 0:
+                assert ids[i] not in flagged
+                continue
+            z = (vals[i] - mu) / sigma
+            assert (abs(z) > 2.5) == (ids[i] in flagged), ids[i]
+            if ids[i] in flagged:
+                assert abs(flagged[ids[i]] - round(z, 4)) < 1e-9
+                n_checked += 1
+    assert n_checked == len(flagged) > 0
+
+
+def test_period_over_period_math_and_order(spark, sf_dir):
+    """pct_change recomputes from the revenue pair, no zero baselines
+    survive the filter, and rows arrive largest-absolute-mover first."""
+    rows = _q("rel_period_over_period")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        assert r.prev_revenue != 0
+        expect = round((r.revenue - r.prev_revenue) / r.prev_revenue * 100, 2)
+        assert abs(r.pct_change - expect) < 1e-9
+    mags = [abs(r.pct_change) for r in rows]
+    assert mags == sorted(mags, reverse=True)
