@@ -113,7 +113,10 @@ def resize_targets(assets_meta: DataFrame, max_side: int = 224) -> DataFrame:
     the decode seam; planning targets relationally first lets a 100 TB
     pipeline group assets by target shape and hand the GPU/UDF stage
     uniform batches."""
-    scale = F.lit(float(max_side)) / F.greatest("width", "height")
+    # greatest(..., 1) in the denominator: 0x0 metadata (corrupt decode) is
+    # legal input and ANSI mode aborts on /0 — a degenerate asset plans to
+    # the 1x1 floor instead of killing the job.
+    scale = F.lit(float(max_side)) / F.greatest("width", "height", F.lit(1))
     # greatest(..., 1): extreme aspect ratios (e.g. 481x1) would otherwise
     # round the short side to 0 pixels
     tgt = lambda c: F.greatest(  # noqa: E731

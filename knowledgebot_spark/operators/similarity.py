@@ -52,7 +52,13 @@ def norm_expr(vec_col: str) -> str:
 
 
 def cosine_col(a: str, b: str) -> Column:
-    return F.expr(f"({dot_expr(a, b)}) / (({norm_expr(a)}) * ({norm_expr(b)}))")
+    # try_divide: an all-zero vector is legal input and has norm 0; ANSI
+    # mode (Spark 4 default) aborts the JOB on double /0, so zero vectors
+    # score NULL instead (ordered last by every top-k here — i.e. excluded).
+    # Non-zero vectors are bit-identical to the plain division.
+    return F.expr(
+        f"try_divide({dot_expr(a, b)}, ({norm_expr(a)}) * ({norm_expr(b)}))"
+    )
 
 
 def array_literal(values: list[float]) -> str:
@@ -112,7 +118,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = f"transform({vec_col}, x -> CAST(x AS DOUBLE) / ({norm_expr(vec_col)}))"
+    unit = f"transform({vec_col}, x -> try_divide(CAST(x AS DOUBLE), {norm_expr(vec_col)}))"
     feats = emb.select(
         id_col, vec_col, array_to_vector(F.expr(unit)).alias("features")
     )

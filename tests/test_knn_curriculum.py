@@ -78,3 +78,18 @@ def test_freq_tokens_sketch_matches_exact_groupby(spark, sf_dir):
         .collect()
     )
     assert [(r.token, r.n) for r in rows] == [(r.token, r.n) for r in exact]
+
+
+def test_cosine_zero_vector_scores_null_not_abort(spark):
+    """An all-zero embedding is legal input; under Spark 4's default ANSI
+    mode a plain /0 would abort the whole job — cosine must yield NULL
+    (excluded from every top-k) instead."""
+    from knowledgebot_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r.id: r.cos for r in df.select("id", sim.cosine_col("a", "b").alias("cos")).collect()}
+    assert rows[1] is None
+    assert abs(rows[2] - 1.0) < 1e-12
