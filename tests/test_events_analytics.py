@@ -173,3 +173,27 @@ def test_period_over_period_math_and_order(spark, sf_dir):
         assert abs(r.pct_change - expect) < 1e-9
     mags = [abs(r.pct_change) for r in rows]
     assert mags == sorted(mags, reverse=True)
+
+
+def test_gap_fill_equal_timestamp_ties_resolve_by_event_id(spark, tmp_path):
+    """Two observations at the SAME (user, ts): the carried value must be
+    the higher event_id's (the ordering tie-break), not shuffle luck."""
+    import datetime
+
+    d = str(tmp_path / "ties")
+    ts0 = datetime.datetime(2024, 5, 1, 10, 15, 0)
+    rows = [
+        (1, ts0, 7, "view", 100.0, "{}"),
+        (2, ts0, 7, "view", 200.0, "{}"),
+        (3, datetime.datetime(2024, 5, 1, 12, 40, 0), 7, "view", 300.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.hour: r.value for r in _q("rel_gap_fill_locf")(spark, d).collect()}
+    assert out == {
+        "2024-05-01 10:00:00": -1.0,  # grid instant precedes both events
+        "2024-05-01 11:00:00": 200.0,  # higher event_id wins the tie
+        "2024-05-01 12:00:00": 200.0,
+    }
