@@ -119,7 +119,10 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     unit = f"transform({vec_col}, x -> try_divide(CAST(x AS DOUBLE), {norm_expr(vec_col)}))"
-    feats = emb.select(
+    # Zero-norm vectors are unsearchable under cosine (their unit form is
+    # all-NULL, which array_to_vector rejects with a null-assert): exclude
+    # them from the index up front instead of aborting the job.
+    feats = emb.filter(F.expr(norm_expr(vec_col)) > 0).select(
         id_col, vec_col, array_to_vector(F.expr(unit)).alias("features")
     )
     if emb.filter(F.col(id_col) == query_id).first() is None:

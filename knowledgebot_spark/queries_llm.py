@@ -1705,6 +1705,7 @@ FROM (
     ) AS rnk
   FROM e a JOIN e b
     ON a.label = b.label AND a.sub = b.sub AND a.vec_id <> b.vec_id
+  WHERE {_DUCK_COS} IS NOT NULL
 )
 WHERE rnk <= 3
 """,
@@ -1742,9 +1743,12 @@ def llm_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("vb"),
     )
     pairs = a.join(b, ["label", "sub"]).filter(F.col("vec_id") != F.col("nbr_id"))
+    # NULL scores (zero-norm pairs) must be dropped BEFORE ranking:
+    # row_number would otherwise promote arbitrary NULLS-LAST rows into the
+    # k=3 cut as phantom edges (and feed them to PageRank as real mass).
     scored = pairs.withColumn(
         "score", F.round(sim.cosine_col("va", "vb"), 6)
-    )
+    ).filter(F.col("score").isNotNull())
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1803,7 +1807,7 @@ def llm_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
 WITH tok AS (
   SELECT lower(t.tok) AS token
   FROM documents, unnest(string_split(text, ' ')) AS t(tok)
-  WHERE length(t.tok) >= 3
+  WHERE length(lower(t.tok)) >= 3
 )
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM tok GROUP BY token

@@ -59,10 +59,13 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 #     (second-wave additions landed llm at 42 and streaming at 11, so the
 #      50-row window now ends inside llm; llm 40-42, corpus, formats, and
 #      relational 41+ wait for the next rotation)
-#   r05+ plan : llm(39-46, incl. knn/curriculum/sketch/pagerank) +
-#     corpus(12) + formats(15, incl. xml) + events(7) + relational 41+
-#     (third-wave additions registered at the TAIL of their modules so the
-#      r04 window stayed stable mid-round)
+#   r05+ plan : llm tail (39-46, incl. knn/curriculum/sketch/pagerank) +
+#     corpus(12) + formats(14, incl. 2 xml) + events(7) + relational 41+
+#     (module totals as of r04 end: streaming 12, llm 46, corpus 12,
+#      formats 14, events 7, pipeline 10, relational 79 = 180; third-wave
+#      additions registered at module tails, EXCEPT stream_hll_distinct,
+#      which displaced llm #39 out of the r04 window — count from load()
+#      when planning r05, not from this comment)
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_llm",

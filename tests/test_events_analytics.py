@@ -119,7 +119,9 @@ def test_pagerank_is_deterministic_distribution(spark, sf_dir):
     b = [(r.vec_id, r.rank) for r in fn(spark, sf_dir).collect()]
     assert a == b
     n = read_table(spark, sf_dir, "embeddings").count()
-    floor = (1.0 - 0.85) / n
+    # 5e-9 slack: emitted ranks are round(r, 8), so a zero-in-degree node
+    # sitting exactly on the teleport floor can round half a grain below it
+    floor = (1.0 - 0.85) / n - 5e-9
     ranks = [r for _, r in a]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r >= floor for r in ranks)

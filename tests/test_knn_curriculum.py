@@ -59,6 +59,18 @@ def test_curriculum_partition_and_stage_bounds(spark, sf_dir):
         cells.setdefault((r.source, r.stage), []).append(r.pos_in_stage)
     for pos in cells.values():
         assert sorted(pos) == list(range(1, len(pos) + 1))
+    # the actual curriculum invariant: stages are length-ordered per source
+    # (ties may straddle a boundary, hence <=)
+    n_chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    bounds: dict = {}
+    for r in rows:
+        lo, hi = bounds.get((r.source, r.stage), (float("inf"), float("-inf")))
+        c = n_chars[r.doc_id]
+        bounds[(r.source, r.stage)] = (min(lo, c), max(hi, c))
+    for (source, stage), (_, hi) in bounds.items():
+        nxt = bounds.get((source, stage + 1))
+        if nxt is not None:
+            assert hi <= nxt[0], (source, stage)
 
 
 def test_freq_tokens_sketch_matches_exact_groupby(spark, sf_dir):
