@@ -482,3 +482,51 @@ def rel_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.abs(F.col("pct_change")).desc(), "event_type", "day")
         .limit(15)
     )
+
+
+# --- temporal RANGE frame (rolling interval window) ---------------------------
+
+@register(
+    "rel_rolling_1h_range",
+    sql="""
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+  round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+""",
+    tags=("events", "window-frame", "range-interval", "rolling"),
+)
+def rel_rolling_1h_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling trailing-hour aggregates via a TEMPORAL RANGE frame —
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` — the
+    frame type ROWS cannot express (the window is defined by TIME
+    distance, so burst hours hold many rows and quiet hours few).  The
+    rolling-rate / velocity-check primitive (fraud counters, rate
+    limiting, trailing-hour load).
+
+    Shape: one user-keyed window; Spark maintains the range frame with a
+    sliding two-pointer over the partition-local sort, so state is the
+    in-frame aggregate, not the history.  RANGE frames require a single
+    ORDER BY key — the deliberate contrast with every ROWS frame in this
+    module (which tie-break on event_id; here same-instant rows share a
+    frame, which is exactly the semantics a time-distance window wants).
+    """
+    ev = _t(spark, sf, "events")
+    # Python rangeBetween takes numeric boundaries, so the ORDER BY key is
+    # epoch MICROS (exact, no truncation) and the frame is 3.6e9 micros —
+    # value-identical to DuckDB's RANGE INTERVAL 1 HOUR over the timestamp.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )

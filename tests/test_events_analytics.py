@@ -199,3 +199,111 @@ def test_gap_fill_equal_timestamp_ties_resolve_by_event_id(spark, tmp_path):
         "2024-05-01 11:00:00": 200.0,  # higher event_id wins the tie
         "2024-05-01 12:00:00": 200.0,
     }
+
+
+def test_rolling_1h_range_matches_bruteforce(spark, sf_dir):
+    """The temporal RANGE frame equals the brute-force definition (all of
+    the user's events within the trailing hour, inclusive) on real data."""
+    rows = _q("rel_rolling_1h_range")(spark, sf_dir).collect()
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+    )
+    by_user: dict = {}
+    for t in ev.itertuples():
+        by_user.setdefault(t.user_id, []).append((t.ts, t.value, t.event_id))
+    got = {r.event_id: (r.n_1h, r.sum_1h) for r in rows}
+    import datetime
+
+    hour = datetime.timedelta(hours=1)
+    n_checked = 0
+    for uid, evs in by_user.items():
+        for ts, _, eid in evs:
+            in_frame = [v for (t2, v, _) in evs if ts - hour <= t2 <= ts]
+            assert got[eid][0] == len(in_frame)
+            assert abs(got[eid][1] - round(sum(in_frame), 2)) < 1e-9
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def _locf_reference(events, grid_hours):
+    """Pure-python LOCF: last event value at or before the grid instant,
+    ties broken by event_id; -1.0 sentinel before the first observation."""
+    out = {}
+    for h in grid_hours:
+        best = None
+        for (ts, value, eid) in events:
+            if ts <= h and (best is None or (ts, eid) > (best[0], best[1])):
+                best = (ts, eid, value)
+        out[h] = round(best[2], 2) if best else -1.0
+    return out
+
+
+def test_gap_fill_matches_reference_on_random_inputs(spark, tmp_path):
+    """Hypothesis: gap-fill equals the brute-force LOCF reference on random
+    event sets, including duplicate timestamps and multi-user mixes."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = datetime.datetime(2024, 6, 1, 0, 0, 0)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(1, 3),  # user
+                st.integers(0, 60 * 10),  # minutes offset (10h span)
+                st.integers(-50, 50),  # value*10
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(data):
+        rows = [
+            (
+                i,
+                base + datetime.timedelta(minutes=m),
+                u,
+                "view",
+                v / 10.0,
+                "{}",
+            )
+            for i, (u, m, v) in enumerate(data)
+        ]
+        d = str(tmp_path / f"gf_{abs(hash(tuple(data))) % 10**8}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r.user_id, r.hour): r.value
+            for r in _q("rel_gap_fill_locf")(spark, d).collect()
+        }
+        by_user: dict = {}
+        for i, (u, m, v) in enumerate(data):
+            by_user.setdefault(u, []).append(
+                (base + datetime.timedelta(minutes=m), v / 10.0, i)
+            )
+        expect = {}
+        for u, evs in by_user.items():
+            h0 = min(t for t, _, _ in evs).replace(minute=0, second=0, microsecond=0)
+            h1 = max(t for t, _, _ in evs).replace(minute=0, second=0, microsecond=0)
+            hours = []
+            h = h0
+            while h <= h1:
+                hours.append(h)
+                h += datetime.timedelta(hours=1)
+            ref = _locf_reference(evs, hours)
+            for h, v in ref.items():
+                expect[(u, h.strftime("%Y-%m-%d %H:00:00"))] = v
+        assert got == expect
+
+    check()
