@@ -2788,3 +2788,97 @@ def rel_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "check_name", F.col("n").cast("long").alias("n_violations"), "ord"
     ).orderBy("ord")
+
+
+# --- null-safe equi-join ------------------------------------------------------
+
+@register(
+    "rel_null_safe_join",
+    sql="""
+WITH c AS (
+  SELECT nullif(c_custkey % 7, 3) AS k, c_custkey FROM customer
+), s AS (
+  SELECT nullif(s_suppkey % 7, 3) AS k, s_suppkey FROM supplier
+)
+SELECT coalesce(CAST(c.k AS VARCHAR), 'NULL') AS join_key,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+  CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY 1
+""",
+    tags=("join", "null-safe", "eqNullSafe"),
+)
+def rel_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` as the JOIN predicate): NULL keys
+    match each other instead of silently dropping — the semantics MERGE
+    pipelines and SCD lookups need when the business key is nullable
+    (plain equality would lose every NULL-keyed row on both sides).
+    Spark plans ``<=>`` as a HASHED join key (null-safe equality is still
+    an equi-predicate), NOT a nested loop — same shuffle shape as a plain
+    join, which is why this is safe at 100 TB where an anti-join +
+    union-all workaround would double the shuffles.  NULL keys are
+    injected deterministically via nullif (the TPC-H testdata is
+    NULL-free); DuckDB's IS NOT DISTINCT FROM states the identical
+    semantics."""
+    c = _t(spark, sf, "customer").select(
+        F.nullif(F.pmod("c_custkey", F.lit(7)), F.lit(3)).alias("ck"), "c_custkey"
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.nullif(F.pmod("s_suppkey", F.lit(7)), F.lit(3)).alias("sk"), "s_suppkey"
+    )
+    joined = c.join(s, c["ck"].eqNullSafe(s["sk"]))
+    return joined.groupBy(
+        F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("join_key")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )
+
+
+# --- nth_value window ---------------------------------------------------------
+
+@register(
+    "rel_window_nth_value",
+    sql="""
+SELECT o_custkey,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  first_value(o_orderkey) OVER w AS first_order,
+  nth_value(o_orderkey, 2) OVER w AS second_order,
+  nth_value(o_orderkey, 3) OVER w AS third_order
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) <= 5
+""",
+    tags=("window", "nth-value"),
+)
+def rel_window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value analytics: each of a customer's first five orders sees
+    the customer's 1st/2nd/3rd order ids as of that row (running frame —
+    NULL until the nth row exists).  The "compare me to the customer's
+    early behavior" primitive (first-purchase cohorting, second-order
+    conversion).  One window partitioning shared by all four functions,
+    running ROWS frame so state is three remembered values."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
