@@ -485,3 +485,49 @@ def stream_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_tol"),
     )
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_id, user_id, ts, value,
+    avg(value) OVER w AS mu,
+    stddev_samp(value) OVER w AS sigma,
+    count(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  round((value - mu) / sigma, 4) AS z
+FROM stats
+WHERE n_prior >= 10 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+"""
+
+
+@register("stream_zscore", sql=_ZSCORE_SQL, tags=("streaming", "stateful", "anomaly"))
+def stream_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming anomaly flags: rel_rolling_zscore's trailing-window
+    z-score as a custom stateful operator (applyInPandasWithState) whose
+    per-user state is the trailing <=20 observations — O(W) by
+    construction, the bounded-state contrast to stream_funnel's
+    full-buffer exactness (see pipeline.rolling_zscore_state).  Shares
+    the batch query's oracle: identical flags, identical z values."""
+    from pyspark.sql import functions as F
+
+    events = sp.read_events_stream(spark, sf).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    out = sp.run_to_memory(sp.rolling_zscore_state(events), "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(
+            F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts"),
+        "z",
+    )

@@ -55,17 +55,18 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # driver correctness row (import order above stays dependency-safe and does
 # not matter — cross-module imports resolve registration themselves).
 #   r03 window: pipeline(10) + relational(1-40)        -> all green
-#   r04 window: streaming(12) + llm(1-38)              -> this round
+#   r04 window: streaming(13) + llm(1-37)              -> this round
 #     (second-wave additions landed llm at 42 and streaming at 11, so the
 #      50-row window now ends inside llm; llm 40-42, corpus, formats, and
 #      relational 41+ wait for the next rotation)
-#   r05+ plan : llm tail (39-46, incl. knn/curriculum/sketch/pagerank) +
-#     corpus(12) + formats(14, incl. 2 xml) + events(7) + relational 41+
-#     (module totals as of r04 end: streaming 12, llm 46, corpus 12,
-#      formats 14, events 7, pipeline 10, relational 79 = 180; third-wave
-#      additions registered at module tails, EXCEPT stream_hll_distinct,
-#      which displaced llm #39 out of the r04 window — count from load()
-#      when planning r05, not from this comment)
+#   r05+ plan : llm tail (38-46, incl. knn/curriculum/sketch/pagerank) +
+#     corpus(12) + formats(14, incl. 2 xml) + events(8) + relational 41+
+#     (module totals as of r04 end: streaming 13, llm 46, corpus 12,
+#      formats 14, events 8, pipeline 10, relational 81 = 184; third-wave
+#      additions registered at module tails, EXCEPT stream_hll_distinct
+#      and stream_zscore, which displaced llm #38-39 out of the r04
+#      window — count from load() when planning r05, not from this
+#      comment)
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_llm",

@@ -348,3 +348,73 @@ def funnel_reach(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_zscore_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of rel_rolling_zscore as a custom stateful operator:
+    per-user GroupState holds the trailing <=20 (ts_us, event_id, value)
+    observations; each arriving event is scored against that window
+    BEFORE being appended (the batch query's self-excluding frame), and
+    only |z| > 2.5 flags with >= 10 priors are emitted.
+
+    Contrast with funnel_reach's full-buffer state: a trailing-window
+    statistic only ever needs the last W observations, so state is
+    O(W) per user BY CONSTRUCTION — this is the shape to reach for when
+    the operator's math allows it, with the full buffer reserved for
+    semantics (ordered funnels) that genuinely need history.  Exact
+    under event-time-ordered arrival per user (rows are sorted within
+    each batch; a cross-batch straggler older than the newest processed
+    row would need funnel-style buffering instead).
+
+    Input columns: (user_id, event_id, ts_us micros, value)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    W, MIN_PRIOR, THRESH = 20, 10, 2.5
+
+    def zscore_state(key, pdfs, state: GroupState):
+        ts_l, id_l, val_l = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        out_ids, out_ts, out_z = [], [], []
+        for t, eid, v in zip(rows["ts_us"], rows["event_id"], rows["value"]):
+            n = len(val_l)
+            if n >= MIN_PRIOR:
+                mu = sum(val_l) / n
+                var = sum((x - mu) ** 2 for x in val_l) / (n - 1)
+                sigma = var**0.5
+                if sigma > 0:
+                    z = (float(v) - mu) / sigma
+                    if abs(z) > THRESH:
+                        out_ids.append(int(eid))
+                        out_ts.append(int(t))
+                        out_z.append(round(z, 4))
+            ts_l.append(int(t))
+            id_l.append(int(eid))
+            val_l.append(float(v))
+            if len(val_l) > W:
+                ts_l, id_l, val_l = ts_l[-W:], id_l[-W:], val_l[-W:]
+        state.update((ts_l, id_l, val_l))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(out_ids),
+                    "event_id": out_ids,
+                    "ts_us": out_ts,
+                    "z": out_z,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        zscore_state,
+        outputStructType="user_id bigint, event_id bigint, ts_us bigint, z double",
+        stateStructType=(
+            "ts array<bigint>, ids array<bigint>, vals array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -424,3 +424,34 @@ def test_stream_hll_merges_across_batches(spark, tmp_path):
     out = sp.run_to_memory(sketched, "complete", table="hll_merge")
     ests = [round(r.est) for r in out.collect()]
     assert ests == [50]
+
+
+def test_stream_zscore_matches_batch_across_ordered_batches(spark, tmp_path, sf_dir):
+    """Two micro-batches split on event time (per-user in-order arrival):
+    the stateful z-score flags must equal the batch window query's."""
+    from knowledgebot_spark.registry import load
+    from knowledgebot_spark.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "zs_src")
+    os.makedirs(src)
+    base = ev.orderBy("ts", "event_id")
+    for i, part in enumerate(
+        [base.filter(F.col("ts") < F.lit("2024-01-15")), base.filter(F.col("ts") >= F.lit("2024-01-15"))]
+    ):
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*/")
+        .select(
+            "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value"
+        )
+    )
+    out = sp.run_to_memory(sp.rolling_zscore_state(stream), "append", table="zs_two")
+    got = {(r.user_id, r.event_id): r.z for r in out.collect()}
+    batch = load()["rel_rolling_zscore"].fn(spark, sf_dir).collect()
+    want = {(r.user_id, r.event_id): r.z for r in batch}
+    assert got == want and len(got) > 0
