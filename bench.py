@@ -58,6 +58,7 @@ HEADLINE = [
     "rel_gap_fill_locf",
     "llm_knn_graph",
     "llm_pagerank_knn",
+    "kb_rag_search",
 ]
 
 

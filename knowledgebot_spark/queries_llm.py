@@ -1950,3 +1950,115 @@ def llm_pagerank_knn(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rank"), "vec_id")
         .limit(20)
     )
+
+
+# --- end-to-end RAG search (chunk -> embed -> top-k) in one plan --------------
+
+def _query_embedding_micro(query: str, dim: int = 16) -> list[int]:
+    """Driver-side constant: the deterministic hash embedding of a literal
+    query string in exact integer micro-units (same formula as kb_embed —
+    a constant folded from a constant, not data pulled to the driver)."""
+    import hashlib
+
+    toks = query.split(" ")
+    out = []
+    for j in range(dim):
+        s = sum(
+            int(hashlib.md5(f"{t}:{j}".encode()).hexdigest()[:8], 16) % 1000
+            for t in toks
+        )
+        out.append(s * 1000 // len(toks))
+    return out
+
+
+_RAG_QUERY = "spark hash join vector"
+_RAG_DIM = 16
+
+
+@register(
+    "kb_rag_search",
+    sql=f"""
+WITH chunks AS (
+  SELECT doc_id, CAST(t.pos - 1 AS INTEGER) AS chunk_pos,
+    str_split(t.cw, ' ') AS ctk
+  FROM (
+    SELECT doc_id, [array_to_string(tk[s:s+19], ' ') for s in generate_series(1, len(tk), 15)] AS w
+    FROM (SELECT doc_id, str_split(text, ' ') tk FROM documents)
+  ),
+  LATERAL (SELECT unnest(w) AS cw, generate_subscripts(w, 1) AS pos) t
+), embedded AS (
+  SELECT doc_id, chunk_pos,
+    list_transform(range({_RAG_DIM}), j ->
+      (list_reduce(list_transform(ctk, t ->
+         ('0x' || substr(md5(t || ':' || CAST(j AS STRING)), 1, 8))::BIGINT % 1000),
+       (a, b) -> a + b) * 1000) // len(ctk)
+    ) AS emb
+  FROM chunks
+), scored AS (
+  SELECT doc_id, chunk_pos,
+    round(
+      list_reduce(list_transform(range({_RAG_DIM}), j ->
+        CAST(emb[j + 1] AS DOUBLE) * ({{qvec}}::DOUBLE[])[j + 1]), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(emb, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform({{qvec}}::DOUBLE[], x -> x * x), (a, b) -> a + b))),
+      6) AS score
+  FROM embedded
+)
+SELECT doc_id, chunk_pos, score FROM scored
+ORDER BY score DESC, doc_id, chunk_pos LIMIT 5
+""".replace("{qvec}", str(_query_embedding_micro(_RAG_QUERY))),
+    tags=("rag", "e2e", "U1", "U4", "Q1"),
+)
+def kb_rag_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's ingest+search lifecycle (chunk -> embed -> semantic
+    top-k; KnowledgeBot ingest + VectorDatabase.search) composed as ONE
+    Catalyst plan — no intermediate materialization between stages, so
+    the optimizer sees chunking, the 16-way md5 embedding, scoring, and
+    the top-5 TakeOrdered as a single pipeline.  The query vector is a
+    constant folded from a literal string with the same hash formula
+    (broadcast literal, zero driver data movement).
+
+    Exact integer micro-unit embeddings end-to-end (the kb_embed
+    discipline) make the whole composition hash-checkable: the DuckDB
+    oracle restates all three stages over the same parquet.  At 100 TB
+    this is the plan shape an ingest job runs per partition — one scan,
+    pipelined codegen stages, a single per-chunk shuffle for the window
+    agg, and a top-k merge."""
+    chunks = ck.chunk_windows(
+        _ts(spark, sf, "documents"), "text", chunk_size=20, overlap=5
+    )
+    toks = chunks.select(
+        "doc_id", "chunk_pos", F.explode(F.split("chunk_text", " ")).alias("t")
+    )
+
+    def comp(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", "t", F.lit(j))), 1, 8), 16, 10
+            ).cast("bigint")
+            % 1000
+        ).alias(f"c{j}")
+
+    per_tok = toks.select("doc_id", "chunk_pos", *[comp(j) for j in range(_RAG_DIM)])
+    sums = per_tok.groupBy("doc_id", "chunk_pos").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(_RAG_DIM)],
+    )
+    emb_expr = "array(" + ", ".join(
+        f"(s{j} * 1000) div n" for j in range(_RAG_DIM)
+    ) + ")"
+    qvec = _query_embedding_micro(_RAG_QUERY)
+    qlit = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in qvec) + ")"
+    scored = sums.selectExpr(
+        "doc_id",
+        "chunk_pos",
+        f"""round(
+          aggregate(zip_with({emb_expr}, {qlit}, (x, y) -> CAST(x AS DOUBLE) * y),
+                    CAST(0 AS DOUBLE), (a, v) -> a + v)
+          / (sqrt(aggregate(transform({emb_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            CAST(0 AS DOUBLE), (a, v) -> a + v))
+             * sqrt(aggregate(transform({qlit}, x -> x * x),
+                              CAST(0 AS DOUBLE), (a, v) -> a + v))),
+          6) AS score""",
+    )
+    return scored.orderBy(F.desc("score"), "doc_id", "chunk_pos").limit(5)
