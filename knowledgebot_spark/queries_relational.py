@@ -2882,3 +2882,51 @@ def rel_window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# --- key-skew diagnosis -------------------------------------------------------
+
+@register(
+    "rel_skew_report",
+    sql="""
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(max(n) AS BIGINT) AS max_per_key,
+  CAST(min(n) AS BIGINT) AS min_per_key,
+  round(avg(n), 4) AS avg_per_key,
+  CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+  CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+  round(sum(CASE WHEN n >= 7 THEN n ELSE 0 END) * 1.0 / sum(n), 4)
+    AS heavy_key_row_share
+FROM per_key
+""",
+    tags=("diagnostics", "skew", "agg"),
+)
+def rel_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: the distribution of per-key row counts
+    (max, quantiles, and the row share held by heavy keys) — the number
+    you need BEFORE choosing between a plain shuffle join, salting
+    (rel_salted_join), or trusting AQE's skew-join split.  At 100 TB this
+    runs as a cheap profiling pass over the prospective key: one
+    partial+final count agg, then a second agg over |keys| rows; nothing
+    here scales with row width.  percentile_disc (type-preserving, an
+    actual observed value) rather than interpolated percentile — a p99
+    of 7.5 rows is not actionable."""
+    li = _t(spark, sf, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    heavy = F.when(F.col("n") >= 7, F.col("n")).otherwise(F.lit(0))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+        F.min("n").alias("min_per_key"),
+        F.round(F.avg("n"), 4).alias("avg_per_key"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("p50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("p99"),
+        F.round(F.sum(heavy) / F.sum("n"), 4).alias("heavy_key_row_share"),
+    )
