@@ -530,3 +530,42 @@ def rel_rolling_1h_range(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+# --- cumulative distinct users ------------------------------------------------
+
+@register(
+    "rel_running_distinct",
+    sql="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS d
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, CAST(new_users AS BIGINT) AS new_users,
+  CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cumulative_users
+FROM per_day
+""",
+    tags=("events", "running-distinct", "growth"),
+)
+def rel_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query.  The
+    naive formulation (count(DISTINCT user) OVER (ORDER BY day)) needs
+    per-frame distinct state and most engines refuse it; the scalable
+    identity is first-seen-day per user (one user-keyed agg) -> new users
+    per day (one tiny agg) -> running sum over |days| rows.  The only
+    unbounded-window sort runs over the per-day table, which is bounded
+    by the calendar, not the log."""
+    ev = _t(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -2062,3 +2062,67 @@ def kb_rag_search(spark: SparkSession, sf: str) -> DataFrame:
           6) AS score""",
     )
     return scored.orderBy(F.desc("score"), "doc_id", "chunk_pos").limit(5)
+
+
+# --- n-gram novelty (memorization / repetition across ingestion order) --------
+
+@register(
+    "llm_ngram_novelty",
+    sql="""
+WITH grams AS (
+  SELECT doc_id, tk[s] || ' ' || tk[s+1] || ' ' || tk[s+2] AS g
+  FROM (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS s)
+  WHERE len(tk) >= 3
+), dedup AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM dedup GROUP BY g
+)
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  round(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) * 1.0
+        / count(*), 4) AS novelty
+FROM dedup d JOIN first_seen f ON d.g = f.g
+GROUP BY d.doc_id
+""",
+    tags=("text", "novelty", "training-data"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 3-gram novelty in ingestion order (doc_id): the share
+    of a document's distinct trigrams that NO earlier document contains.
+    Novelty collapsing toward 0 over a crawl is the standard signal of
+    template/boilerplate saturation — what you measure to decide when
+    dedup must tighten (complements llm_repetition, which is
+    WITHIN-document).
+
+    Shape: explode -> distinct (doc, gram) -> min(doc_id) per gram (the
+    first-seen owner) -> join back and count.  Every shuffle is keyed by
+    the gram hash; min() is the associative partial-agg trick that makes
+    "who saw it first" a one-pass group-by instead of a self-join over
+    history — at 100 TB first_seen is the corpus's gram dictionary,
+    built once and incrementally maintainable (cf. llm_dedup_incremental).
+    """
+    d = _ts(spark, sf, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 3), "
+                "s -> concat_ws(' ', tk[s], tk[s+1], tk[s+2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "g")
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel) / F.count("*"), 4).alias("novelty"),
+    )

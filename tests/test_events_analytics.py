@@ -307,3 +307,40 @@ def test_gap_fill_matches_reference_on_random_inputs(spark, tmp_path):
         assert got == expect
 
     check()
+
+
+def test_running_distinct_conservation(spark, sf_dir):
+    """new_users sums to the distinct user count; the cumulative column is
+    the prefix sum and ends at the total."""
+    rows = sorted(
+        _q("rel_running_distinct")(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    total = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == total
+    run = 0
+    for r in rows:
+        run += r.new_users
+        assert r.cumulative_users == run
+    assert rows[-1].cumulative_users == total
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The lowest doc_id with >=3 tokens has novelty 1.0 (nothing precedes
+    it), every ratio recomputes from its counts, and novelty is weakly
+    anchored: n_novel <= n_grams."""
+    from knowledgebot_spark.registry import load as _load
+
+    rows = {r.doc_id: r for r in _load()["llm_ngram_novelty"].fn(spark, sf_dir).collect()}
+    first = min(rows)
+    assert rows[first].novelty == 1.0
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for r in rows.values():
+        assert 0 < r.n_novel <= r.n_grams or r.n_novel == 0
+        # Spark round() is HALF_UP; Python round() is half-even
+        expect = float(
+            Decimal(str(r.n_novel / r.n_grams)).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP
+            )
+        )
+        assert abs(r.novelty - expect) < 1e-9
