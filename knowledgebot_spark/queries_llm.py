@@ -2126,3 +2126,78 @@ def llm_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(novel).alias("n_novel"),
         F.round(F.sum(novel) / F.count("*"), 4).alias("novelty"),
     )
+
+
+# --- embedding distribution drift ---------------------------------------------
+
+@register(
+    "llm_embedding_drift",
+    sql="""
+WITH comps AS (
+  SELECT label, vec_id % 2 AS half, u.dim - 1 AS pos, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u
+), cent AS (
+  SELECT label, half, pos, avg(x) AS c
+  FROM comps GROUP BY label, half, pos
+), paired AS (
+  SELECT a.label, a.pos, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+), folded AS (
+  SELECT label,
+    sum(ca * cb) AS dot, sum(ca * ca) AS na, sum(cb * cb) AS nb
+  FROM paired GROUP BY label
+)
+SELECT label,
+  round(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cosine
+FROM folded
+""",
+    tags=("embedding", "drift", "monitoring", "training-data"),
+)
+def llm_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding distribution drift: split each label's vectors into two
+    cohorts (vec_id parity — stand-in for before/after snapshots), take
+    the per-cohort centroid, and report the cosine between centroids.
+    Near 1.0 = the population is stable; a drop flags distribution shift
+    (crawl drift, a source going stale, an embedding-model change) — the
+    monitoring op a training pipeline runs per ingestion batch before
+    trusting similarity thresholds tuned on the old distribution.
+
+    Shape: posexplode to (label, half, dim) components, ONE avg hash agg
+    (the centroid is a per-dimension mean — no vector state, plain
+    columnar partial aggs), then the cosine folds over |labels| x dim
+    rows.  Unlike the pairwise ops there is no join against the corpus at
+    all: cost is one scan + one agg regardless of vector count, which is
+    why centroid drift is the FIRST drift check you run at 100 TB (KS
+    tests per dimension and sliced Wasserstein come later, same plan
+    shape with different moments).  Summation-order caveat: per-dimension
+    avg() is order-dependent in floats, so the oracle gate rounds at 6dp
+    after a double fold — cross-engine agreement verified by the hash.
+    """
+    e = _t(spark, sf, "embeddings")
+    comps = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = comps.groupBy("label", "half", "pos").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("cb")
+    )
+    paired = a.join(b, ["label", "pos"])
+    folded = paired.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("na"),
+        F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+    )
+    return folded.select(
+        "label",
+        F.round(
+            F.try_divide(F.col("dot"), F.sqrt("na") * F.sqrt("nb")), 6
+        ).alias("centroid_cosine"),
+    )

@@ -105,3 +105,22 @@ def test_cosine_zero_vector_scores_null_not_abort(spark):
     rows = {r.id: r.cos for r in df.select("id", sim.cosine_col("a", "b").alias("cos")).collect()}
     assert rows[1] is None
     assert abs(rows[2] - 1.0) < 1e-12
+
+
+def test_embedding_drift_identical_cohorts_score_one(spark, tmp_path):
+    """Two identical cohorts (same vectors at even and odd ids) have
+    identical centroids, so drift cosine is exactly 1.0 per label."""
+    from knowledgebot_spark.registry import load as _load
+
+    d = str(tmp_path / "drift")
+    vecs = []
+    for i in range(10):
+        v = [float((i * 7 + j) % 5 + 1) for j in range(8)]
+        vecs.append((2 * i, v, i % 2))      # even id -> half 0
+        vecs.append((2 * i + 1, v, i % 2))  # same vector at odd id -> half 1
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    rows = _load()["llm_embedding_drift"].fn(spark, d).collect()
+    assert len(rows) == 2
+    assert all(r.centroid_cosine == 1.0 for r in rows)
