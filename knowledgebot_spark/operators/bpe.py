@@ -104,14 +104,13 @@ def _apply_bpe(parts: list[bytes]) -> list[bytes]:
     ``encode`` uses the piece-cached fast path and a test pins equality."""
     while len(parts) > 1:
         best_rank = None
-        best_i = -1
         for i in range(len(parts) - 1):
             rank = _RANK.get((parts[i], parts[i + 1]))
             if rank is not None and (best_rank is None or rank < best_rank):
-                best_rank, best_i = rank, i
+                best_rank = rank
         if best_rank is None:
             break
-        merged = parts[best_i] + parts[best_i + 1]
+        merged = MERGES[best_rank][0] + MERGES[best_rank][1]
         # merge every occurrence of this exact pair left-to-right
         out: list[bytes] = []
         i = 0

@@ -583,7 +583,7 @@ def kb_enrich_llm_stub(spark: SparkSession, sf: str) -> DataFrame:
 SELECT doc_id, CAST(j AS INTEGER) AS dim_idx,
   (list_reduce(list_transform(tk, t -> ('0x' || substr(md5(t || ':' || CAST(j AS STRING)), 1, 8))::BIGINT % 1000),
         (a, b) -> a + b) * 1000) // len(tk) AS value_micro
-FROM (SELECT doc_id, str_split(text, ' ') tk FROM documents),
+FROM (SELECT doc_id, str_split(coalesce(text, '') , ' ') tk FROM documents),
      (SELECT unnest(generate_series(0, 15)) AS j)
 """,
     tags=("U4", "embedding"),
@@ -601,7 +601,13 @@ def kb_embed(spark: SparkSession, sf: str) -> DataFrame:
     Generate for the same hash count).  The shuffle carries 16 partial
     sums + a count per doc; everything row-wise is whole-stage codegen."""
     d = _ts(spark, sf, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # coalesce: explode(split(NULL)) would DROP a null-text doc entirely,
+    # while the oracle's cross join emits its 16 dim rows; '' embeds as the
+    # single empty token on both sides.
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("t"),
+    )
 
     def comp(j: int) -> F.Column:
         return (

@@ -412,23 +412,30 @@ LEFT JOIN s3 ON s2.user_id = s3.user_id
 )
 def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming conversion funnel as a custom stateful operator
-    (applyInPandasWithState): per-user GroupState buffers the stage
-    timestamps (view/click/purchase micros) seen so far, and each batch
-    re-derives the user's furthest ordered stage from the FULL buffer —
-    so a late-arriving earlier 'view' correctly revises which 'click'
-    counts, making the result exact under ANY micro-batch split (the
-    minimal (t1,t2,t3) summary is NOT sufficient state: an earlier t1
-    can resurrect a click that was discarded as too-early — pinned by
-    tests/test_streaming.py's adversarial three-batch replay).  State is
-    bounded by the user's funnel-relevant events inside the watermark
-    horizon, not stream length; the batch twin is rel_funnel_conversion
-    and the oracle is the same staged-min SQL emitting per-user reach."""
+    (applyInPandasWithState): per-user GroupState holds the irreducible
+    exact state — min(view) and max(purchase) scalars plus the click
+    multiset pruned to below the current qualifying minimum — so a
+    late-arriving earlier 'view' correctly revises which 'click' counts,
+    making the result exact under ANY micro-batch split (the minimal
+    (t1,t2,t3) summary is NOT sufficient state: an earlier t1 can
+    resurrect a click that was discarded as too-early — pinned by
+    tests/test_streaming.py's adversarial three-batch replay; see
+    pipeline.funnel_reach for the state-reduction argument and the
+    TTL note).  The batch twin is rel_funnel_conversion and the oracle
+    is the same staged-min SQL emitting per-user reach."""
+    from pyspark.sql import functions as F
+
     events = sp.read_events_stream(spark, sf).selectExpr(
         "user_id",
         "event_type",
         "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
     ).where("event_type IN ('view', 'click', 'purchase')")
-    return sp.run_to_memory(sp.funnel_reach(events), "update")
+    raw = sp.run_to_memory(sp.funnel_reach(events), "update")
+    # Update mode emits one row per user PER MICRO-BATCH; reach is monotone,
+    # so the per-user final answer is max(reached) — folded batch-side here
+    # so the query's contract (one row per user) holds under any batch split,
+    # not just single-batch AvailableNow runs.
+    return raw.groupBy("user_id").agg(F.max("reached").alias("reached"))
 
 
 _HLL_SQL = """

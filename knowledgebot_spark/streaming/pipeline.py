@@ -298,52 +298,74 @@ def stateful_totals_v2(events: DataFrame) -> DataFrame:
 
 def funnel_reach(events: DataFrame) -> DataFrame:
     """Ordered-funnel reach (view -> click -> purchase) as a custom
-    stateful operator: per-user GroupState buffers every funnel-relevant
-    timestamp seen so far and each batch re-derives the furthest ordered
-    stage from the FULL buffer.  Buffering is what makes the operator
-    exact under any micro-batch split / cross-batch disorder: the minimal
-    (t1, t2, t3) summary is insufficient state, because a late-arriving
-    EARLIER view lowers t1 and can resurrect a click previously discarded
-    as too-early.  Reach is therefore monotone non-decreasing in arriving
-    data (more events never shrink the qualifying sets), which is what
-    lets update-mode consumers keep max(reached) per user.  State is
-    bounded per user by funnel-relevant events inside the retention
-    horizon; input columns: (user_id, event_type, ts_us micros)."""
+    stateful operator, exact under ANY micro-batch split / cross-batch
+    disorder.  The naive minimal summary (t1, t2, t3) is insufficient
+    state — a late-arriving EARLIER view lowers t1 and can resurrect a
+    click previously discarded as too-early — but the FULL event buffer
+    is also more than needed.  The irreducible exact state per user is:
+
+      * min(view) scalar       — only the minimum is ever used;
+      * max(purchase) scalar   — ``exists p > t2`` == ``max(p) > t2``,
+        and t2 only decreases as earlier views/clicks arrive, so a max
+        that fails now can qualify later but never vice versa;
+      * the click multiset PRUNED to {c <= current t2} — a click at or
+        above the current qualifying minimum can never become the new
+        minimum (t2 is monotone non-increasing); clicks below it must be
+        kept because a future earlier view can qualify them.
+
+    Reach is monotone non-decreasing in arriving data, which is what lets
+    update-mode consumers keep max(reached) per user.  The click buffer
+    is unbounded ONLY under unbounded disorder: production deployments
+    bound it with an event-time watermark / state TTL (GroupStateTimeout),
+    trading exactness beyond the lateness horizon for bounded state —
+    the stream here carries no watermark so the adversarial replay tests
+    can exercise arbitrarily late data.  Input columns: (user_id,
+    event_type, ts_us micros)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    _NONE = -(2**62)  # state schema has no nullable scalars; sentinel
+
     def funnel_state(key, pdfs, state: GroupState):
-        views, clicks, purchases = (
-            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+        min_view, max_purchase, clicks = (
+            (state.get[0], state.get[1], list(state.get[2]))
             if state.exists
-            else ([], [], [])
+            else (_NONE, _NONE, [])
         )
         for pdf in pdfs:
             for t, ty in zip(pdf["ts_us"], pdf["event_type"]):
+                t = int(t)
                 if ty == "view":
-                    views.append(int(t))
+                    min_view = t if min_view == _NONE else min(min_view, t)
                 elif ty == "click":
-                    clicks.append(int(t))
+                    clicks.append(t)
                 else:
-                    purchases.append(int(t))
-        state.update((views, clicks, purchases))
-        if not views:
-            return  # funnel starts at a view; click/purchase-only users wait
-        t1 = min(views)
-        reached = 1
-        later_clicks = [t for t in clicks if t > t1]
-        if later_clicks:
-            reached = 2
-            t2 = min(later_clicks)
-            if any(t > t2 for t in purchases):
-                reached = 3
-        yield pd.DataFrame({"user_id": [int(key[0])], "reached": [reached]})
+                    max_purchase = (
+                        t if max_purchase == _NONE else max(max_purchase, t)
+                    )
+        reached = 0
+        t2 = None
+        if min_view != _NONE:
+            reached = 1
+            later = [c for c in clicks if c > min_view]
+            if later:
+                reached = 2
+                t2 = min(later)
+                if max_purchase != _NONE and max_purchase > t2:
+                    reached = 3
+        if t2 is not None:
+            clicks = [c for c in clicks if c < t2] + [t2]
+        state.update((min_view, max_purchase, clicks))
+        if reached:
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "reached": [reached]}
+            )
 
     return events.groupBy("user_id").applyInPandasWithState(
         funnel_state,
         outputStructType="user_id bigint, reached int",
         stateStructType=(
-            "views array<bigint>, clicks array<bigint>, purchases array<bigint>"
+            "min_view bigint, max_purchase bigint, clicks array<bigint>"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -68,12 +68,19 @@ def main() -> None:
     t0 = time.time()
     chunks = spark.read.parquet(chunks_path)
     files = serialize_chunk_files(chunks)
-    # write the reference's .txt format out, then ingest it back (K1 ∘ S7)
-    for row in files.select("chunk_key", "value").toLocalIterator():
-        name = row.chunk_key if row.chunk_key.endswith(".txt") else row.chunk_key + ".txt"
-        with open(f"{export_path}/{name}", "w") as fh:
-            fh.write(row.value)
-    raw = spark.read.text(f"{export_path}/*.txt", wholetext=True).withColumn(
+    # write the reference's one-file-per-chunk layout DISTRIBUTED: the text
+    # sink partitioned by chunk_key makes each executor write its keys'
+    # files (chunk_key=<key>/part-*.txt); the driver never sees a row.
+    # The previous formulation funneled every file through a driver-side
+    # toLocalIterator + open() loop — the exact anti-pattern the scale
+    # posture forbids.
+    (
+        files.select("chunk_key", "value")
+        .write.mode("overwrite")
+        .partitionBy("chunk_key")
+        .text(export_path)
+    )
+    raw = spark.read.text(f"{export_path}/chunk_key=*/*", wholetext=True).withColumn(
         "source", F.input_file_name()
     )
     parsed = ck.parse_header_body(raw, "value").filter(F.col("body") != "")
