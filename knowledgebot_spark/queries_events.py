@@ -569,3 +569,130 @@ def rel_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# --- robust outliers: median absolute deviation (wave 4) ----------------------
+
+@register(
+    "rel_mad_outliers",
+    sql="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+  round(min(d.med), 6) AS med, round(min(m.mad), 6) AS mad,
+  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  round(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS outlier_pct
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    tags=("events", "robust-stats", "outliers"),
+)
+def rel_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per event
+    type, flag |value - median| > 3 * MAD.  Unlike rel_rolling_zscore's
+    mean/stddev, the median/MAD pair has a 50% breakdown point — the
+    estimator itself cannot be dragged by the outliers it is hunting,
+    which is why data-quality gates prefer it on heavy-tailed telemetry.
+
+    Shape: two exact-median aggregations keyed by event_type with the
+    tiny |types|-row results broadcast back — the log shuffles on its
+    natural key twice and is never globally sorted.  Exact median is the
+    oracle-parity choice (Spark and DuckDB both interpolate even-count
+    middles identically); at 100 TB swap in approx_percentile(0.5) and a
+    tolerance gate, the rel_approx_percentile pattern, for one-pass
+    sketched medians.
+    """
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("adev") > 3 * F.col("mad")).cast("long")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.sum(is_out).alias("n_outliers"),
+        F.round(F.sum(is_out) / F.count("*"), 6).alias("outlier_pct"),
+    )
+
+
+# --- last-touch attribution (wave 4) ------------------------------------------
+
+@register(
+    "rel_last_touch_attribution",
+    sql="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus,
+    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM events
+)
+SELECT CASE
+    WHEN last_click IS NULL THEN '0_none'
+    WHEN tus - last_click < 60000000 THEN '1_lt1m'
+    WHEN tus - last_click < 300000000 THEN '2_1to5m'
+    WHEN tus - last_click < 1800000000 THEN '3_5to30m'
+    WHEN tus - last_click < 7200000000 THEN '4_30mto2h'
+    ELSE '5_ge2h' END AS delay_bucket,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    tags=("events", "attribution", "funnel"),
+)
+def rel_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent STRICTLY PRIOR click, and purchases histogram into
+    click-to-convert delay buckets (plus '0_none' for unattributed).
+    The marketing-analytics sibling of rel_funnel_conversion — same log,
+    but per-conversion credit assignment instead of stage reach.
+
+    Shape: one user-keyed window whose conditional running max carries
+    O(1) frame state (rows unbounded-preceding to 1-preceding keeps the
+    self-row out, so a click and purchase sharing a timestamp cannot
+    self-attribute); delay math is integer epoch-micros inside codegen;
+    the final agg lands on a 6-row histogram.  No joins at all — the
+    attribution "lookup" rides the same shuffle as the sessionizers.
+    """
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", _micros("ts").alias("tus")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "last_click",
+        F.max(F.when(F.col("event_type") == "click", F.col("tus"))).over(w),
+    )
+    delay = F.col("tus") - F.col("last_click")
+    bucket = (
+        F.when(F.col("last_click").isNull(), "0_none")
+        .when(delay < 60_000_000, "1_lt1m")
+        .when(delay < 300_000_000, "2_1to5m")
+        .when(delay < 1_800_000_000, "3_5to30m")
+        .when(delay < 7_200_000_000, "4_30mto2h")
+        .otherwise("5_ge2h")
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -306,8 +306,8 @@ def llm_sim_filtered(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(5)
 
 
-def _duck_bucket(vec: str) -> str:
-    planes = sim.hyperplanes()
+def _duck_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
+    planes = planes if planes is not None else sim.hyperplanes()
     bits = []
     for k, plane in enumerate(planes):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
@@ -2207,3 +2207,274 @@ def llm_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.try_divide(F.col("dot"), F.sqrt("na") * F.sqrt("nb")), 6
         ).alias("centroid_cosine"),
     )
+
+
+# --- deterministic k-means over embeddings (wave 4) ---------------------------
+
+_KM_K = 4  # clusters
+_KM_SCALE = 1000  # fixed-point quantization: exact integer first-pass math
+
+
+def _duck_kmeans_sql() -> str:
+    """Oracle for llm_kmeans_embeddings: the same two Lloyd iterations as
+    chained CTEs.  The per-dimension centroid sums are generated by the
+    same Python loop that generates the Spark aggregate columns — parity
+    by construction, and the sums are exact BIGINTs so no float summation
+    order can diverge between engines."""
+    dims = sim.EMBED_DIM
+    sums = ", ".join(f"sum(qv[{i + 1}]) AS s{i}" for i in range(dims))
+    means = ", ".join(f"s{i}::DOUBLE / n" for i in range(dims))
+    d_int = (
+        "list_reduce(list_transform(q.qv, (x, i) -> (x - c0.c[i]) * (x - c0.c[i])), "
+        "(p, s) -> p + s)"
+    )
+    d_dbl = (
+        "list_reduce(list_transform(q.qv, (x, i) -> "
+        "(x::DOUBLE - c1.c[i]) * (x::DOUBLE - c1.c[i])), (p, s) -> p + s)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, qv AS c FROM q WHERE vec_id < {_KM_K}
+), a1 AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c0.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_int}, c0.cid) AS rn
+    FROM q CROSS JOIN c0
+  ) WHERE rn = 1
+), m AS (
+  SELECT cid, count(*) AS n, {sums} FROM a1 GROUP BY cid
+), c1 AS (
+  SELECT cid, [{means}] AS c FROM m
+), a2 AS (
+  SELECT vec_id, cid, di FROM (
+    SELECT q.vec_id, c1.cid,
+      CAST(floor({d_dbl} + 0.5) AS BIGINT) AS di,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_dbl}, c1.cid) AS rn
+    FROM q CROSS JOIN c1
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(di) AS BIGINT) AS inertia_q
+FROM a2 GROUP BY cid
+"""
+
+
+@register(
+    "llm_kmeans_embeddings",
+    sql=_duck_kmeans_sql(),
+    tags=("clustering", "kmeans", "iterative", "training-data"),
+)
+def llm_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Two deterministic Lloyd iterations of k-means (k=4) over the
+    embedding corpus, expressed entirely in DataFrame ops — the topic/
+    domain-clustering stage a corpus-mixing pipeline runs before sampling
+    (cluster-balanced mixing, semantic coverage audits).  Init centroids
+    are the k lowest vec_ids, so the run is reproducible (MLlib's KMeans
+    draws random init and cannot be oracled; llm_sim_ivf uses it where
+    recall, not identity, is the contract).
+
+    Determinism across engines: embeddings quantize to fixed-point
+    BIGINTs (floor(x*1000+.5)), making iteration-1 distances and the
+    centroid-update sums EXACT integers — no float summation-order drift
+    through any shuffle.  Updated centroids are exact-integer sums over
+    exact counts, so the division is bit-identical in both engines, and
+    iteration-2 distances fold sequentially over the 64 dims in array
+    order (Spark ``aggregate`` and DuckDB ``list_reduce`` are both left
+    folds) — bit-identical doubles, finally re-quantized per row before
+    the inertia sum so the output hash compares integers only.
+
+    Scale shape (100 TB): each iteration is one narrow map over the
+    corpus (argmin against k broadcast centroids — the 1-row collect_list
+    crossJoin is the same broadcast-scalar pattern as llm_source_mixing)
+    plus one map-side-combinable hash agg of 64 integer sum columns keyed
+    by cluster id; nothing shuffles the vectors themselves, state is
+    O(k x dim), and more iterations append identical stages linearly.
+    """
+    dims = sim.EMBED_DIM
+    e = _t(spark, sf, "embeddings")
+    qv = F.expr(
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT))"
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+
+    cents0 = (
+        q.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    best1 = F.expr(
+        "array_sort(transform(cents, s -> struct("
+        "aggregate(zip_with(qv, s.c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d, s.cid AS cid)))[0].cid"
+    )
+    a1 = q.crossJoin(F.broadcast(cents0)).select("vec_id", "qv", best1.alias("cid"))
+
+    m = a1.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dims)],
+    )
+    c1 = m.select(
+        "cid",
+        F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dims)]).alias("c"),
+    )
+    cents1 = c1.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+
+    best2 = F.expr(
+        "array_sort(transform(cents, s -> struct("
+        "aggregate(zip_with(qv, s.c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, s.cid AS cid)))[0]"
+    )
+    a2 = q.crossJoin(F.broadcast(cents1)).select("vec_id", best2.alias("best"))
+    return (
+        a2.select(
+            F.col("best.cid").alias("cluster_id"),
+            F.expr("CAST(floor(best.d + 0.5) AS BIGINT)").alias("di"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), F.sum("di").alias("inertia_q"))
+    )
+
+
+# --- hard-negative mining (wave 4) --------------------------------------------
+
+_HN_PLANES = 4  # 2^4 LSH buckets: wide cells -> rich candidate sets
+_HN_K = 3
+
+
+def _duck_hard_negatives_sql() -> str:
+    bucket = _duck_bucket("embedding", sim.hyperplanes(n=_HN_PLANES))
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+    {bucket} AS bkt
+  FROM embeddings
+), s AS (
+  SELECT *, (row_number() OVER (PARTITION BY bkt ORDER BY vec_id) - 1) // {dd.BLOCK_CAP} AS sub
+  FROM e
+), ranked AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id, {_DUCK_COS} AS cos_raw,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY {_DUCK_COS} DESC, b.vec_id) AS rank
+  FROM s a JOIN s b
+    ON a.bkt = b.bkt AND a.sub = b.sub AND a.label <> b.label
+)
+SELECT anchor_id, neg_id, CAST(rank AS INTEGER) AS rank, round(cos_raw, 4) AS cos
+FROM ranked WHERE rank <= {_HN_K}
+"""
+
+
+@register(
+    "llm_hard_negatives",
+    sql=_duck_hard_negatives_sql(),
+    tags=("similarity", "hard-negatives", "contrastive", "training-data"),
+)
+def llm_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    anchor vector, the top-3 most-similar vectors with a DIFFERENT label
+    — near in embedding space but semantically distinct, exactly the
+    negatives that sharpen a retriever.  Candidates come from the
+    anchor's random-hyperplane LSH bucket (4 planes -> 16 wide cells), so
+    "near" is geometric, not label-driven, and the pairing is a plain
+    equi-join on (bucket, sub-block) — never all-pairs.  Hot buckets are
+    capped at BLOCK_CAP members by the same deterministic sub-blocking as
+    llm_dedup_embedding.
+
+    Scale shape: bucket assignment is a narrow map (plane dots fold
+    in-row); the join shuffles on the bucket key with bounded block
+    fan-out (<= cap^2 pairs per block); the per-anchor top-3 is a window
+    over bucket-local candidates only.  Plane count is the knob: each
+    extra plane halves expected cell population, trading candidate recall
+    for join volume — at 100 TB you add planes, not machines.
+    """
+    planes = sim.hyperplanes(n=_HN_PLANES)
+    e = _t(spark, sf, "embeddings").withColumn(
+        "bkt", F.expr(sim.bucket_expr("embedding", planes))
+    )
+    e = dd.with_sub_block(e, ["bkt"], "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("la"),
+        "bkt",
+        "sub",
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("lb"),
+        "bkt",
+        "sub",
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, ["bkt", "sub"])
+        .filter(F.col("la") != F.col("lb"))
+        .withColumn("cos_raw", sim.cosine_col("va", "vb"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_raw"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cos"),
+        )
+    )
+
+
+# --- deterministic weighted corpus sampling (wave 4) --------------------------
+
+_WS_K = 50
+
+
+@register(
+    "llm_weighted_sample",
+    sql=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    round(pow(
+      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        / 4294967296.0,
+      1.0 / greatest(n_chars::DOUBLE, 1.0)), 6) AS priority
+  FROM documents
+)
+SELECT doc_id, source, n_chars, priority
+FROM keyed ORDER BY priority DESC, doc_id LIMIT {_WS_K}
+""",
+    tags=("sampling", "weighted", "training-data"),
+)
+def llm_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically: the
+    Efraimidis-Spirakis priority u^(1/w) with u derived from md5(doc_id)
+    instead of a PRNG, w = document length.  P(selected) is proportional
+    to weight, yet membership is a pure function of the id — re-runs and
+    backfills reproduce the same sample (the llm_train_val_split
+    property, extended from uniform to weighted draws).  The length
+    weighting is the common "sample by token mass, not doc count" corpus
+    draw.
+
+    Scale shape: priority is a narrow per-row map (md5 + pow, all
+    JVM-side); top-50 plans as TakeOrderedAndProject — per-partition
+    heaps, no global sort, no shuffle of the corpus.  Priorities are
+    rounded to 6dp BEFORE ranking with a doc_id tie-break, so the kept
+    set cannot flip on a 1-ulp libm difference between engines.
+    """
+    d = _t(spark, sf, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / w), 6).alias("priority"),
+    )
+    return keyed.orderBy(F.desc("priority"), F.asc("doc_id")).limit(_WS_K)

@@ -2930,3 +2930,73 @@ def rel_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         .alias("p99"),
         F.round(F.sum(heavy) / F.sum("n"), 4).alias("heavy_key_row_share"),
     )
+
+
+# --- Pareto concentration analysis (wave 4) -----------------------------------
+
+@register(
+    "rel_pareto_share",
+    sql="""
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+      AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_e4,
+    row_number() OVER (ORDER BY rev_e4 DESC, l_partkey) AS rank,
+    CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_e4,
+    CAST(sum(rev_e4) OVER () AS BIGINT) AS total_e4
+  FROM rev
+)
+SELECT CAST(rank AS BIGINT) AS rank, l_partkey, rev_e4,
+  round(cum_e4 * 1.0 / total_e4, 6) AS cum_share
+FROM ranked
+WHERE (cum_e4 - rev_e4) * 10 < total_e4 * 8
+""",
+    tags=("window", "pareto", "concentration"),
+)
+def rel_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto (80/20) concentration: parts ranked by revenue with
+    cumulative share, trimmed to the head that carries the first 80% of
+    total revenue — the skew-diagnosis twin of rel_skew_report framed as
+    a business question (which SKUs dominate, how concentrated is the
+    fact table really).
+
+    Shape: the fact scan collapses to a |parts|-sized aggregate first
+    (partkey-keyed shuffle, map-side partial agg); the ranking window and
+    the grand-total window then run single-partition over that dim-sized
+    relation only — the global sort never touches lineitem rows.
+
+    Determinism: per-item revenue quantizes to fixed-point e4 BIGINTs
+    before summing (2dp prices x 2dp discounts are exact at 4dp), so the
+    ranking keys, the cumulative sum, and the 80% cut — rewritten as the
+    integer comparison (cum - rev) * 10 < total * 8 — are all exact
+    integer math; a float formulation flipped round(x, 2) half-boundaries
+    between engines on real money sums.  Headroom: total_e4 * 10 must fit
+    BIGINT, good to ~1e17 total revenue (drop to e2 cents beyond).
+    """
+    li = _t(spark, sf, "lineitem")
+    item_e4 = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(item_e4).alias("rev_e4"))
+    wo = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "rev_e4",
+        F.row_number().over(wo).alias("rank"),
+        F.sum("rev_e4")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_e4"),
+        F.sum("rev_e4").over(Window.partitionBy()).alias("total_e4"),
+    )
+    return ranked.filter(
+        (F.col("cum_e4") - F.col("rev_e4")) * 10 < F.col("total_e4") * 8
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        "l_partkey",
+        "rev_e4",
+        F.round(F.col("cum_e4") / F.col("total_e4"), 6).alias("cum_share"),
+    )

@@ -243,6 +243,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_theta_setops",  # 1-row sketch-estimates x 1-row exact scalars
         "rel_funnel_conversion",  # three 1-row stage counts crossJoined
         "llm_pagerank_knn",  # 1-row graph-size scalar broadcast into ranks
+        "llm_kmeans_embeddings",  # 1-row collect_list(k centroids) broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -1,0 +1,140 @@
+"""Semantic invariants for the wave-4 ops: deterministic k-means,
+LSH-blocked hard-negative mining, weighted sampling, Pareto share,
+MAD outliers, and last-touch attribution.  Each test pins a law the
+DuckDB oracle's value-hash alone would not explain (conservation,
+monotonicity, bias direction, bound properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledgebot_spark.tables import read_table
+
+
+def test_kmeans_partitions_the_corpus(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _KM_K, llm_kmeans_embeddings
+
+    out = llm_kmeans_embeddings(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == total, "clusters must partition"
+    assert all(0 <= r.cluster_id < _KM_K for r in out)
+    assert all(r.inertia_q >= 0 for r in out)
+    assert len(out) >= 2, "degenerate single-cluster fit on spread data"
+
+
+def test_kmeans_iteration_reduces_inertia(spark, sf_dir):
+    """Lloyd's algorithm law: assigning to the UPDATED centroids cannot
+    raise total inertia vs scoring the same assignment against the init
+    centroids.  Recomputed here independently via the init-centroid
+    distances (quantized space, same fixed-point math as the query)."""
+    from knowledgebot_spark.queries_llm import _KM_K, _KM_SCALE, llm_kmeans_embeddings
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cents0 = (
+        q.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("c"))
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    d0 = F.expr(
+        "array_sort(transform(cents, s -> struct("
+        "aggregate(zip_with(qv, s.c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d, s.cid AS cid)))[0].d"
+    )
+    inertia0 = (
+        q.crossJoin(F.broadcast(cents0)).agg(F.sum(d0).alias("i")).collect()[0].i
+    )
+    inertia2 = sum(
+        r.inertia_q for r in llm_kmeans_embeddings(spark, sf_dir).collect()
+    )
+    assert inertia2 <= inertia0, "an extra Lloyd iteration must not raise inertia"
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _HN_K, llm_hard_negatives
+
+    out = llm_hard_negatives(spark, sf_dir)
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = labels.withColumnRenamed("vec_id", "anchor_id").withColumnRenamed(
+        "label", "la"
+    )
+    lb = labels.withColumnRenamed("vec_id", "neg_id").withColumnRenamed(
+        "label", "lb"
+    )
+    joined = out.join(la, "anchor_id").join(lb, "neg_id").collect()
+    assert joined, "no hard negatives mined"
+    assert all(r.la != r.lb for r in joined), "a same-label pair leaked through"
+    assert all(1 <= r.rank <= _HN_K for r in joined)
+    assert all(r.cos <= 1.0001 for r in joined)
+    # ranks are contiguous from 1 per anchor (a window law, but also the
+    # consumer contract: rank 2 implies a rank-1 row exists)
+    by_anchor: dict[int, list[int]] = {}
+    for r in joined:
+        by_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_anchor.values())
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _WS_K, llm_weighted_sample
+
+    a = llm_weighted_sample(spark, sf_dir).collect()
+    b = llm_weighted_sample(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    docs = read_table(spark, sf_dir, "documents")
+    assert len(a) == min(_WS_K, docs.count())
+    corpus_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_avg = sum(r.n_chars for r in a) / len(a)
+    assert sample_avg > corpus_avg, (
+        "length-weighted draw must overrepresent long documents "
+        f"(sample {sample_avg:.1f} <= corpus {corpus_avg:.1f})"
+    )
+
+
+def test_pareto_share_monotone_head(spark, sf_dir):
+    from knowledgebot_spark.queries_relational import rel_pareto_share
+
+    rows = sorted(rel_pareto_share(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows[0].rank == 1
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert all(x <= y for x, y in zip(shares, shares[1:])), "cum_share not monotone"
+    revs = [r.rev_e4 for r in rows]
+    assert all(x >= y for x, y in zip(revs, revs[1:])), "head not revenue-sorted"
+    n_parts = (
+        read_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert len(rows) < n_parts, "the 80% head must exclude the tail"
+
+
+def test_mad_outliers_bounds(spark, sf_dir):
+    from knowledgebot_spark.queries_events import rel_mad_outliers
+
+    out = rel_mad_outliers(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers <= r.n
+        # MAD's 50% breakdown point: the |v - med| > 3*MAD cut can never
+        # flag half the data or more (over half would drag MAD itself up)
+        assert r.outlier_pct < 0.5
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    from knowledgebot_spark.queries_events import rel_last_touch_attribution
+
+    out = rel_last_touch_attribution(spark, sf_dir).collect()
+    n_purchases = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in out) == n_purchases
+    allowed = {"0_none", "1_lt1m", "2_1to5m", "3_5to30m", "4_30mto2h", "5_ge2h"}
+    assert {r.delay_bucket for r in out} <= allowed
+    for r in out:
+        assert r.n_users <= r.n_purchases
