@@ -59,6 +59,11 @@ HEADLINE = [
     "llm_knn_graph",
     "llm_pagerank_knn",
     "kb_rag_search",
+    # round-4 fourth wave
+    "llm_kmeans_embeddings",
+    "llm_hard_negatives",
+    "rel_mad_outliers",
+    "rel_last_touch_attribution",
 ]
 
 

@@ -98,3 +98,43 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_md5", F.expr(f"md5({norm})")).withColumn(
         "winnow_fp", F.expr(f"array_min(transform({shingle_expr(text_col)}, s -> md5(s)))")
     )
+
+
+def nfc_clean_udf():
+    """Arrow-batched text normalizer: Unicode NFC composition, control-char
+    strip (C0 minus tab/newline, plus DEL), and whitespace collapse — the
+    standard corpus-cleaning stage run before tokenization/dedup so that
+    visually-identical strings hash identically (a decomposed `e`+U+0301
+    and a composed U+00E9 must be the SAME document to a dedup key).
+
+    NFC has no JVM builtin in Spark, so this is a pandas_udf (ArrowEval,
+    never row-at-a-time BatchEval) — the sanctioned slow path, kept narrow:
+    one string column in, one out, everything around it stays in codegen.
+    The DuckDB oracle mirrors each step (nfc_normalize + the same RE2-safe
+    character classes); Python's ``\\s`` is Unicode-wide while RE2's is
+    ASCII, so the collapse pattern spells the ASCII class explicitly.
+    """
+    import re
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+    ws = re.compile(r"[\t\n\f\r ]+")
+
+    def _clean(s):
+        def f(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x)
+            x = ctrl.sub("", x)
+            return ws.sub(" ", x).strip()
+
+        return s.map(f)
+
+    # this module uses `from __future__ import annotations` (string hints),
+    # which pandas_udf's type inference cannot resolve for a locally-bound
+    # pd — attach real annotation objects instead
+    _clean.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(_clean)

@@ -696,3 +696,82 @@ def rel_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# --- CUPED variance-reduced experiment readout (wave 5) -----------------------
+
+_CUPED_CUTOFF = "2024-01-16"  # events span 2024-01-01 .. 2024-01-30
+
+
+@register(
+    "rel_cuped_experiment",
+    sql=f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(user_id % 2 AS INTEGER) AS variant,
+    sum(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_CUTOFF}' THEN value
+             ELSE 0.0 END) AS x,
+    sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_CUTOFF}' THEN value
+             ELSE 0.0 END) AS y
+  FROM events GROUP BY user_id
+), stats AS (
+  SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mx FROM per_user
+), adj AS (
+  SELECT variant, y, y - theta * (x - mx) AS y_adj
+  FROM per_user CROSS JOIN stats
+)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+  round(avg(y), 6) AS mean_y,
+  round(avg(y_adj), 6) AS mean_y_adj,
+  round(1 - var_pop(y_adj) / var_pop(y), 6) AS var_reduction
+FROM adj GROUP BY variant
+""",
+    tags=("events", "experimentation", "cuped"),
+)
+def rel_cuped_experiment(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-variant post-period
+    means adjusted by each user's PRE-period activity (y' = y - theta *
+    (x - E[x]), theta = cov(x,y)/var(x)) — the standard trick that lets
+    an A/B platform reach significance on a fraction of the traffic.
+    Variant assignment is user_id parity (a stand-in for the hash-bucket
+    assignment llm_train_val_split models), pre/post split at a fixed
+    calendar cutoff.
+
+    Shape: the log collapses to one row per user in a single user-keyed
+    hash agg (both period sums as conditional aggregates in one pass —
+    never two scans); theta and E[x] are a 1-row broadcast scalar
+    (covar_pop/var_pop over |users| rows); the adjusted readout is a
+    |variants|-row agg.  At 100 TB nothing beyond the per-user collapse
+    ever shuffles.  Cross-engine float drift in the co-moment
+    aggregations is absorbed by 6dp rounding on ratio outputs only (the
+    rel_stats_agg precedent).
+    """
+    ev = _t(spark, sf, "events")
+    d = F.expr("CAST(ts AS DATE)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(d < F.lit(_CUPED_CUTOFF).cast("date"), F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(d >= F.lit(_CUPED_CUTOFF).cast("date"), F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    stats = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(stats)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("y_adj"),
+    )
+    return adj.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("y"), 6).alias("mean_y"),
+        F.round(F.avg("y_adj"), 6).alias("mean_y_adj"),
+        F.round(1 - F.var_pop("y_adj") / F.var_pop("y"), 6).alias("var_reduction"),
+    )

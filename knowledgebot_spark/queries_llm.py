@@ -2478,3 +2478,153 @@ def llm_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.pow(u, F.lit(1.0) / w), 6).alias("priority"),
     )
     return keyed.orderBy(F.desc("priority"), F.asc("doc_id")).limit(_WS_K)
+
+
+# --- PMI collocations (wave 5) ------------------------------------------------
+
+_PMI_VOCAB = 100
+_PMI_MIN_CODF = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "llm_pmi_collocations",
+    sql=f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_distinct(str_split(lower(text), ' '))) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dftok AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, df FROM dftok ORDER BY df DESC, tok LIMIT {_PMI_VOCAB}
+), vt AS (
+  SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)
+), pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb, a.df AS dfa, b.df AS dfb,
+    CAST(count(*) AS BIGINT) AS codf
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {_PMI_MIN_CODF}
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT ta, tb, codf,
+  round(ln(codf * n_docs * 1.0 / (dfa * dfb)), 6) AS pmi
+FROM pairs CROSS JOIN n
+ORDER BY pmi DESC, ta, tb LIMIT {_PMI_TOPK}
+""",
+    tags=("corpus-stats", "collocations", "pmi", "training-data"),
+)
+def llm_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence: which token pairs appear together far more often than
+    chance — collocation mining, the corpus-statistics input to phrase
+    vocabularies, template detection, and topic drift checks.
+
+    The all-pairs explosion is tamed the standard way: pairs are formed
+    only WITHIN the top-100 vocabulary (TakeOrdered over the document-
+    frequency agg, then a broadcast semi-join prunes the token stream
+    before the doc-keyed self-join), so per-document fan-out is bounded
+    by |vocab| choose 2 regardless of document length, and the pair agg
+    is map-side combinable on (ta, tb).  N arrives as a 1-row broadcast
+    scalar (the llm_tfidf_topterm pattern).  PMI rounds to 6dp BEFORE the
+    top-50 ranking (ln differs in the last ulp across libms; the (ta, tb)
+    tie-break keeps rounded ties deterministic).
+    """
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dftok = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dftok.orderBy(F.desc("df"), F.asc("tok")).limit(_PMI_VOCAB)
+    vt = toks.join(F.broadcast(vocab), "tok")
+    a = vt.select("doc_id", F.col("tok").alias("ta"), F.col("df").alias("dfa"))
+    b = vt.select("doc_id", F.col("tok").alias("tb"), F.col("df").alias("dfb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count("*").alias("codf"))
+        .filter(F.col("codf") >= _PMI_MIN_CODF)
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            "codf",
+            F.round(
+                F.log(
+                    F.col("codf") * F.col("n_docs") / (F.col("dfa") * F.col("dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("ta"), F.asc("tb"))
+        .limit(_PMI_TOPK)
+    )
+
+
+# --- Unicode NFC text normalization (wave 5) ----------------------------------
+
+# decoration appended to every document so the normalizer has real work on
+# the ASCII-only testdata: doubled spaces, a decomposed e + U+0301 (must
+# NFC-compose to U+00E9), a tab, and a BEL control char
+_NFC_DECOR = "  cafe\u0301\tx\u0007y  "
+
+
+@register(
+    "llm_text_normalize",
+    sql="""
+SELECT doc_id,
+  CAST(length(deco) AS BIGINT) AS raw_len,
+  CAST(length(norm) AS BIGINT) AS norm_len,
+  right(norm, 8) AS tail
+FROM (
+  SELECT doc_id, deco,
+    trim(regexp_replace(regexp_replace(nfc_normalize(deco),
+      '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '[\\t\\n\\f\\r ]+', ' ', 'g'))
+      AS norm
+  FROM (
+    SELECT doc_id,
+      text || '  cafe' || chr(769) || chr(9) || 'x' || chr(7) || 'y  ' AS deco
+    FROM documents
+  )
+)
+""",
+    tags=("text", "normalization", "unicode", "udf-surface"),
+)
+def llm_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-aware text normalization (NFC compose + control strip +
+    whitespace collapse) as an Arrow-batched pandas UDF — the cleaning
+    stage that makes visually-identical strings identical BYTES before
+    any dedup key or tokenizer sees them.  The testdata is pure ASCII, so
+    every document is decorated with a fixed mixed-form suffix (decomposed
+    accent, tab, BEL, doubled spaces) that the normalizer must fix; the
+    DuckDB oracle re-derives the same pipeline via nfc_normalize + RE2 —
+    a true cross-engine check of the Unicode semantics, not a fixture
+    replay.
+
+    Scale shape: one narrow string column through ArrowEval (never
+    row-at-a-time BatchEval); everything before and after stays in
+    whole-stage codegen, and output lengths are codepoint counts in both
+    engines.
+    """
+    from knowledgebot_spark.operators.text_analysis import nfc_clean_udf
+
+    d = _t(spark, sf, "documents")
+    deco = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_DECOR)).alias("deco")
+    )
+    clean = nfc_clean_udf()
+    normed = deco.select(
+        "doc_id", "deco", clean(F.col("deco")).alias("norm")
+    )
+    return normed.select(
+        "doc_id",
+        F.length("deco").cast("long").alias("raw_len"),
+        F.length("norm").cast("long").alias("norm_len"),
+        F.expr("right(norm, 8)").alias("tail"),
+    )

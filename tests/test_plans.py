@@ -244,6 +244,8 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_funnel_conversion",  # three 1-row stage counts crossJoined
         "llm_pagerank_knn",  # 1-row graph-size scalar broadcast into ranks
         "llm_kmeans_embeddings",  # 1-row collect_list(k centroids) broadcast
+        "llm_pmi_collocations",  # 1-row corpus-size N broadcast scalar
+        "rel_cuped_experiment",  # 1-row theta/mean broadcast scalars
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -138,3 +138,52 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     assert {r.delay_bucket for r in out} <= allowed
     for r in out:
         assert r.n_users <= r.n_purchases
+
+
+def test_pmi_collocations_shape_laws(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import (
+        _PMI_MIN_CODF,
+        _PMI_TOPK,
+        llm_pmi_collocations,
+    )
+
+    out = llm_pmi_collocations(spark, sf_dir).collect()
+    assert 0 < len(out) <= _PMI_TOPK
+    for r in out:
+        assert r.ta < r.tb, "pair not canonicalized"
+        assert r.codf >= _PMI_MIN_CODF
+        assert r.pmi == r.pmi, "NaN pmi"
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True), "not ranked by pmi"
+
+
+def test_text_normalize_composes_and_shrinks(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import llm_text_normalize
+
+    out = llm_text_normalize(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # NFC composition (-1), BEL strip (-1), two double-space collapses
+        # (-2), trailing strip (-1): the suffix alone shrinks by >= 5
+        assert r.norm_len <= r.raw_len - 5
+        # the cleaned decoration is exactly the last 8 codepoints
+        assert r.tail == " café xy", repr(r.tail)
+
+
+def test_cuped_preserves_pooled_mean(spark, sf_dir):
+    """CUPED law: the adjustment y - theta*(x - E[x]) is mean-zero over
+    the POOLED population, so the user-weighted grand means of y and
+    y_adj must agree (variance shrinks, the point estimate must not
+    move)."""
+    from knowledgebot_spark.queries_events import rel_cuped_experiment
+    from knowledgebot_spark.tables import read_table
+
+    out = rel_cuped_experiment(spark, sf_dir).collect()
+    assert {r.variant for r in out} == {0, 1}
+    n_users = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in out) == n_users
+    pooled_y = sum(r.n_users * r.mean_y for r in out)
+    pooled_adj = sum(r.n_users * r.mean_y_adj for r in out)
+    assert abs(pooled_y - pooled_adj) < max(1e-3 * abs(pooled_y), 1e-3)
+    for r in out:
+        assert r.var_reduction > -0.05, "adjustment should not inflate variance"
