@@ -775,3 +775,90 @@ def rel_cuped_experiment(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("y_adj"), 6).alias("mean_y_adj"),
         F.round(1 - F.var_pop("y_adj") / F.var_pop("y"), 6).alias("var_reduction"),
     )
+
+
+# --- additive seasonal decomposition (wave 6) ---------------------------------
+
+@register(
+    "rel_seasonal_decompose",
+    sql="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT h, y,
+    CAST(floor(avg(y) OVER (ORDER BY h
+      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) * 10000 + 0.5)
+      AS BIGINT) AS trend_e4
+  FROM hourly
+), s AS (
+  SELECT h, y, trend_e4,
+    CAST(floor(avg(y * 10000 - trend_e4)
+      OVER (PARTITION BY extract(hour FROM h)) + 0.5) AS BIGINT)
+      AS seasonal_e4
+  FROM t
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, y,
+  round(trend_e4 / 10000.0, 4) AS trend,
+  round(seasonal_e4 / 10000.0, 4) AS seasonal,
+  round((y * 10000 - trend_e4 - seasonal_e4) / 10000.0, 4) AS resid
+FROM s
+""",
+    tags=("events", "timeseries", "seasonal"),
+)
+def rel_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive decomposition of the hourly event-count series:
+    trend (centered 25-hour moving average), hour-of-day seasonal (mean
+    of the detrended series per hour slot), residual (what anomaly
+    detectors should actually monitor — rel_rolling_zscore on raw counts
+    alarms every rush hour; on this residual it alarms only genuine
+    deviations).
+
+    Shape: the log collapses to one row per hour FIRST (hash agg keyed by
+    the hour bucket, map-side combinable), so the two windows and the
+    seasonal mean all run over a |hours|-sized series — bounded by the
+    TIME SPAN, not event volume; a year is 8,760 rows no matter how many
+    trillions of events produced them.  The centered frame is exact at
+    the series edges in both engines (ROWS frames truncate identically).
+
+    Determinism: trend and seasonal re-quantize to e4 fixed-point right
+    at their window (avg over exact integers is a correctly-rounded
+    double in both engines, floor(x*1e4+.5) pins it), so the residual is
+    pure BIGINT arithmetic — the float formulation flipped a 4dp
+    rounding boundary when the seasonal mean summed doubles in different
+    orders.
+    """
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("y")
+    )
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    t = hourly.select(
+        "h",
+        "y",
+        F.floor(F.avg("y").over(wt) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("trend_e4"),
+    )
+    ws = Window.partitionBy(F.hour("h"))
+    s = t.select(
+        "h",
+        "y",
+        "trend_e4",
+        F.floor(
+            F.avg(F.col("y") * 10000 - F.col("trend_e4")).over(ws) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("seasonal_e4"),
+    )
+    return s.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "y",
+        F.round(F.col("trend_e4") / 10000.0, 4).alias("trend"),
+        F.round(F.col("seasonal_e4") / 10000.0, 4).alias("seasonal"),
+        F.round(
+            (F.col("y") * 10000 - F.col("trend_e4") - F.col("seasonal_e4"))
+            / 10000.0,
+            4,
+        ).alias("resid"),
+    )

@@ -2628,3 +2628,197 @@ def llm_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
         F.length("norm").cast("long").alias("norm_len"),
         F.expr("right(norm, 8)").alias("tail"),
     )
+
+
+# --- sorted-neighborhood dedup (wave 6) ---------------------------------------
+
+_SNM_W = 2  # compare each record to its W predecessors in sort order
+_SNM_JACCARD = 0.5
+
+
+@register(
+    "llm_dedup_sorted_neighborhood",
+    sql=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS toks,
+    array_to_string(str_split(lower(text), ' ')[1:3], ' ') AS skey,
+    str_split(lower(text), ' ')[1] AS blk
+  FROM documents
+), lagged AS (
+  SELECT doc_id, toks,
+    lag(doc_id, 1) OVER w AS id1, lag(toks, 1) OVER w AS tk1,
+    lag(doc_id, 2) OVER w AS id2, lag(toks, 2) OVER w AS tk2
+  FROM d WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)
+), pairs AS (
+  SELECT doc_id AS a, id1 AS b, toks AS ta, tk1 AS tb FROM lagged
+    WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id2, toks, tk2 FROM lagged WHERE id2 IS NOT NULL
+), scored AS (
+  SELECT least(a, b) AS id_a, greatest(a, b) AS id_b,
+    round(len(list_intersect(ta, tb)) * 1.0
+      / len(list_distinct(ta || tb)), 4) AS jaccard
+  FROM pairs
+)
+SELECT DISTINCT id_a, id_b, jaccard FROM scored WHERE jaccard >= {_SNM_JACCARD}
+""",
+    tags=("dedup", "sorted-neighborhood", "training-data"),
+)
+def llm_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: records sort by a
+    normalized key (first three words), and each record is compared ONLY
+    to its 2 predecessors in that order — the classic record-linkage
+    blocking alternative to hashing (MinHash misses reordered shingles;
+    SNM misses differing prefixes; production dedup runs both and unions
+    the pair lists, which is why the catalog carries the full family).
+
+    Shape: no pair JOIN at all — the neighborhood compare is lag()
+    columns inside one window partitioned by the first word, so candidate
+    volume is exactly W rows per record by construction.  At 100 TB the
+    sort is a range-partitioned shuffle on (blk, skey) and the lag frames
+    never cross partitions; Jaccard is exact integer set math per row
+    (array_intersect/union sizes), no float drift to gate.
+    """
+    d = _t(spark, sf, "documents")
+    spl = F.split(F.lower("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.array_distinct(spl).alias("toks"),
+        F.array_join(F.slice(spl, 1, 3), " ").alias("skey"),
+        F.element_at(spl, 1).alias("blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    lagged = base.select(
+        "doc_id",
+        "toks",
+        *[
+            c
+            for j in range(1, _SNM_W + 1)
+            for c in (
+                F.lag("doc_id", j).over(w).alias(f"id{j}"),
+                F.lag("toks", j).over(w).alias(f"tk{j}"),
+            )
+        ],
+    )
+    parts = [
+        lagged.filter(F.col(f"id{j}").isNotNull()).select(
+            F.col("doc_id").alias("a"),
+            F.col(f"id{j}").alias("b"),
+            F.col("toks").alias("ta"),
+            F.col(f"tk{j}").alias("tb"),
+        )
+        for j in range(1, _SNM_W + 1)
+    ]
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionAll(p)
+    scored = pairs.select(
+        F.least("a", "b").alias("id_a"),
+        F.greatest("a", "b").alias("id_b"),
+        F.round(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")),
+            4,
+        ).alias("jaccard"),
+    )
+    return scored.filter(F.col("jaccard") >= _SNM_JACCARD).distinct()
+
+
+# --- product quantization for embeddings (wave 6) -----------------------------
+
+_PQ_SUB = 8  # subspaces
+_PQ_SUBDIM = 8  # dims per subspace (8 x 8 = EMBED_DIM)
+_PQ_CODES = 16  # codebook entries per subspace
+
+
+def _duck_pq_sql() -> str:
+    d_expr = (
+        "list_reduce(list_transform(a.sv, (x, i) -> "
+        "(x - b.sv[i]) * (x - b.sv[i])), (p, s2) -> p + s2)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, gs.s,
+    qv[(gs.s * {_PQ_SUBDIM} + 1):(gs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM})] AS sv
+  FROM q CROSS JOIN generate_series(0, {_PQ_SUB - 1}) gs(s)
+), cb AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, s, sv FROM subs
+  WHERE vec_id < {_PQ_CODES}
+), assigned AS (
+  SELECT vec_id, s, cid, d FROM (
+    SELECT a.vec_id, a.s, b.cid, {d_expr} AS d,
+      row_number() OVER (PARTITION BY a.vec_id, a.s
+        ORDER BY {d_expr}, b.cid) AS rn
+    FROM subs a JOIN cb b ON a.s = b.s
+  ) WHERE rn = 1
+)
+SELECT s, cid AS code, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(d) AS BIGINT) AS sq_err
+FROM assigned GROUP BY s, cid
+"""
+
+
+@register(
+    "llm_embed_pq",
+    sql=_duck_pq_sql(),
+    tags=("embedding", "quantization", "ann", "training-data"),
+)
+def llm_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization of the embedding corpus — the ANN-index
+    compression that makes billion-vector search fit in memory: the
+    64-dim space splits into 8 subspaces of 8 dims, each subvector snaps
+    to its nearest of 16 codebook entries, and a vector becomes 8 bytes
+    of codes.  Output is the per-(subspace, code) population and summed
+    quantization error — the codebook-balance/distortion report an index
+    build emits.  Codebook entries are the first {{16}} vectors'
+    subvectors (deterministic, like llm_kmeans_embeddings' init; a
+    production build would Lloyd-iterate each subspace codebook with the
+    same machinery).
+
+    Determinism: the same fixed-point BIGINT quantization as
+    llm_kmeans_embeddings — every distance is exact integer math, so
+    assignment and the error sums cannot drift between engines.
+
+    Shape: subvector explosion is a narrow in-row posexplode (corpus x 8
+    rows, no shuffle); the codebook is 128 tiny rows broadcast through an
+    equi-join on the subspace id; assignment is an in-row argmin fold;
+    the report aggregates to 8 x 16 rows keyed by (s, code).  Nothing
+    pairwise, nothing resorted — linear in corpus size.
+    """
+    e = _t(spark, sf, "embeddings")
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    sub_arrays = F.array(
+        *[
+            F.slice("qv", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+            for s in range(_PQ_SUB)
+        ]
+    )
+    subs = q.select(
+        "vec_id", F.posexplode(sub_arrays).alias("s", "sv")
+    )
+    cb = (
+        subs.filter(F.col("vec_id") < _PQ_CODES)
+        .select(F.col("vec_id").cast("int").alias("cid"), "s", "sv")
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("cid", "sv")).alias("cents"))
+    )
+    best = F.expr(
+        "array_sort(transform(cents, c -> struct("
+        "aggregate(zip_with(sv, c.sv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d, c.cid AS cid)))[0]"
+    )
+    assigned = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", best.alias("best")
+    )
+    return (
+        assigned.select("s", F.col("best.cid").alias("code"), F.col("best.d").alias("d"))
+        .groupBy("s", "code")
+        .agg(F.count("*").alias("n"), F.sum("d").alias("sq_err"))
+    )

@@ -187,3 +187,50 @@ def test_cuped_preserves_pooled_mean(spark, sf_dir):
     assert abs(pooled_y - pooled_adj) < max(1e-3 * abs(pooled_y), 1e-3)
     for r in out:
         assert r.var_reduction > -0.05, "adjustment should not inflate variance"
+
+
+def test_seasonal_decomposition_identity(spark, sf_dir):
+    """Additive decomposition law, exact by fixed-point construction:
+    y == trend + seasonal + resid at 4dp for every hour."""
+    from knowledgebot_spark.queries_events import rel_seasonal_decompose
+
+    out = rel_seasonal_decompose(spark, sf_dir).collect()
+    n_hours = (
+        read_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", "ts"))
+        .distinct()
+        .count()
+    )
+    assert len(out) == n_hours
+    for r in out:
+        assert abs(r.y - (r.trend + r.seasonal + r.resid)) < 1e-9
+
+
+def test_sorted_neighborhood_pairs(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import (
+        _SNM_JACCARD,
+        llm_dedup_sorted_neighborhood,
+    )
+
+    out = llm_dedup_sorted_neighborhood(spark, sf_dir).collect()
+    assert out, "synthetic corpus contains near-dups; SNM must find some"
+    for r in out:
+        assert r.id_a < r.id_b, "pair not canonicalized"
+        assert _SNM_JACCARD <= r.jaccard <= 1.0
+
+
+def test_pq_partitions_every_subspace(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _PQ_CODES, _PQ_SUB, llm_embed_pq
+
+    out = llm_embed_pq(spark, sf_dir).collect()
+    corpus = read_table(spark, sf_dir, "embeddings").count()
+    by_s: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r.s < _PQ_SUB
+        assert 0 <= r.code < _PQ_CODES
+        assert r.sq_err >= 0
+        by_s[r.s] = by_s.get(r.s, 0) + r.n
+    assert set(by_s) == set(range(_PQ_SUB)), "a subspace vanished"
+    assert all(v == corpus for v in by_s.values()), (
+        "every vector must receive exactly one code per subspace"
+    )
