@@ -862,3 +862,102 @@ def rel_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("resid"),
     )
+
+
+# --- session pattern detection (CEP-lite) (wave 7) ----------------------------
+
+_PATTERNS = (
+    ("funnel_vcp", "v.*c.*p"),  # view -> click -> purchase, in order
+    ("bounce_single", "^.$"),  # one-event session
+    ("error_repeat", "e.*e"),  # two or more errors in one session
+)
+
+
+@register(
+    "rel_pattern_detect",
+    sql=f"""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+    substr(event_type, 1, 1) AS initial,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+    tus, event_id, initial
+  FROM seq
+), paths AS (
+  SELECT user_id, sid,
+    string_agg(initial, '' ORDER BY tus, event_id) AS path
+  FROM sess GROUP BY user_id, sid
+), hits AS (
+  SELECT count(*) AS total,
+    {", ".join(f"sum(CASE WHEN regexp_matches(path, '{rx}') THEN 1 ELSE 0 END) AS h{i}" for i, (_, rx) in enumerate(_PATTERNS))}
+  FROM paths
+)
+{" UNION ALL ".join(f"SELECT '{name}' AS pattern, CAST(h{i} AS BIGINT) AS n_sessions, CAST(total AS BIGINT) AS total_sessions, round(h{i} * 1.0 / total, 6) AS share FROM hits" for i, (name, _) in enumerate(_PATTERNS))}
+""",
+    tags=("events", "sessions", "pattern", "cep"),
+)
+def rel_pattern_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential pattern detection over sessionized event paths —
+    MATCH_RECOGNIZE-lite: each 30-minute-gap session becomes an ordered
+    initial string ('vvcp...') and regexes classify it (ordered funnel
+    view->click->purchase, single-event bounce, repeated errors).  The
+    CEP workload (fraud sequences, UX funnels) expressed with listagg +
+    rlike instead of a dedicated pattern engine.
+
+    Shape: the same user-keyed window stack as rel_session_paths builds
+    session ids with O(1) frame state; per-session strings are bounded by
+    session length (minutes of activity, not corpus size); the regex
+    classification is one conditional aggregate over |sessions| rows
+    folding to a 3-row report.  Patterns are anchored on single-char
+    initials so Spark's rlike (Java regex) and DuckDB's regexp_matches
+    (RE2) agree — no lookaround, no class shorthand divergence.
+    """
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        _micros("ts").alias("tus"),
+        F.substring("event_type", 1, 1).alias("initial"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("tus") - F.lag("tus").over(w) > 1_800_000_000, 1
+        ).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.expr(
+            "listagg(initial) WITHIN GROUP (ORDER BY tus, event_id)"
+        ).alias("path")
+    )
+    hits = paths.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.col("path").rlike(rx).cast("long")).alias(f"h{i}")
+            for i, (_, rx) in enumerate(_PATTERNS)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', h{i}" for i, (name, _) in enumerate(_PATTERNS)
+    )
+    return hits.selectExpr(
+        f"stack({len(_PATTERNS)}, {stack_args}) AS (pattern, n_sessions)",
+        "total AS total_sessions",
+    ).select(
+        "pattern",
+        "n_sessions",
+        "total_sessions",
+        F.round(F.col("n_sessions") / F.col("total_sessions"), 6).alias("share"),
+    )

@@ -2822,3 +2822,111 @@ def llm_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s", "code")
         .agg(F.count("*").alias("n"), F.sum("d").alias("sq_err"))
     )
+
+
+# --- minhash estimator calibration (wave 7) -----------------------------------
+
+def _duck_calibration_sql() -> str:
+    eq_sum = " + ".join(
+        f"CAST(a.m{k} = b.m{k} AS INTEGER)" for k in range(dd.N_HASHES)
+    )
+    inter = "len(list_filter(da.s, x -> list_contains(db.s, x)))"
+    return (
+        _DUCK_DOCS_CTE
+        + f"""
+, hashed AS (
+  SELECT doc_id,
+    list_concat(list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
+                [0, 0]::BIGINT[]) AS hh
+  FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)
+)
+, hs_t AS (SELECT doc_id, {_duck_shingle_hashes()} AS hs FROM hashed)
+, mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs_t)
+, bands AS ({_duck_bands()})
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+, est AS (
+  SELECT c.id_a, c.id_b, ({eq_sum}) / {dd.N_HASHES}.0 AS est
+  FROM cand c JOIN mh a ON a.doc_id = c.id_a JOIN mh b ON b.doc_id = c.id_b
+)
+, ex AS (
+  SELECT e.id_a, e.id_b, e.est,
+    {inter}::DOUBLE / (len(da.s) + len(db.s) - {inter}) AS exact
+  FROM est e JOIN docs da ON da.doc_id = e.id_a
+    JOIN docs db ON db.doc_id = e.id_b
+)
+SELECT CAST(least(floor(abs(est - exact) * 10), 9) AS INTEGER) AS err_bucket,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(avg(est), 4) AS avg_est, round(avg(exact), 4) AS avg_exact
+FROM ex GROUP BY 1
+"""
+    )
+
+
+@register(
+    "llm_dedup_calibration",
+    sql=_duck_calibration_sql(),
+    tags=("dedup", "minhash", "calibration", "methodology"),
+)
+def llm_dedup_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compare the signature-based Jaccard ESTIMATE (matching components /
+    {8}) against the exact shingle-set Jaccard, and histogram the
+    absolute error in 0.1-wide buckets with per-bucket mean estimate vs
+    truth.  The methodology query a dedup pipeline runs before trusting
+    its thresholds — it tells you whether 8 hashes are enough for YOUR
+    corpus, or the near-dup cut needs the exact-verify stage.
+
+    Shape: reuses the production signature path end-to-end (explode ->
+    map-side min-agg signatures -> banded bucket join), so the calibrated
+    object is the real estimator, not a replica; the exact side touches
+    only candidate pairs (LSH-bounded, never all-pairs).  The estimate is
+    a k/8 rational and the exact ratio is integer set math, so bucket
+    assignment floors identical doubles in both engines — no float gate
+    needed anywhere.
+    """
+    docs = _ts(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    signed = dd.with_minhash(hashed)
+    bands = dd.lsh_bands(signed, "doc_id")
+    pairs = dd.candidate_pairs(bands, "doc_id")
+    a = signed.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{k}").alias(f"am{k}") for k in range(dd.N_HASHES)],
+    )
+    b = signed.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{k}").alias(f"bm{k}") for k in range(dd.N_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"am{k}") == F.col(f"bm{k}")).cast("int")
+        for k in range(dd.N_HASHES)
+    )
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(dd.N_HASHES))).alias("est"))
+    )
+    sh = dd.with_shingles(docs, "text")
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    ex = (
+        est.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "est", (inter / union).alias("exact"))
+    )
+    err_bucket = F.least(
+        F.floor(F.abs(F.col("est") - F.col("exact")) * 10), F.lit(9)
+    ).cast("int")
+    return ex.groupBy(err_bucket.alias("err_bucket")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("est"), 4).alias("avg_est"),
+        F.round(F.avg("exact"), 4).alias("avg_exact"),
+    )

@@ -3000,3 +3000,62 @@ def rel_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
         "rev_e4",
         F.round(F.col("cum_e4") / F.col("total_e4"), 6).alias("cum_share"),
     )
+
+
+# --- equi-depth histogram (ANALYZE statistics) (wave 7) -----------------------
+
+_EQD_BUCKETS = 16
+_EQD_FRACS = ", ".join(f"{i / _EQD_BUCKETS}" for i in range(1, _EQD_BUCKETS))
+
+
+@register(
+    "rel_equi_depth_histogram",
+    sql=f"""
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice, [{_EQD_FRACS}]) AS qs FROM lineitem
+)
+SELECT CAST(1 + len(list_filter(qs, c -> l_extendedprice > c)) AS INTEGER)
+    AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  round(min(l_extendedprice), 2) AS lo,
+  round(max(l_extendedprice), 2) AS hi
+FROM lineitem CROSS JOIN cuts
+GROUP BY 1
+""",
+    tags=("statistics", "histogram", "analyze"),
+)
+def rel_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of l_extendedprice — the
+    optimizer statistic ANALYZE collects for selectivity estimation, and
+    the range-partitioner's split-point computation: 15 exact quantile
+    cutpoints split the column into 16 buckets of near-equal population,
+    and the report shows each bucket's row count and value range.
+
+    Shape: ONE aggregation computes all 15 interpolated quantiles (both
+    engines use the same (n-1)*q interpolation, so the cutpoints are
+    bit-identical doubles); the 1-row cutpoint array broadcasts via
+    crossJoin (the llm_tfidf_topterm scalar pattern) and bucket
+    assignment is an in-row array scan — a second narrow pass, no sort.
+    At 100 TB swap the exact quantiles for approx_percentile and gate
+    with a rank-band tolerance (the rel_kll_quantiles pattern); the
+    assignment pass is unchanged.
+    """
+    li = _t(spark, sf, "lineitem")
+    cuts = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({_EQD_FRACS}))").alias("qs")
+    )
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr(
+                "CAST(1 + size(filter(qs, c -> l_extendedprice > c)) AS INT)"
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )

@@ -246,6 +246,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_kmeans_embeddings",  # 1-row collect_list(k centroids) broadcast
         "llm_pmi_collocations",  # 1-row corpus-size N broadcast scalar
         "rel_cuped_experiment",  # 1-row theta/mean broadcast scalars
+        "rel_equi_depth_histogram",  # 1-row quantile-cutpoint array broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

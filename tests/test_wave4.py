@@ -234,3 +234,61 @@ def test_pq_partitions_every_subspace(spark, sf_dir):
     assert all(v == corpus for v in by_s.values()), (
         "every vector must receive exactly one code per subspace"
     )
+
+
+def test_equi_depth_buckets_are_balanced(spark, sf_dir):
+    """Equi-depth law: 16 buckets over a continuous column each hold
+    ~1/16 of the rows (within 2x tolerance for interpolation ties), the
+    value ranges tile without overlap, and counts conserve."""
+    from knowledgebot_spark.queries_relational import (
+        _EQD_BUCKETS,
+        rel_equi_depth_histogram,
+    )
+
+    rows = sorted(
+        rel_equi_depth_histogram(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    total = read_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert [r.bucket for r in rows] == list(range(1, _EQD_BUCKETS + 1))
+    expected = total / _EQD_BUCKETS
+    for r in rows:
+        assert expected / 2 <= r.n_rows <= expected * 2, (
+            f"bucket {r.bucket} holds {r.n_rows}, expected ~{expected:.0f}"
+        )
+    for lo_r, hi_r in zip(rows, rows[1:]):
+        assert lo_r.hi <= hi_r.lo, "bucket value ranges overlap"
+
+
+def test_pattern_detect_counts_within_sessions(spark, sf_dir):
+    from knowledgebot_spark.queries_events import _PATTERNS, rel_pattern_detect
+
+    out = rel_pattern_detect(spark, sf_dir).collect()
+    assert {r.pattern for r in out} == {name for name, _ in _PATTERNS}
+    totals = {r.total_sessions for r in out}
+    assert len(totals) == 1, "all rows report the same session universe"
+    for r in out:
+        assert 0 <= r.n_sessions <= r.total_sessions
+        assert abs(r.share - r.n_sessions / r.total_sessions) < 1e-5
+
+
+def test_minhash_calibration_is_conservative(spark, sf_dir):
+    """The histogram must cover every LSH candidate pair exactly once,
+    and most mass should sit in the low-error buckets (8 hashes estimate
+    Jaccard within ~0.35 for the vast majority of candidates)."""
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.queries_llm import llm_dedup_calibration
+    from knowledgebot_spark.tables import read_spread
+
+    out = llm_dedup_calibration(spark, sf_dir).collect()
+    assert out
+    docs = read_spread(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    n_cand = dd.candidate_pairs(
+        dd.lsh_bands(dd.with_minhash(hashed), "doc_id"), "doc_id"
+    ).count()
+    assert sum(r.n_pairs for r in out) == n_cand
+    low = sum(r.n_pairs for r in out if r.err_bucket <= 3)
+    assert low / n_cand > 0.5, "estimator is mostly within 0.4 of truth"
