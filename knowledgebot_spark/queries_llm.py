@@ -2930,3 +2930,64 @@ def llm_dedup_calibration(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("est"), 4).alias("avg_est"),
         F.round(F.avg("exact"), 4).alias("avg_exact"),
     )
+
+
+# --- BPE merge-candidate mining (wave 7) --------------------------------------
+
+_BPE_TOPK = 20
+
+
+@register(
+    "llm_bpe_merge_candidates",
+    sql=f"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), bi AS (
+  SELECT freq, unnest([w[i:i+1] for i in generate_series(1, length(w) - 1)])
+    AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM bi GROUP BY pair
+ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+""",
+    tags=("tokenizer", "bpe", "training-data"),
+)
+def llm_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """One iteration of BPE tokenizer TRAINING as a distributed query:
+    count every adjacent symbol pair across the corpus weighted by word
+    frequency and rank the top merge candidates — exactly the statistic
+    the BPE training loop greedily consumes (the vendored decoder in
+    operators/bpe.py APPLIES learned merges; this query is how those
+    merges get LEARNED at corpus scale).
+
+    Shape: the corpus collapses to the word-frequency table first (one
+    hash agg — the vocabulary is tiny next to the token stream), pair
+    extraction is an in-row transform over each word's character
+    sequence, and the candidate ranking is a map-side-combinable integer
+    agg + TakeOrdered.  A full training run iterates: re-tokenize with
+    the chosen merge, recount, pick again — each iteration this same
+    plan over a shrinking symbol sequence, the standard distributed-BPE
+    formulation.  All-integer outputs, nothing to gate.
+    """
+    d = _t(spark, sf, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    bigrams = words.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        bigrams.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )

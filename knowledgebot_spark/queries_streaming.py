@@ -538,3 +538,49 @@ def stream_zscore(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ts"),
         "z",
     )
+
+
+_ANTI_DEDUP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,
+  round(sum(value), 2) AS sum_value
+FROM events WHERE event_id % 7 <> 0
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_anti_dedup",
+    sql=_ANTI_DEDUP_SQL,
+    tags=("streaming", "anti-join", "dedup-gate"),
+)
+def stream_anti_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion dedup gate: each micro-batch LEFT ANTI joins a
+    static already-processed key set (here a deterministic slice of
+    event_ids standing in for the checkpointed ledger), so only
+    never-seen records flow downstream — the streaming twin of
+    llm_dedup_incremental's CDC gate, and the third stream-static join
+    flavor alongside the broadcast enrich (stream_static_join) and the
+    interval join (stream_stream_join).
+
+    Scale: the static key set broadcasts (or at 100 TB, bucket-joins
+    against the stream's shuffle); the anti join is stateless per batch —
+    no watermark, no state store growth, unlike streaming dropDuplicates
+    whose state carries every key ever seen (stream_dedup).  That
+    distinction — ledger-join dedup vs state-store dedup — is the
+    operational choice every exactly-once ingest makes."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.tables import read_table
+
+    processed = (
+        read_table(spark, sf, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id")
+    )
+    stream = sp.read_events_stream(spark, sf)
+    fresh = stream.join(F.broadcast(processed), "event_id", "left_anti")
+    agg = fresh.groupBy("event_type").agg(
+        F.count("*").alias("n_new"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return sp.run_to_memory(agg, "complete")

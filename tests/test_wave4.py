@@ -292,3 +292,26 @@ def test_minhash_calibration_is_conservative(spark, sf_dir):
     assert sum(r.n_pairs for r in out) == n_cand
     low = sum(r.n_pairs for r in out if r.err_bucket <= 3)
     assert low / n_cand > 0.5, "estimator is mostly within 0.4 of truth"
+
+
+def test_stream_anti_dedup_matches_batch_gate(spark, sf_dir):
+    """The streaming ledger-join gate must pass exactly the records a
+    batch anti-join passes: counts conserve against the processed-set
+    complement."""
+    from knowledgebot_spark.queries_streaming import stream_anti_dedup
+
+    out = stream_anti_dedup(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    expected = ev.filter(F.col("event_id") % 7 != 0).count()
+    assert sum(r.n_new for r in out) == expected
+    assert expected < ev.count(), "the gate must actually drop something"
+
+
+def test_bpe_merge_candidates_shape(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _BPE_TOPK, llm_bpe_merge_candidates
+
+    out = llm_bpe_merge_candidates(spark, sf_dir).collect()
+    assert len(out) == _BPE_TOPK
+    assert all(len(r.pair) == 2 for r in out), "merge candidates are bigrams"
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True) and ns[-1] > 0
