@@ -242,15 +242,25 @@ def llm_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     those bucketings).  Label blocks are capped at BLOCK_CAP members via
     deterministic sub-blocking so a hot label cannot explode the pairwise
     join."""
-    e = dd.with_sub_block(_t(spark, sf, "embeddings"), ["label"], "vec_id")
+    e = dd.with_sub_block(
+        _t(spark, sf, "embeddings"), ["label"], "vec_id"
+    ).withColumn("nrm", F.expr(sim.norm_expr("embedding")))
     a = e.select(
-        F.col("vec_id").alias("id_a"), "label", "sub", F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"),
+        "label",
+        "sub",
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), "label", "sub", F.col("embedding").alias("vb")
+        F.col("vec_id").alias("id_b"),
+        "label",
+        "sub",
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     joined = a.join(b, ["label", "sub"]).filter(F.col("id_a") < F.col("id_b"))
-    cos = sim.cosine_col("va", "vb")
+    cos = sim.cosine_prenorm_col("va", "vb", "na", "nb")
     return (
         joined.withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.3)
@@ -1738,22 +1748,29 @@ def llm_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical to the DuckDB oracle."""
     e = dd.with_sub_block(
         _t(spark, sf, "embeddings"), ["label"], "vec_id"
-    )
+    ).withColumn("nrm", F.expr(sim.norm_expr("embedding")))
     a = e.select(
-        F.col("vec_id"), F.col("label"), F.col("sub"), F.col("embedding").alias("va")
+        F.col("vec_id"),
+        F.col("label"),
+        F.col("sub"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("label"),
         F.col("sub"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, ["label", "sub"]).filter(F.col("vec_id") != F.col("nbr_id"))
     # NULL scores (zero-norm pairs) must be dropped BEFORE ranking:
     # row_number would otherwise promote arbitrary NULLS-LAST rows into the
     # k=3 cut as phantom edges (and feed them to PageRank as real mass).
+    # Norms are precomputed per vector (cosine_prenorm_col): bit-identical
+    # scores, one interpreted fold per pair instead of three.
     scored = pairs.withColumn(
-        "score", F.round(sim.cosine_col("va", "vb"), 6)
+        "score", F.round(sim.cosine_prenorm_col("va", "vb", "na", "nb"), 6)
     ).filter(F.col("score").isNotNull())
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return (
@@ -2394,13 +2411,16 @@ def llm_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").withColumn(
         "bkt", F.expr(sim.bucket_expr("embedding", planes))
     )
-    e = dd.with_sub_block(e, ["bkt"], "vec_id")
+    e = dd.with_sub_block(e, ["bkt"], "vec_id").withColumn(
+        "nrm", F.expr(sim.norm_expr("embedding"))
+    )
     a = e.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("la"),
         "bkt",
         "sub",
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("neg_id"),
@@ -2408,11 +2428,12 @@ def llm_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         "bkt",
         "sub",
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, ["bkt", "sub"])
         .filter(F.col("la") != F.col("lb"))
-        .withColumn("cos_raw", sim.cosine_col("va", "vb"))
+        .withColumn("cos_raw", sim.cosine_prenorm_col("va", "vb", "na", "nb"))
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_raw"), F.asc("neg_id"))
     return (
