@@ -3012,3 +3012,156 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_BPE_TOPK)
     )
+
+
+# --- MMR diversity re-ranking (wave 8) ----------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_MU = 0.3  # 1 - lambda as an exact shared literal (Python 1-0.7 != 0.3 in doubles)
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _duck_mmr_sql() -> str:
+    def cos(x: str, y: str) -> str:
+        return _DUCK_COS.replace("a.embedding", x).replace("b.embedding", y)
+
+    stages = []
+    sel_union = "SELECT vec_id FROM s1"
+    final = ["SELECT rank, vec_id, rel, mmr FROM s1"]
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, r))
+        stages.append(f"""
+p{r} AS (
+  SELECT p.vec_id, p.embedding, p.rel,
+    max({cos("p.embedding", "s.embedding")}) AS ms
+  FROM pool p JOIN ({prev}) s ON true
+  WHERE p.vec_id NOT IN ({sel_union})
+  GROUP BY p.vec_id, p.embedding, p.rel
+), s{r} AS (
+  SELECT vec_id, embedding, rel, {r} AS rank,
+    round({_MMR_LAMBDA} * rel - {_MMR_MU} * ms, 6) AS mmr
+  FROM p{r}
+  ORDER BY {_MMR_LAMBDA} * rel - {_MMR_MU} * ms DESC, vec_id
+  LIMIT 1
+)""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{r}"
+        final.append(f"SELECT rank, vec_id, rel, mmr FROM s{r}")
+    return f"""
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pool AS (
+  SELECT a.vec_id, a.embedding,
+    round({cos("a.embedding", "b.embedding")}, 6) AS rel
+  FROM embeddings a, qv b WHERE a.vec_id <> 0
+  ORDER BY rel DESC, a.vec_id LIMIT {_MMR_POOL}
+),
+s1 AS (
+  SELECT vec_id, embedding, rel, 1 AS rank,
+    round({_MMR_LAMBDA} * rel, 6) AS mmr
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+){"".join("," + s for s in stages)}
+{" UNION ALL ".join(final)}
+"""
+
+
+@register(
+    "llm_mmr_rerank",
+    sql=_duck_mmr_sql(),
+    tags=("search", "mmr", "diversity", "rag"),
+)
+def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the RAG serving-side
+    diversity pass: from the top-20 cosine candidates for the query
+    vector, greedily select 5 maximizing lambda*relevance -
+    (1-lambda)*max-similarity-to-already-selected (lambda=0.7), so the
+    context window gets relevant AND mutually non-redundant passages
+    instead of five near-duplicates of the best hit.
+
+    Greedy selection is inherently sequential, so like
+    llm_kmeans_embeddings the iterations UNROLL into the plan: each of
+    the 5 stages is an anti-join (drop selected) + a tiny broadcast
+    nested-loop against the <=4 selected rows + a 1-row TakeOrdered
+    argmax.  Every stage's input is bounded by the POOL constant, not
+    the corpus — the only corpus-scale work is the initial brute-force
+    top-20 (TakeOrderedAndProject with a broadcast query, the Q1 scan);
+    at 100 TB the pool feeds from the IVF/LSH path instead, same
+    stages after.  Argmax compares raw doubles built from round-6
+    relevances and bit-reproducible cosine folds, ties broken by vec_id
+    — deterministic in both engines.
+    """
+    lam = _MMR_LAMBDA
+    e = _t(spark, sf, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+        .withColumn("qn", F.expr(sim.norm_expr("qvec")))
+    )
+    base = e.filter(F.col("vec_id") != 0).withColumn(
+        "nrm", F.expr(sim.norm_expr("embedding"))
+    )
+    scored = base.crossJoin(F.broadcast(q)).withColumn(
+        "rel",
+        F.round(sim.cosine_prenorm_col("embedding", "qvec", "nrm", "qn"), 6),
+    )
+    pool = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .select("vec_id", "embedding", "nrm", "rel")
+    )
+    first = (
+        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "rel",
+            F.lit(1).alias("rank"),
+            F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
+        )
+    )
+    picks = [first]
+    for r in range(2, _MMR_K + 1):
+        prev = picks[0]
+        for p in picks[1:]:
+            prev = prev.unionAll(p)
+        sel = prev.select(
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+        remaining = pool.join(
+            sel.select(F.col("s_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        sims = (
+            remaining.crossJoin(F.broadcast(sel))
+            .withColumn(
+                "sim",
+                sim.cosine_prenorm_col("embedding", "s_emb", "nrm", "s_nrm"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max("sim").alias("ms"),
+                F.first("rel").alias("rel"),
+                F.first("embedding").alias("embedding"),
+                F.first("nrm").alias("nrm"),
+            )
+        )
+        score = F.lit(lam) * F.col("rel") - F.lit(_MMR_MU) * F.col("ms")
+        picks.append(
+            sims.withColumn("score", score)
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                F.lit(r).alias("rank"),
+                F.round("score", 6).alias("mmr"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select("rank", "vec_id", "rel", "mmr")

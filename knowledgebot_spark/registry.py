@@ -59,14 +59,15 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 #     (second-wave additions landed llm at 42 and streaming at 11, so the
 #      50-row window now ends inside llm; llm 40-42, corpus, formats, and
 #      relational 41+ wait for the next rotation)
-#   r05+ plan : llm tail (38-46, incl. knn/curriculum/sketch/pagerank) +
-#     corpus(12) + formats(14, incl. 2 xml) + events(8) + relational 41+
-#     (module totals as of r04 end: streaming 13, llm 46, corpus 12,
-#      formats 14, events 8, pipeline 10, relational 81 = 184; third-wave
-#      additions registered at module tails, EXCEPT stream_hll_distinct
-#      and stream_zscore, which displaced llm #38-39 out of the r04
-#      window — count from load() when planning r05, not from this
-#      comment)
+#   r05+ plan : llm tail (37+, incl. knn/curriculum/sketch/pagerank/
+#     kmeans/hard-negatives/PQ/calibration/BPE) + corpus(12) +
+#     formats(14, incl. 2 xml) + events(14) + relational 41+
+#     (module totals as of r04 end: streaming 14, llm 57, corpus 12,
+#      formats 14, events 14, pipeline 10, relational 85 = 206; the r04
+#      window is streaming(14) + llm(1-36) — fourth-through-seventh-wave
+#      additions registered at module TAILS so the window held steady,
+#      except stream_anti_dedup which displaced llm #37.  Count from
+#      load() when planning r05, not from this comment)
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_llm",

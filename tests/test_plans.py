@@ -247,6 +247,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_pmi_collocations",  # 1-row corpus-size N broadcast scalar
         "rel_cuped_experiment",  # 1-row theta/mean broadcast scalars
         "rel_equi_depth_histogram",  # 1-row quantile-cutpoint array broadcast
+        "llm_mmr_rerank",  # 1-row query vector + <=4-row selected-set broadcasts
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -315,3 +315,19 @@ def test_bpe_merge_candidates_shape(spark, sf_dir):
     assert all(len(r.pair) == 2 for r in out), "merge candidates are bigrams"
     ns = [r.n for r in out]
     assert ns == sorted(ns, reverse=True) and ns[-1] > 0
+
+
+def test_mmr_greedy_laws(spark, sf_dir):
+    """MMR invariants: rank 1 is the pure-relevance argmax; the greedy
+    objective is non-increasing (each later pick maximizes over a
+    shrinking candidate set with a growing penalty); no duplicates."""
+    from knowledgebot_spark.queries_llm import _MMR_K, llm_mmr_rerank
+
+    out = sorted(llm_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in out] == list(range(1, _MMR_K + 1))
+    assert len({r.vec_id for r in out}) == _MMR_K, "a document selected twice"
+    assert out[0].rel == max(r.rel for r in out), "rank 1 must be argmax rel"
+    mmrs = [r.mmr for r in out]
+    assert all(a >= b - 1e-9 for a, b in zip(mmrs, mmrs[1:])), (
+        "greedy MMR objective must be non-increasing"
+    )
