@@ -3165,3 +3165,71 @@ def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out.select("rank", "vec_id", "rel", "mmr")
+
+
+# --- contrastive training-triplet assembly (wave 8) ---------------------------
+
+def _duck_triplets_sql() -> str:
+    # compose the REGISTERED oracles of the two source queries as CTEs —
+    # the triplet oracle is by construction the join of the production
+    # definitions, not a re-derivation that could drift (both are already
+    # registered by the time this module-tail builder runs)
+    from knowledgebot_spark.registry import _REGISTRY
+
+    knn = _REGISTRY["llm_knn_graph"].sql
+    hn = _REGISTRY["llm_hard_negatives"].sql
+    return f"""
+WITH knn AS ({knn}), hn AS ({hn})
+SELECT k.vec_id AS anchor_id, k.nbr_id AS pos_id, h.neg_id,
+  k.score AS pos_cos, h.cos AS neg_cos,
+  round(k.score - h.cos, 6) AS margin
+FROM knn k JOIN hn h ON h.anchor_id = k.vec_id
+WHERE k.rnk = 1 AND h.rank = 1
+"""
+
+
+@register(
+    "llm_training_triplets",
+    sql=_duck_triplets_sql(),
+    tags=("contrastive", "triplets", "training-data"),
+)
+def llm_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training-triplet assembly: for every anchor that has
+    both, pair its nearest SAME-label neighbor (the rank-1 kNN edge —
+    llm_knn_graph blocks by label, so its edges are same-label by
+    construction) as the positive with its nearest CROSS-label LSH
+    neighbor (rank-1 from llm_hard_negatives) as the negative, emitting
+    (anchor, positive, negative, margin) — the dataset a triplet-loss /
+    InfoNCE retriever trains on, with the margin column feeding curriculum
+    ordering (small-margin triplets are the hard ones).
+
+    Built by composing the two production queries and joining on the
+    anchor — and the oracle composes their REGISTERED SQL the same way,
+    so the triplet contract can never drift from its sources.  Scale
+    shape inherits from the sources (both capped-block equi-joins); the
+    final join keys on anchor_id with rank-1 filters pushed below it.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    pos = (
+        _self.llm_knn_graph(spark, sf)
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("nbr_id").alias("pos_id"),
+            F.col("score").alias("pos_cos"),
+        )
+    )
+    neg = (
+        _self.llm_hard_negatives(spark, sf)
+        .filter(F.col("rank") == 1)
+        .select("anchor_id", "neg_id", F.col("cos").alias("neg_cos"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "pos_cos",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

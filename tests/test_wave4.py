@@ -331,3 +331,26 @@ def test_mmr_greedy_laws(spark, sf_dir):
     assert all(a >= b - 1e-9 for a, b in zip(mmrs, mmrs[1:])), (
         "greedy MMR objective must be non-increasing"
     )
+
+
+def test_training_triplets_compose_sources(spark, sf_dir):
+    """Triplet laws: the positive is same-label, the negative is
+    cross-label, ids are distinct, and every anchor appears at most
+    once (rank-1 of each source)."""
+    from knowledgebot_spark.queries_llm import llm_training_triplets
+
+    out = llm_training_triplets(spark, sf_dir).collect()
+    assert out, "corpus must yield triplets"
+    labels = {
+        r.vec_id: r.label
+        for r in read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    anchors = [r.anchor_id for r in out]
+    assert len(anchors) == len(set(anchors)), "anchor emitted twice"
+    for r in out:
+        assert labels[r.anchor_id] == labels[r.pos_id], "positive crosses labels"
+        assert labels[r.anchor_id] != labels[r.neg_id], "negative shares label"
+        assert len({r.anchor_id, r.pos_id, r.neg_id}) == 3
+        assert abs(r.margin - round(r.pos_cos - r.neg_cos, 6)) < 1e-9
