@@ -3233,3 +3233,100 @@ def llm_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+# --- k-center coreset selection (wave 8) --------------------------------------
+
+_KC_K = 5
+
+
+def _duck_kcenter_sql() -> str:
+    d_expr = (
+        "list_reduce(list_transform(r.qv, (x, i) -> "
+        "(x - s.qv[i]) * (x - s.qv[i])), (p, s2) -> p + s2)"
+    )
+    stages = []
+    sel_union = "SELECT vec_id, qv FROM s1"
+    final = ["SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS dmin FROM s1"]
+    for r in range(2, _KC_K + 1):
+        stages.append(f"""
+p{r} AS (
+  SELECT r.vec_id, r.qv, min({d_expr}) AS dmin
+  FROM q r JOIN ({sel_union}) s ON true
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM ({sel_union}))
+  GROUP BY r.vec_id, r.qv
+), s{r} AS (
+  SELECT vec_id, qv, dmin FROM p{r} ORDER BY dmin DESC, vec_id LIMIT 1
+)""")
+        sel_union += f" UNION ALL SELECT vec_id, qv FROM s{r}"
+        final.append(f"SELECT {r} AS rank, vec_id, dmin FROM s{r}")
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), s1 AS (SELECT vec_id, qv FROM q WHERE vec_id = 0)
+{"".join("," + s for s in stages)}
+{" UNION ALL ".join(final)}
+"""
+
+
+@register(
+    "llm_coreset_kcenter",
+    sql=_duck_kcenter_sql(),
+    tags=("coreset", "kcenter", "sampling", "training-data"),
+)
+def llm_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling): seed
+    with vec_id 0, then repeatedly pick the vector FARTHEST from the
+    selected set (max over candidates of min distance to any pick) — the
+    classic 2-approximation to the k-center cover, used for coreset /
+    active-learning selection and as kmeans++-style seeding; each pick's
+    ``dmin`` is the covering radius the selection just reduced.
+
+    Like llm_mmr_rerank the greedy loop unrolls into plan stages, but
+    here each stage SCANS THE CORPUS (anti-join + <=4-row broadcast +
+    per-row min-fold + 1-row TakeOrdered): k selections cost k linear
+    passes, the textbook FPS schedule, with nothing pairwise.  Distances
+    are the same fixed-point BIGINT quantization as llm_kmeans_embeddings
+    — every comparison is exact integer math end-to-end, no float gate
+    anywhere in the query.
+    """
+    e = _t(spark, sf, "embeddings")
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    first = q.filter(F.col("vec_id") == 0).select(
+        "vec_id", "qv", F.lit(1).alias("rank"), F.lit(0).cast("long").alias("dmin")
+    )
+    picks = [first]
+    dist = F.expr(
+        "aggregate(zip_with(qv, s_qv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    for r in range(2, _KC_K + 1):
+        prev = picks[0]
+        for p in picks[1:]:
+            prev = prev.unionAll(p)
+        sel = prev.select(
+            F.col("vec_id").alias("s_id"), F.col("qv").alias("s_qv")
+        )
+        rem = q.join(
+            sel.select(F.col("s_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        dists = (
+            rem.crossJoin(F.broadcast(sel))
+            .withColumn("d", dist)
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"), F.first("qv").alias("qv"))
+        )
+        picks.append(
+            dists.orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "qv", F.lit(r).alias("rank"), F.col("dmin"))
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select("rank", "vec_id", "dmin")

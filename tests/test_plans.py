@@ -248,6 +248,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_cuped_experiment",  # 1-row theta/mean broadcast scalars
         "rel_equi_depth_histogram",  # 1-row quantile-cutpoint array broadcast
         "llm_mmr_rerank",  # 1-row query vector + <=4-row selected-set broadcasts
+        "llm_coreset_kcenter",  # <=4-row selected-set broadcast per FPS stage
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -354,3 +354,21 @@ def test_training_triplets_compose_sources(spark, sf_dir):
         assert labels[r.anchor_id] != labels[r.neg_id], "negative shares label"
         assert len({r.anchor_id, r.pos_id, r.neg_id}) == 3
         assert abs(r.margin - round(r.pos_cos - r.neg_cos, 6)) < 1e-9
+
+
+def test_kcenter_covering_radius_shrinks(spark, sf_dir):
+    """FPS laws: dmin (the covering radius captured at each pick) is
+    non-increasing from rank 2 on — each greedy pick is the farthest
+    remaining point, so later maxima cannot exceed earlier ones; picks
+    are distinct and the seed is vec_id 0."""
+    from knowledgebot_spark.queries_llm import _KC_K, llm_coreset_kcenter
+
+    out = sorted(llm_coreset_kcenter(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in out] == list(range(1, _KC_K + 1))
+    assert out[0].vec_id == 0 and out[0].dmin == 0
+    assert len({r.vec_id for r in out}) == _KC_K
+    radii = [r.dmin for r in out[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), (
+        "covering radius must be non-increasing"
+    )
+    assert all(d > 0 for d in radii)
