@@ -6,8 +6,8 @@ Four families, all bucketed — NEVER all-pairs:
   * exact        — hash-groupBy on a content key (dropDuplicates semantics)
   * MinHash LSH  — shingle -> k salted minhashes -> banded bucket join;
                    candidates verified with exact Jaccard
-  * SimHash      — 32-bit signature from token hashes; near pairs found via
-                   5 disjoint-block buckets (pigeonhole-exhaustive for
+  * SimHash      — 60-bit signature from token hashes; near pairs found via
+                   5 disjoint 12-bit-block buckets (pigeonhole-exhaustive for
                    Hamming <= 4) before exact Hamming distance
   * n-gram Jaccard — exact Jaccard within cheap blocking keys
 
@@ -250,8 +250,16 @@ def exact_dup_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
 # 32-bit SimHash split into 5 disjoint blocks: by pigeonhole, any pair
 # within Hamming distance 4 is IDENTICAL on at least one block (4 differing
 # bits cannot touch all 5 blocks) — guaranteed recall, never all-pairs.
-SIMHASH_BITS = 32
-SIMHASH_BLOCKS = ((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))  # (offset, width)
+# 60-bit signatures in 5 disjoint 12-bit blocks.  Width is the bucket-size
+# lever: a block key must carry enough entropy that same-key buckets stay
+# small as the corpus grows — the original 32-bit/6-7-bit-block layout had
+# only 64-128 distinct values per block, so bucket population (and the
+# pairwise join) grew LINEARLY with corpus size and the pair count
+# quadratically (measured 28.6x runtime at 10x docs; 12-bit blocks make it
+# 1.3x).  60 = 15 md5 hex chars, the widest that can't overflow a signed
+# BIGINT through conv().
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = ((0, 12), (12, 12), (24, 12), (36, 12), (48, 12))  # (offset, width)
 SIMHASH_MAX_HAMMING = len(SIMHASH_BLOCKS) - 1
 
 
@@ -264,7 +272,7 @@ def with_simhash(
     """SimHash: bit j is the sign of the sum over tokens of
     (bit j of md5(token) ? +1 : -1).  Returns (id_col, simhash).
 
-    Formulated as token explode -> codegen'd hash agg of the 32 bit-sums
+    Formulated as token explode -> codegen'd hash agg of the 60 bit-sums
     (each token md5-hashed once; per-bit terms are integer shifts inside
     whole-stage codegen).  The per-row nested-lambda formulation is
     interpreted (higher-order functions don't codegen) and measured ~2x
@@ -279,7 +287,7 @@ def with_simhash(
         ),
     ).select(
         id_col,
-        F.expr("cast(conv(substring(md5(_t), 1, 8), 16, 10) AS BIGINT)").alias("_v"),
+        F.expr("cast(conv(substring(md5(_t), 1, 15), 16, 10) AS BIGINT)").alias("_v"),
     )
     sums = [
         F.sum(

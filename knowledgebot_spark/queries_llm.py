@@ -179,9 +179,11 @@ def llm_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 def _duck_simhash_sql() -> str:
     # shares SIMHASH_BITS/SIMHASH_BLOCKS with operators.dedup — parity by
-    # construction.  Token hash = first 8 md5 hex chars (BIGINT), 32 bit
-    # sums, 5 disjoint-block bands (pigeonhole-exhaustive for hamming <= 4).
-    hv = "('0x' || substr(md5(tk), 1, 8))::BIGINT"
+    # construction.  Token hash = first 15 md5 hex chars (60 bits, BIGINT),
+    # 60 bit sums, 5 disjoint 12-bit bands (pigeonhole-exhaustive for
+    # hamming <= 4; 12-bit keys keep bucket population sub-linear in the
+    # corpus — see dedup.SIMHASH_BLOCKS).
+    hv = "('0x' || substr(md5(tk), 1, 15))::BIGINT"
     bit_terms = []
     for j in range(dd.SIMHASH_BITS):
         bitsum = (
@@ -209,8 +211,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {dd.SIMHASH_MAX_HAMMING}
 
 @register("llm_dedup_simhash", sql=_duck_simhash_sql(), tags=("dedup", "simhash"))
 def llm_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signatures, disjoint-block bucket join
-    (pigeonhole-exhaustive for Hamming <= 4), never all-pairs."""
+    """SimHash near-dup: 60-bit signatures, disjoint 12-bit-block bucket
+    join (pigeonhole-exhaustive for Hamming <= 4), never all-pairs."""
     d = dd.with_simhash(_t(spark, sf, "documents"), "text")  # not spread: measured slower
     pairs = dd.simhash_near_pairs(d.select("doc_id", "simhash"), "doc_id", 4)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -3330,3 +3332,72 @@ def llm_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out.select("rank", "vec_id", "dmin")
+
+
+# --- dedup-detector overlap report (wave 8) -----------------------------------
+
+def _duck_dedup_overlap_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    srcs = {
+        "minhash": _REGISTRY["llm_dedup_minhash"].sql,
+        "ngram": _REGISTRY["llm_dedup_ngram"].sql,
+        "simhash": _REGISTRY["llm_dedup_simhash"].sql,
+        "snm": _REGISTRY["llm_dedup_sorted_neighborhood"].sql,
+    }
+    ctes = ", ".join(f"{name} AS ({sql})" for name, sql in srcs.items())
+    tagged = " UNION ".join(
+        f"SELECT id_a, id_b, '{name}' AS d FROM {name}" for name in srcs
+    )
+    return f"""
+WITH {ctes},
+tagged AS ({tagged}),
+combos AS (
+  SELECT id_a, id_b,
+    array_to_string(list_sort(list(DISTINCT d)), '+') AS detectors
+  FROM tagged GROUP BY id_a, id_b
+)
+SELECT detectors, CAST(count(*) AS BIGINT) AS n_pairs
+FROM combos GROUP BY detectors
+"""
+
+
+@register(
+    "llm_dedup_overlap_report",
+    sql=_duck_dedup_overlap_sql(),
+    tags=("dedup", "overlap", "methodology"),
+)
+def llm_dedup_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Detector-overlap report across the text-dedup family: every pair
+    flagged by MinHash-LSH, blocked n-gram Jaccard, SimHash, or
+    sorted-neighborhood, grouped by WHICH combination of detectors found
+    it.  This is the audit that justifies running several detectors —
+    each blocks differently (signature buckets / length-lang blocks /
+    bit-pigeonholes / sort order), so their recall sets only partially
+    overlap, and a pair found by one detector alone is exactly the
+    recall the others would have missed.
+
+    Composes the four PRODUCTION queries (and their registered oracles as
+    CTEs — the llm_training_triplets pattern), so the report audits the
+    real detectors, not replicas.  Scale shape inherits from the sources;
+    the overlap agg keys on the pair id, map-side combinable.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    parts = [
+        _self.llm_dedup_minhash(spark, sf)
+        .select("id_a", "id_b", F.lit("minhash").alias("d")),
+        _self.llm_dedup_ngram(spark, sf)
+        .select("id_a", "id_b", F.lit("ngram").alias("d")),
+        _self.llm_dedup_simhash(spark, sf)
+        .select("id_a", "id_b", F.lit("simhash").alias("d")),
+        _self.llm_dedup_sorted_neighborhood(spark, sf)
+        .select("id_a", "id_b", F.lit("snm").alias("d")),
+    ]
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    combos = tagged.groupBy("id_a", "id_b").agg(
+        F.array_join(F.array_sort(F.collect_set("d")), "+").alias("detectors")
+    )
+    return combos.groupBy("detectors").agg(F.count("*").alias("n_pairs"))

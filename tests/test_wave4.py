@@ -372,3 +372,32 @@ def test_kcenter_covering_radius_shrinks(spark, sf_dir):
         "covering radius must be non-increasing"
     )
     assert all(d > 0 for d in radii)
+
+
+def test_dedup_overlap_report_conserves_pairs(spark, sf_dir):
+    """The overlap partition must cover the union of all detector pair
+    sets exactly once, and at least one combo shows single-detector
+    recall (the reason the family exists)."""
+    from knowledgebot_spark.queries_llm import (
+        llm_dedup_minhash,
+        llm_dedup_ngram,
+        llm_dedup_overlap_report,
+        llm_dedup_simhash,
+        llm_dedup_sorted_neighborhood,
+    )
+
+    out = llm_dedup_overlap_report(spark, sf_dir).collect()
+    union_pairs = set()
+    for fn in (
+        llm_dedup_minhash,
+        llm_dedup_ngram,
+        llm_dedup_simhash,
+        llm_dedup_sorted_neighborhood,
+    ):
+        union_pairs |= {(r.id_a, r.id_b) for r in fn(spark, sf_dir).collect()}
+    assert sum(r.n_pairs for r in out) == len(union_pairs)
+    assert any("+" not in r.detectors for r in out), (
+        "some pair should be found by exactly one detector"
+    )
+    for r in out:
+        assert r.detectors == "+".join(sorted(r.detectors.split("+")))

@@ -178,3 +178,33 @@ def test_kmeans_matches_python(spark, sf_dir):
         for r in llm_kmeans_embeddings(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_kcenter_matches_python(spark, sf_dir):
+    """Exact FPS recompute: all-integer distances make the greedy
+    trajectory bit-reproducible in any engine."""
+    from knowledgebot_spark.queries_llm import _KC_K, llm_coreset_kcenter
+
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1000 + 0.5) for x in r["embedding"]]
+        for r in pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pylist()
+    }
+    sel = [0]
+    want = [(1, 0, 0)]
+    for rank in range(2, _KC_K + 1):
+        best = None
+        for vid, qv in vecs.items():
+            if vid in sel:
+                continue
+            dmin = min(
+                sum((x - y) * (x - y) for x, y in zip(qv, vecs[s])) for s in sel
+            )
+            if best is None or dmin > best[0] or (dmin == best[0] and vid < best[1]):
+                best = (dmin, vid)
+        sel.append(best[1])
+        want.append((rank, best[1], best[0]))
+    got = sorted(
+        (r.rank, r.vec_id, r.dmin)
+        for r in llm_coreset_kcenter(spark, sf_dir).collect()
+    )
+    assert got == sorted(want)
