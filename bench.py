@@ -64,6 +64,11 @@ HEADLINE = [
     "llm_hard_negatives",
     "rel_mad_outliers",
     "rel_last_touch_attribution",
+    # round-4 late waves
+    "llm_embed_pq",
+    "llm_coreset_kcenter",
+    "llm_dedup_sorted_neighborhood",
+    "rel_seasonal_decompose",
 ]
 
 

@@ -961,3 +961,104 @@ def rel_pattern_detect(spark: SparkSession, sf: str) -> DataFrame:
         "total_sessions",
         F.round(F.col("n_sessions") / F.col("total_sessions"), 6).alias("share"),
     )
+
+
+# --- rolling window of distinct actives (wave 9) ------------------------------
+
+@register(
+    "rel_rolling_wau",
+    sql="""
+WITH days AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), expanded AS (
+  SELECT DISTINCT user_id, d + CAST(gs.o AS INTEGER) AS win_day
+  FROM days CROSS JOIN generate_series(0, 6) gs(o)
+)
+SELECT strftime(win_day, '%Y-%m-%d') AS win_day,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM expanded
+GROUP BY win_day
+""",
+    tags=("events", "growth", "rolling-distinct"),
+)
+def rel_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users (WAU): for each day, how many distinct
+    users were active in the trailing week — THE growth metric, and the
+    canonical example of a rolling DISTINCT, which no window frame can
+    express (COUNT(DISTINCT) OVER a frame is unsupported in both
+    engines).
+
+    The scale formulation: each (user, active-day) pair EXPANDS to the 7
+    window-days it contributes to (a bounded 7x fan-out of the already
+    user-day-deduped activity table, not of the raw log), then one hash
+    agg counts distinct users per window day.  The alternative — self-
+    joining the activity table against a day spine on a range predicate
+    — shuffles the same rows but loses the fixed fan-out bound.  At 100
+    TB the inner distinct and the outer count-distinct both partial-agg
+    map-side; swap count_distinct for an HLL sketch (rel_hll_sketch) when
+    exactness can yield to memory.  WAU days past the data's end are
+    reported as the window drains — the standard trailing-window tail.
+    """
+    ev = _t(spark, sf, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    )
+    expanded = (
+        days.crossJoin(F.broadcast(spark.range(7).select(F.col("id").alias("o"))))
+        .select("user_id", F.date_add(F.col("d"), F.col("o").cast("int")).alias("win_day"))
+        .distinct()
+    )
+    return expanded.groupBy(
+        F.date_format("win_day", "yyyy-MM-dd").alias("win_day")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+
+
+# --- k-anonymity audit (wave 9) -----------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "rel_k_anonymity",
+    sql=f"""
+WITH groups AS (
+  SELECT event_type, CAST(user_id % 100 AS INTEGER) AS user_cohort,
+    CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN n < {_KANON_K} THEN 'violating' ELSE 'anonymous' END
+    AS status,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(min(n) AS BIGINT) AS min_group, CAST(max(n) AS BIGINT) AS max_group
+FROM groups GROUP BY 1
+""",
+    tags=("privacy", "k-anonymity", "governance"),
+)
+def rel_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (event type, user
+    cohort, day): how many QI groups have fewer than k={_KANON_K} members,
+    and how many rows sit in those re-identifiable groups — the
+    data-governance gate a training-data release runs before publishing
+    event-derived features (a group of 1 IS an individual).
+
+    Shape: one hash agg to the QI-group table (map-side combinable),
+    one constant-size classification agg on top.  The release fix for
+    violations — generalize the QI (coarser cohorts/dates) or suppress
+    the rows — reruns this same query with a different grouping, so the
+    audit cost is one aggregation per candidate generalization.
+    """
+    ev = _t(spark, sf, "events")
+    groups = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 100).cast("int").alias("user_cohort"),
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    status = F.when(F.col("n") < _KANON_K, "violating").otherwise("anonymous")
+    return groups.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.min("n").alias("min_group"),
+        F.max("n").alias("max_group"),
+    )

@@ -249,6 +249,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_equi_depth_histogram",  # 1-row quantile-cutpoint array broadcast
         "llm_mmr_rerank",  # 1-row query vector + <=4-row selected-set broadcasts
         "llm_coreset_kcenter",  # <=4-row selected-set broadcast per FPS stage
+        "rel_rolling_wau",  # fixed 7-row window-offset spine broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

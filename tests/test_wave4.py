@@ -401,3 +401,40 @@ def test_dedup_overlap_report_conserves_pairs(spark, sf_dir):
     )
     for r in out:
         assert r.detectors == "+".join(sorted(r.detectors.split("+")))
+
+
+def test_rolling_wau_recomputes_brute_force(spark, sf_dir):
+    """WAU law: for sampled days, the trailing-7-day distinct-user count
+    must equal a brute-force filter over the raw log."""
+    import datetime
+
+    from knowledgebot_spark.queries_events import rel_rolling_wau
+
+    out = {r.win_day: r.wau for r in rel_rolling_wau(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    )
+    for win_day in sorted(out)[7:10]:
+        hi = datetime.date.fromisoformat(win_day)
+        lo = hi - datetime.timedelta(days=6)
+        brute = (
+            ev.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert out[win_day] == brute, win_day
+
+
+def test_k_anonymity_partitions_rows(spark, sf_dir):
+    from knowledgebot_spark.queries_events import rel_k_anonymity
+
+    out = rel_k_anonymity(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in out) == total
+    assert {r.status for r in out} <= {"violating", "anonymous"}
+    for r in out:
+        if r.status == "violating":
+            assert r.max_group < 5
+        else:
+            assert r.min_group >= 5
