@@ -1062,3 +1062,104 @@ def rel_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
         F.min("n").alias("min_group"),
         F.max("n").alias("max_group"),
     )
+
+
+# --- CUSUM change-point detection (wave 9) ------------------------------------
+
+@register(
+    "rel_cusum_changepoint",
+    sql="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+    CAST(sum(n * n) AS BIGINT) AS q
+  FROM daily
+), scal AS (
+  SELECT CAST(floor(s * 10000.0 / nd + 0.5) AS BIGINT) AS mu_e4,
+    CAST(floor(3 * sqrt((q - s * 1.0 * s / nd) / nd) * 10000 + 0.5) AS BIGINT)
+      AS thr_e4
+  FROM stats
+), dev AS (
+  SELECT d, n, n * 10000 - mu_e4 AS y_e4, thr_e4
+  FROM daily CROSS JOIN scal
+), run AS (
+  SELECT d, n, thr_e4,
+    CAST(sum(y_e4) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t
+  FROM dev
+), cum AS (
+  SELECT d, n, thr_e4, s_t,
+    CAST(min(s_t) OVER (ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m_run
+  FROM run
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n,
+  round((s_t - least(m_run, 0)) / 10000.0, 4) AS cusum,
+  s_t - least(m_run, 0) > thr_e4 AS is_alarm
+FROM cum
+""",
+    tags=("events", "changepoint", "monitoring"),
+)
+def rel_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over the daily event-count
+    series: alarm when the cumulative positive deviation from the series
+    mean exceeds 3 sigma — the sequential mean-shift detector SPC charts
+    and pipeline-volume monitors run (a stuck upstream producer shows
+    here days before a threshold-on-raw-counts alarm).
+
+    The CUSUM recursion s_t = max(0, s_{t-1} + y_t) is not directly
+    window-expressible, but it has the prefix closed form
+    s_t = S_t - min(0, min_{j<=t} S_j) — a running sum plus a running
+    minimum OVER that running sum (current row included: a fresh global
+    minimum resets the statistic to exactly zero), two stacked O(1)-state windows on the
+    |days|-sized series (bounded by time span, the seasonal-decompose
+    argument).  Mean and the 3-sigma threshold derive from exact integer
+    sums (count/sum/sum-of-squares), re-quantized to e4 fixed point, so
+    every comparison is BIGINT math — no cross-engine float gate.
+    """
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    scal = stats.select(
+        F.floor(F.col("s") * 10000.0 / F.col("nd") + 0.5)
+        .cast("long")
+        .alias("mu_e4"),
+        F.floor(
+            3
+            * F.sqrt(
+                (F.col("q") - F.col("s") * 1.0 * F.col("s") / F.col("nd"))
+                / F.col("nd")
+            )
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("thr_e4"),
+    )
+    dev = daily.crossJoin(F.broadcast(scal)).select(
+        "d",
+        "n",
+        (F.col("n") * 10000 - F.col("mu_e4")).alias("y_e4"),
+        "thr_e4",
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dev.select(
+        "d",
+        "n",
+        "thr_e4",
+        F.sum("y_e4").over(w_run).alias("s_t"),
+    ).withColumn("m_run", F.min("s_t").over(w_run).cast("long"))
+    cusum_e4 = F.col("s_t") - F.least(F.col("m_run"), F.lit(0).cast("long"))
+    return cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(cusum_e4 / 10000.0, 4).alias("cusum"),
+        (cusum_e4 > F.col("thr_e4")).alias("is_alarm"),
+    )

@@ -438,3 +438,30 @@ def test_k_anonymity_partitions_rows(spark, sf_dir):
             assert r.max_group < 5
         else:
             assert r.min_group >= 5
+
+
+def test_cusum_closed_form_matches_recursion(spark, sf_dir):
+    """The prefix closed form S_t - min(0, min_{j<t} S_j) must equal the
+    textbook recursion s_t = max(0, s_{t-1} + y_t) replayed in Python
+    over the same daily series."""
+    from knowledgebot_spark.queries_events import rel_cusum_changepoint
+
+    out = sorted(rel_cusum_changepoint(spark, sf_dir).collect(), key=lambda r: r.day)
+    daily = {
+        r.day: r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    ns = [daily[r.day] for r in out]
+    nd = len(ns)
+    mu_e4 = math.floor(sum(ns) * 10000.0 / nd + 0.5)
+    s = 0
+    for r, n in zip(out, ns):
+        s = max(0, s + n * 10000 - mu_e4)
+        assert abs(r.cusum - s / 10000.0) < 1e-6, r.day
+        assert r.cusum >= 0
+
+
+import math  # noqa: E402  (used by the recursion replay above)
