@@ -3401,3 +3401,165 @@ def llm_dedup_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("d")), "+").alias("detectors")
     )
     return combos.groupBy("detectors").agg(F.count("*").alias("n_pairs"))
+
+
+# --- per-source token-mass Gini (wave 9) --------------------------------------
+
+@register(
+    "llm_source_gini",
+    sql="""
+WITH sized AS (
+  SELECT source, doc_id, CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS tk
+  FROM documents
+), ranked AS (
+  SELECT source, tk,
+    row_number() OVER (PARTITION BY source ORDER BY tk, doc_id) AS i
+  FROM sized
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(tk) AS BIGINT) AS total_tk,
+    CAST(sum(i * tk) AS BIGINT) AS weighted
+  FROM ranked GROUP BY source
+)
+SELECT source, n, total_tk,
+  round(2.0 * weighted / (n * total_tk) - (n + 1.0) / n, 6) AS gini
+FROM agg
+""",
+    tags=("corpus-stats", "gini", "training-data"),
+)
+def llm_source_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of token mass across documents, per source: 0 =
+    every document contributes equally, ->1 = a few giants carry the
+    source.  The mixture-balance diagnostic behind sampling decisions —
+    a high-Gini source needs llm_weighted_sample's by-token-mass draw
+    (or document splitting) before its token share means anything.
+
+    Uses the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-sorted counts; within equal counts the doc_id tie-break is
+    irrelevant to the sum (equal x across a tied block makes sum(i*x)
+    order-invariant), so the statistic is exact integer math until the
+    final division.  Shape: one per-source window (partition-bounded, no
+    global sort) and one hash agg; output is |sources| rows.
+    """
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("tk"),
+    )
+    w = Window.partitionBy("source").orderBy("tk", "doc_id")
+    ranked = sized.select(
+        "source", "tk", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("tk").alias("total_tk"),
+        F.sum(F.col("i") * F.col("tk")).alias("weighted"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "total_tk",
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total_tk"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- dataset card summary (wave 9) --------------------------------------------
+
+@register(
+    "llm_dataset_card",
+    sql="""
+WITH sized AS (
+  SELECT source, lang, n_chars,
+    CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS tk
+  FROM documents
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM sized
+)
+SELECT 'corpus' AS section, 'n_docs' AS key, n_docs * 1.0 AS value FROM totals
+UNION ALL SELECT 'corpus', 'n_tokens', n_tokens * 1.0 FROM totals
+UNION ALL SELECT 'corpus', 'n_chars', n_chars * 1.0 FROM totals
+UNION ALL SELECT 'corpus', 'n_sources', n_sources * 1.0 FROM totals
+UNION ALL SELECT 'corpus', 'n_langs', n_langs * 1.0 FROM totals
+UNION ALL
+SELECT 'source:' || source, 'n_docs', count(*) * 1.0 FROM sized GROUP BY source
+UNION ALL
+SELECT 'source:' || s.source, 'token_share',
+  round(sum(s.tk) * 1.0 / t.n_tokens, 6)
+FROM sized s CROSS JOIN totals t GROUP BY s.source, t.n_tokens
+UNION ALL
+SELECT 'lang:' || lang, 'doc_share',
+  round(count(*) * 1.0 / max(t.n_docs), 6)
+FROM sized CROSS JOIN totals t GROUP BY lang
+""",
+    tags=("corpus-stats", "dataset-card", "reporting"),
+)
+def llm_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card summary — the one-query report a corpus release
+    ships: corpus totals (docs/tokens/chars/source/language counts),
+    per-source document counts and token shares, per-language document
+    shares, as a long skinny (section, key, value) table that downstream
+    tooling renders directly.
+
+    Shape: ONE narrow scan feeds every branch (the sized CTE computes
+    token counts once); totals are a 1-row aggregate broadcast into the
+    share branches (the llm_tfidf_topterm scalar pattern); output
+    cardinality is 5 + 2|sources| + |langs| regardless of corpus size.
+    Counts stay exact integers widened to double; shares round at 6dp
+    over exact-integer ratios.
+    """
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("tk"),
+    )
+    totals = sized.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    corpus = totals.selectExpr(
+        "stack(5, 'n_docs', n_docs * 1.0, 'n_tokens', n_tokens * 1.0, "
+        "'n_chars', n_chars * 1.0, 'n_sources', n_sources * 1.0, "
+        "'n_langs', n_langs * 1.0) AS (key, value)"
+    ).select(F.lit("corpus").alias("section"), "key", "value")
+    src_docs = sized.groupBy("source").agg(F.count("*").alias("c")).select(
+        F.concat(F.lit("source:"), F.col("source")).alias("section"),
+        F.lit("n_docs").alias("key"),
+        (F.col("c") * 1.0).alias("value"),
+    )
+    src_share = (
+        sized.crossJoin(F.broadcast(totals.select("n_tokens")))
+        .groupBy("source", "n_tokens")
+        .agg(F.sum("tk").alias("stk"))
+        .select(
+            F.concat(F.lit("source:"), F.col("source")).alias("section"),
+            F.lit("token_share").alias("key"),
+            F.round(F.col("stk") * 1.0 / F.col("n_tokens"), 6).alias("value"),
+        )
+    )
+    lang_share = (
+        sized.crossJoin(F.broadcast(totals.select("n_docs")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"), F.max("n_docs").alias("nd"))
+        .select(
+            F.concat(F.lit("lang:"), F.col("lang")).alias("section"),
+            F.lit("doc_share").alias("key"),
+            F.round(F.col("c") * 1.0 / F.col("nd"), 6).alias("value"),
+        )
+    )
+    return corpus.unionByName(src_docs).unionByName(src_share).unionByName(
+        lang_share
+    )

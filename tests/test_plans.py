@@ -250,6 +250,8 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_mmr_rerank",  # 1-row query vector + <=4-row selected-set broadcasts
         "llm_coreset_kcenter",  # <=4-row selected-set broadcast per FPS stage
         "rel_rolling_wau",  # fixed 7-row window-offset spine broadcast
+        "rel_cusum_changepoint",  # 1-row mean/threshold scalar broadcast
+        "llm_dataset_card",  # 1-row corpus-totals scalar broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

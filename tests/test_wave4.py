@@ -465,3 +465,20 @@ def test_cusum_closed_form_matches_recursion(spark, sf_dir):
 
 
 import math  # noqa: E402  (used by the recursion replay above)
+
+
+def test_source_gini_bounds_and_shares(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import llm_dataset_card, llm_source_gini
+
+    ginis = llm_source_gini(spark, sf_dir).collect()
+    assert ginis
+    for r in ginis:
+        assert 0 <= r.gini < 1, f"{r.source}: gini {r.gini} out of range"
+    card = llm_dataset_card(spark, sf_dir).collect()
+    shares = [r.value for r in card if r.key == "token_share"]
+    assert abs(sum(shares) - 1.0) < 1e-4, "source token shares must sum to 1"
+    doc_shares = [r.value for r in card if r.key == "doc_share"]
+    assert abs(sum(doc_shares) - 1.0) < 1e-4, "lang doc shares must sum to 1"
+    n_docs = next(r.value for r in card if r.key == "n_docs" and r.section == "corpus")
+    src_docs = sum(r.value for r in card if r.key == "n_docs" and r.section != "corpus")
+    assert n_docs == src_docs, "per-source doc counts must partition the corpus"
