@@ -497,3 +497,60 @@ def rel_xml_functions(spark: SparkSession, sf: str) -> DataFrame:
     return parsed.select("r.n_nationkey", "r.n_name", "r.n_regionkey").orderBy(
         "n_nationkey"
     )
+
+
+# --- binaryFile source scan (wave 9) ------------------------------------------
+
+@register(
+    "rel_scan_binary",
+    sql="""
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+  min(n_name) AS first_nation,
+  CAST(sum(length(n_name)) AS BIGINT) AS name_bytes
+FROM nation GROUP BY n_regionkey
+""",
+    tags=("scan", "binary", "multimodal"),
+)
+def rel_scan_binary(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's built-in ``binaryFile`` source
+    — the loading path for image/audio/video corpora (the multimodal
+    north star stores media as binary columns + typed metadata; this is
+    the source that gets raw bytes into a DataFrame).  Round-trip
+    formulation, like the other scan queries: the nation table is staged
+    as pipe-delimited text, re-read as OPAQUE BYTES (path/length/content
+    columns), decoded and parsed entirely in-JVM (decode -> split ->
+    explode), and the oracle asserts the recovered relational content
+    against the registered view — proving the byte path is lossless, not
+    just that a digest matched.
+
+    Scale shape: binaryFile parallelizes per file; the decode/parse is
+    in-row inside codegen.  A 100 TB media lake runs THIS scan into the
+    mapInPandas decoders of operators/multimodal.py — bytes never touch
+    the driver.
+    """
+    from knowledgebot_spark.tables import read_table
+
+    path = _stage(sf, "nation_bin")
+    n = read_table(spark, sf, "nation")
+    n.select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"))
+        .alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    raw = spark.read.format("binaryFile").load(path + "/*.txt")
+    lines = raw.select(
+        F.explode(
+            F.split(F.rtrim(F.decode(F.col("content"), "UTF-8")), "\n")
+        ).alias("line")
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        F.split("line", "\\|").alias("f")
+    ).select(
+        F.element_at("f", 1).cast("bigint").alias("n_nationkey"),
+        F.element_at("f", 2).alias("n_name"),
+        F.element_at("f", 3).cast("bigint").alias("n_regionkey"),
+    )
+    return parsed.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.sum(F.length("n_name")).alias("name_bytes"),
+    )

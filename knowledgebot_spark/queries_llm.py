@@ -3563,3 +3563,98 @@ def llm_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.unionByName(src_docs).unionByName(src_share).unionByName(
         lang_share
     )
+
+
+# --- incremental ANN-index maintenance delta (wave 9) -------------------------
+
+_IXD_SPLIT = 100  # vec_id < 100 = incoming batch; >= 100 = indexed corpus
+
+
+def _duck_index_delta_sql() -> str:
+    d_int = (
+        "list_reduce(list_transform(q.qv, (x, i) -> (x - c.c[i]) * (x - c.c[i])), "
+        "(p, s) -> p + s)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT CAST(vec_id - {_IXD_SPLIT} AS INTEGER) AS cell, qv AS c FROM q
+  WHERE vec_id >= {_IXD_SPLIT} AND vec_id < {_IXD_SPLIT + 4}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_int}, c.cell) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn = 1
+), split AS (
+  SELECT cell,
+    CAST(sum(CASE WHEN vec_id >= {_IXD_SPLIT} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_indexed,
+    CAST(sum(CASE WHEN vec_id < {_IXD_SPLIT} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_incoming
+  FROM assigned GROUP BY cell
+)
+SELECT cell, n_indexed, n_incoming,
+  round(n_incoming * 1.0 / n_indexed, 4) AS growth,
+  n_incoming * 4 > n_indexed AS needs_rebalance
+FROM split
+"""
+
+
+@register(
+    "llm_index_delta",
+    sql=_duck_index_delta_sql(),
+    tags=("ann", "index-maintenance", "incremental"),
+)
+def llm_index_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ANN-index maintenance report: assign an INCOMING batch
+    of vectors (a deterministic id slice standing in for the CDC feed) to
+    the existing IVF cells and report per-cell growth — the planning
+    query an index pipeline runs to decide which cells to rebuild or
+    split before search quality degrades (a cell absorbing >25% new mass
+    gets flagged).  The llm_dedup_incremental posture applied to the
+    vector index: the indexed corpus is never re-clustered, only the
+    delta is assigned.
+
+    Cell centroids are an existing-corpus id slice (deterministic, the
+    llm_kmeans_embeddings init convention); assignment is the same
+    fixed-point BIGINT argmin — exact integer math, broadcast centroids,
+    one narrow pass over indexed + incoming vectors.
+    """
+    e = _t(spark, sf, "embeddings")
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    cents = (
+        q.filter(
+            (F.col("vec_id") >= _IXD_SPLIT) & (F.col("vec_id") < _IXD_SPLIT + 4)
+        )
+        .select(
+            (F.col("vec_id") - _IXD_SPLIT).cast("int").alias("cell"),
+            F.col("qv").alias("c"),
+        )
+        .agg(F.collect_list(F.struct("cell", "c")).alias("cents"))
+    )
+    best = F.expr(
+        "array_sort(transform(cents, s -> struct("
+        "aggregate(zip_with(qv, s.c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d, s.cell AS cell)))[0].cell"
+    )
+    assigned = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", best.alias("cell")
+    )
+    split = assigned.groupBy("cell").agg(
+        F.sum((F.col("vec_id") >= _IXD_SPLIT).cast("long")).alias("n_indexed"),
+        F.sum((F.col("vec_id") < _IXD_SPLIT).cast("long")).alias("n_incoming"),
+    )
+    return split.select(
+        "cell",
+        "n_indexed",
+        "n_incoming",
+        F.round(F.col("n_incoming") / F.col("n_indexed"), 4).alias("growth"),
+        (F.col("n_incoming") * 4 > F.col("n_indexed")).alias("needs_rebalance"),
+    )

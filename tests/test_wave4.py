@@ -482,3 +482,27 @@ def test_source_gini_bounds_and_shares(spark, sf_dir):
     n_docs = next(r.value for r in card if r.key == "n_docs" and r.section == "corpus")
     src_docs = sum(r.value for r in card if r.key == "n_docs" and r.section != "corpus")
     assert n_docs == src_docs, "per-source doc counts must partition the corpus"
+
+
+def test_scan_binary_recovers_nation(spark, sf_dir):
+    from knowledgebot_spark.queries_formats import rel_scan_binary
+
+    out = rel_scan_binary(spark, sf_dir).collect()
+    nation = read_table(spark, sf_dir, "nation")
+    assert sum(r.n_nations for r in out) == nation.count()
+    regions = {r.n_regionkey for r in out}
+    want = {r.n_regionkey for r in nation.select("n_regionkey").distinct().collect()}
+    assert regions == want
+
+
+def test_index_delta_partitions_both_populations(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _IXD_SPLIT, llm_index_delta
+
+    out = llm_index_delta(spark, sf_dir).collect()
+    e = read_table(spark, sf_dir, "embeddings")
+    n_inc = e.filter(F.col("vec_id") < _IXD_SPLIT).count()
+    n_idx = e.filter(F.col("vec_id") >= _IXD_SPLIT).count()
+    assert sum(r.n_incoming for r in out) == n_inc
+    assert sum(r.n_indexed for r in out) == n_idx
+    for r in out:
+        assert r.needs_rebalance == (r.n_incoming * 4 > r.n_indexed)
