@@ -1,0 +1,87 @@
+"""Regenerate PLANS.md: formatted physical plans for the flagship queries
+with the scale-relevant features called out.  The assertions live in
+tests/test_plans.py; this artifact is the human-readable audit trail.
+
+Usage: python scripts/explain_audit.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, what to look for in the plan)
+FLAGSHIPS = (
+    ("kb_spine_full", "broadcast dim joins; PushedFilters on the message scan"),
+    (
+        "rel_shipping_priority",
+        "TPC-H Q3 shape: pushed filters, broadcast dims, TakeOrderedAndProject",
+    ),
+    (
+        "llm_dedup_minhash",
+        "explode -> partial-agg signatures -> banded equi bucket join; no Cartesian",
+    ),
+    (
+        "llm_knn_graph",
+        "capped (label, sub) equi self-join; per-vector norms computed pre-join",
+    ),
+    (
+        "llm_kmeans_embeddings",
+        "1-row collect_list centroid broadcast; 64 integer sum columns partial-agg",
+    ),
+    (
+        "llm_sim_bruteforce",
+        "TakeOrderedAndProject top-k; 1-row query-vector broadcast",
+    ),
+    (
+        "rel_pricing_summary",
+        "single hash aggregate with map-side partial agg; WholeStageCodegen",
+    ),
+    (
+        "rel_cusum_changepoint",
+        "fact collapses to |days| rows before the window stack",
+    ),
+)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from knowledgebot_spark.registry import load
+    from knowledgebot_spark.session import get_session
+
+    spark = get_session("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = load()
+
+    print("# PLANS — formatted physical plans for the flagship queries")
+    print()
+    print(
+        "Regenerate with `python scripts/explain_audit.py`.  The machine-"
+        "checked versions of these observations are tests/test_plans.py;"
+    )
+    print(
+        "this file is the human-readable audit: what Catalyst actually "
+        f"planned at {sf} and why that shape survives 100 TB."
+    )
+    for name, note in FLAGSHIPS:
+        df = catalog[name].fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        print()
+        print(f"## {name}")
+        print()
+        print(f"*Audit focus: {note}.*")
+        print()
+        print("```")
+        print(plan.strip())
+        print("```")
+
+
+if __name__ == "__main__":
+    main()
