@@ -506,3 +506,24 @@ def test_index_delta_partitions_both_populations(spark, sf_dir):
     assert sum(r.n_indexed for r in out) == n_idx
     for r in out:
         assert r.needs_rebalance == (r.n_incoming * 4 > r.n_indexed)
+
+
+def test_observation_metrics_on_spine(spark, sf_dir):
+    """Spark's Observation API — in-flight pipeline observability: row
+    counts and sums collected as a side effect of ONE execution, no
+    second job.  This is how a 100 TB ingest reports progress without
+    re-scanning (the metrics ride the action), so the API surface gets a
+    pinned test alongside the query catalog."""
+    from pyspark.sql import Observation
+
+    from knowledgebot_spark.registry import load
+
+    obs = Observation("spine_metrics")
+    df = load()["kb_extract_blocks"].fn(spark, sf_dir)
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum(F.length("content")).alias("bytes")
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert got["bytes"] > 0
