@@ -1163,3 +1163,84 @@ def rel_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         F.round(cusum_e4 / 10000.0, 4).alias("cusum"),
         (cusum_e4 > F.col("thr_e4")).alias("is_alarm"),
     )
+
+
+# --- time-constrained funnel (wave 9) -----------------------------------------
+
+_TCF_WINDOW_US = 3_600_000_000  # each next stage must land within 1 hour
+
+
+@register(
+    "rel_funnel_time_constrained",
+    sql=f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+    AND epoch_us(e.ts) - s1.t1 <= {_TCF_WINDOW_US}
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+    AND epoch_us(e.ts) - s2.t2 <= {_TCF_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_1h,
+  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_1h
+""",
+    tags=("events", "funnel", "time-constrained"),
+)
+def rel_funnel_time_constrained(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-constrained ordered funnel: view -> click -> purchase where
+    each NEXT stage must land within one hour of the previous stage's
+    qualifying time — the windowed-funnel semantics product analytics
+    actually uses (an unconstrained funnel credits a purchase three weeks
+    after the click; this one doesn't).  Same first-qualifying-time
+    per-stage semantics as rel_funnel_conversion, restricted to the
+    decay window.
+
+    Shape: three user-keyed min-aggs chained by joins on the (tiny)
+    qualified-user sets — each stage's output is a shrinking user
+    dimension that broadcasts into the next stage's scan; the time
+    constraint is integer epoch-micro arithmetic pushed into the join
+    filter.  The three stage counts crossJoin as 1-row scalars
+    (rel_funnel_conversion's allowlisted pattern).
+    """
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", _micros("ts").alias("tus")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("tus") > F.col("t1"))
+            & (F.col("tus") - F.col("t1") <= _TCF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("tus") > F.col("t2"))
+            & (F.col("tus") - F.col("t2") <= _TCF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_1h")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_1h")))
+    )

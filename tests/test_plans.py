@@ -252,6 +252,8 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_rolling_wau",  # fixed 7-row window-offset spine broadcast
         "rel_cusum_changepoint",  # 1-row mean/threshold scalar broadcast
         "llm_dataset_card",  # 1-row corpus-totals scalar broadcast
+        "llm_index_delta",  # 1-row collect_list(4 cell centroids) broadcast
+        "rel_funnel_time_constrained",  # three 1-row stage counts crossJoined
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -527,3 +527,18 @@ def test_observation_metrics_on_spine(spark, sf_dir):
     got = obs.get
     assert got["rows"] == n
     assert got["bytes"] > 0
+
+
+def test_time_constrained_funnel_is_subset(spark, sf_dir):
+    """Decay-window law: the 1-hour-constrained funnel can never reach
+    MORE users at any stage than the unconstrained funnel, and stages
+    shrink monotonically within it."""
+    from knowledgebot_spark.queries_events import rel_funnel_time_constrained
+    from knowledgebot_spark.queries_relational import rel_funnel_conversion
+
+    tc = rel_funnel_time_constrained(spark, sf_dir).collect()[0]
+    un = rel_funnel_conversion(spark, sf_dir).collect()[0]
+    assert tc.n_view == un.n_view, "stage 1 has no prior stage to decay from"
+    assert tc.n_click_1h <= un.n_view_click
+    assert tc.n_purchase_1h <= un.n_view_click_purchase
+    assert tc.n_view >= tc.n_click_1h >= tc.n_purchase_1h
