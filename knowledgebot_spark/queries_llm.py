@@ -3658,3 +3658,117 @@ def llm_index_delta(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("n_incoming") / F.col("n_indexed"), 4).alias("growth"),
         (F.col("n_incoming") * 4 > F.col("n_indexed")).alias("needs_rebalance"),
     )
+
+
+# --- embedding norm health check (wave 9) -------------------------------------
+
+@register(
+    "llm_embedding_health",
+    sql="""
+WITH norms AS (
+  SELECT vec_id, label,
+    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+      (p, s) -> p + s)) AS nrm,
+    len(embedding) AS dim
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,
+  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+  round(quantile_cont(nrm, 0.5), 6) AS median_norm
+FROM norms
+""",
+    tags=("embedding", "health", "monitoring"),
+)
+def llm_embedding_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-table health check: vector count, dimension consistency
+    (n_dims_seen must be 1 — mixed dims silently break every dot
+    product), zero-norm count (they NULL out of cosine ranking), and the
+    norm distribution (min/median/max) — collapse of the norm spread is
+    the classic symptom of a broken embedding export, and similarity
+    thresholds tuned on one norm regime are wrong in another.  The
+    pre-flight every index build runs before llm_index_delta ever
+    assigns a cell.
+
+    Shape: one narrow scan, one aggregate; the norm fold is the same
+    left-to-right double fold as the similarity operators so the numbers
+    here describe EXACTLY what the search path will see.  Exact median
+    via percentile (both engines interpolate identically); at 100 TB use
+    the KLL path.
+    """
+    e = _t(spark, sf, "embeddings")
+    norms = e.select(
+        "vec_id",
+        F.expr(sim.norm_expr("embedding")).alias("nrm"),
+        F.size("embedding").alias("dim"),
+    )
+    return norms.agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("dim").alias("n_dims_seen"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("median_norm"),
+    )
+
+
+# --- cross-source duplication matrix (wave 9) ---------------------------------
+
+def _duck_dup_matrix_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    mh = _REGISTRY["llm_dedup_minhash"].sql
+    return f"""
+WITH pairs AS ({mh})
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(avg(p.jaccard), 4) AS avg_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "llm_dup_matrix_by_source",
+    sql=_duck_dup_matrix_sql(),
+    tags=("dedup", "provenance", "reporting"),
+)
+def llm_dup_matrix_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash near-dup pairs grouped by
+    the (unordered) source pair, with mean Jaccard — the provenance
+    report that tells you WHICH sources mirror each other (a high
+    off-diagonal cell means two crawls overlap and one should be dropped
+    or down-weighted before training; the diagonal is within-source
+    redundancy).  Composes the REGISTERED llm_dedup_minhash oracle as a
+    CTE, the llm_training_triplets pattern, so the matrix audits the
+    production detector.
+
+    Shape: the pair list is LSH-bounded; two broadcast joins attach
+    source labels; output is |sources|^2/2 rows.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    pairs = _self.llm_dedup_minhash(spark, sf)
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    da = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+    )

@@ -542,3 +542,28 @@ def test_time_constrained_funnel_is_subset(spark, sf_dir):
     assert tc.n_click_1h <= un.n_view_click
     assert tc.n_purchase_1h <= un.n_view_click_purchase
     assert tc.n_view >= tc.n_click_1h >= tc.n_purchase_1h
+
+
+def test_embedding_health_dimensions_consistent(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import llm_embedding_health
+
+    r = llm_embedding_health(spark, sf_dir).collect()[0]
+    total = read_table(spark, sf_dir, "embeddings").count()
+    assert r.n_vectors == total
+    assert r.n_dims_seen == 1, "mixed embedding dimensions in the corpus"
+    assert 0 <= r.n_zero <= total
+    assert r.min_norm <= r.median_norm <= r.max_norm
+
+
+def test_dup_matrix_conserves_pairs(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import (
+        llm_dedup_minhash,
+        llm_dup_matrix_by_source,
+    )
+
+    out = llm_dup_matrix_by_source(spark, sf_dir).collect()
+    n_pairs = llm_dedup_minhash(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in out) == n_pairs
+    for r in out:
+        assert r.source_a <= r.source_b, "matrix cell not canonicalized"
+        assert -1.0 <= r.avg_jaccard <= 1.0
