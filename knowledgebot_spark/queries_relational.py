@@ -3059,3 +3059,114 @@ def rel_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+# --- TPC-H Q10 shape: returned-item customer ranking (wave 9) -----------------
+
+@register(
+    "rel_returned_customers",
+    sql="""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+      AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, n_name, rev_e4
+FROM rev ORDER BY rev_e4 DESC, c_custkey LIMIT 20
+""",
+    tags=("tpch", "q10", "join"),
+)
+def rel_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most merchandise —
+    lineitem filtered to returnflag 'R', joined through orders to
+    customer and nation, ranked by lost revenue, top 20.  The classic
+    fact -> bridge -> dim -> dim join chain with a selective fact filter.
+
+    Shape: the returnflag predicate pushes to the lineitem scan
+    (~quarter of rows survive); customer and nation broadcast; the only
+    big shuffle is fact⋈orders on the orderkey.  Revenue quantizes to
+    exact e4 BIGINTs before ranking (rel_pareto_share's determinism
+    rule), and the top-20 plans as TakeOrderedAndProject.
+    """
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    item_e4 = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(item_e4).alias("rev_e4"))
+    )
+    return rev.orderBy(F.desc("rev_e4"), F.asc("c_custkey")).limit(20)
+
+
+# --- TPC-H Q7 shape: cross-nation volume shipping (wave 9) --------------------
+
+@register(
+    "rel_volume_shipping",
+    sql="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+    AS BIGINT)) AS BIGINT) AS volume_e4
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "q7", "join"),
+)
+def rel_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume — revenue between every
+    (supplier nation, customer nation) pair per ship year, domestic flows
+    excluded.  The five-way star join whose output is the nation x nation
+    x year trade matrix.
+
+    Shape: supplier/customer/nation all broadcast (dims); the fact
+    shuffles once on orderkey for the orders bridge; the inequality
+    filter runs post-join on two broadcast-provided columns; output is
+    bounded by |nations|^2 x |years| regardless of fact size.  Exact e4
+    revenue again — the matrix hashes as integers.
+    """
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    item_e4 = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(F.sum(item_e4).alias("volume_e4"))

@@ -567,3 +567,28 @@ def test_dup_matrix_conserves_pairs(spark, sf_dir):
     for r in out:
         assert r.source_a <= r.source_b, "matrix cell not canonicalized"
         assert -1.0 <= r.avg_jaccard <= 1.0
+
+
+def test_returned_customers_plan_and_laws(spark, sf_dir):
+    """Q10 shape: the returnflag filter reaches the lineitem scan, dims
+    broadcast, and the top-20 is TakeOrdered — plus rank determinism."""
+    from knowledgebot_spark.queries_relational import rel_returned_customers
+
+    df = rel_returned_customers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    revs = [r.rev_e4 for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_volume_shipping_excludes_domestic(spark, sf_dir):
+    from knowledgebot_spark.queries_relational import rel_volume_shipping
+
+    out = rel_volume_shipping(spark, sf_dir).collect()
+    assert out
+    assert all(r.supp_nation != r.cust_nation for r in out), "domestic flow leaked"
+    assert all(r.volume_e4 > 0 for r in out)
