@@ -3772,3 +3772,47 @@ def llm_dup_matrix_by_source(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
         )
     )
+
+
+# --- binary media dedup (wave 9) ----------------------------------------------
+
+@register(
+    "llm_media_dedup",
+    sql="""
+SELECT md5(text) AS content_md5,
+  CAST(count(*) AS BIGINT) AS n_copies,
+  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+  CAST((count(*) - 1) * min(strlen(text)) AS BIGINT) AS bytes_reclaimed
+FROM documents GROUP BY md5(text)
+HAVING count(*) > 1
+""",
+    tags=("dedup", "multimodal", "binary"),
+)
+def llm_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup over BINARY media payloads: group assets by the md5 of
+    their raw bytes, keep the lowest asset id, report the storage each
+    duplicate group would reclaim — the llm_dedup_exact pattern extended
+    to the opaque-binary modality (a media lake dedups on content digest
+    before any decode; identical bytes are identical media regardless of
+    filename or metadata).
+
+    Spark's md5 hashes the binary column directly in the JVM; the oracle
+    hashes the text the payload was encoded from (to_media_assets stores
+    utf-8 bytes), so the digest equality is itself cross-engine-verified.
+    Shape: one hash agg keyed by digest — map-side combinable, identical
+    to exact dedup at any scale.
+    """
+    from knowledgebot_spark.operators import multimodal as mm
+
+    assets = mm.to_media_assets(_t(spark, sf, "documents"))
+    return (
+        assets.groupBy(F.md5("payload").alias("content_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("asset_id").alias("keeper_id"),
+            ((F.count("*") - 1) * F.min(F.length("payload")))
+            .cast("long")
+            .alias("bytes_reclaimed"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -592,3 +592,18 @@ def test_volume_shipping_excludes_domestic(spark, sf_dir):
     assert out
     assert all(r.supp_nation != r.cust_nation for r in out), "domestic flow leaked"
     assert all(r.volume_e4 > 0 for r in out)
+
+
+def test_media_dedup_agrees_with_exact_text_dup(spark, sf_dir):
+    """Binary-digest dedup must find at least every FULL-text duplicate
+    pair (identical text => identical utf-8 bytes => identical md5)."""
+    from knowledgebot_spark.queries_llm import llm_media_dedup
+
+    out = llm_media_dedup(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    full_dup_docs = (
+        docs.groupBy("text").count().filter(F.col("count") > 1).collect()
+    )
+    expected_groups = len(full_dup_docs)
+    assert len(out) == expected_groups
+    assert all(r.n_copies > 1 and r.bytes_reclaimed > 0 for r in out)
