@@ -3816,3 +3816,51 @@ def llm_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# --- packing efficiency report (wave 9) ---------------------------------------
+
+def _duck_pack_efficiency_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    packs = _REGISTRY["llm_pack_sequences"].sql
+    return f"""
+WITH packs AS ({packs})
+SELECT CAST(least(pack_tokens * 10 // 512, 14) AS INTEGER) AS fill_decile,
+  CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(pack_tokens) AS BIGINT) AS tokens
+FROM packs GROUP BY 1
+"""
+
+
+@register(
+    "llm_pack_efficiency",
+    sql=_duck_pack_efficiency_sql(),
+    tags=("packing", "efficiency", "reporting"),
+)
+def llm_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency report over llm_pack_sequences' output: packs
+    histogrammed by fill decile relative to the 512-token budget (the
+    streaming-concat scheme assigns each document to the pack where it
+    STARTS, so tail packs under-fill and long documents overflow their
+    pack — deciles above 10/10 are the overflow mass).  This ratio is
+    the batch-utilization number that decides whether the packer needs a
+    smarter bin-packing pass: every under-filled pack is padding the
+    accelerator burns.
+
+    Composes the registered production query (the llm_training_triplets
+    pattern); the decile math is integer-exact.  Shape: inherits the
+    packer's bounded-key shuffles, then a constant-size histogram agg.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    packs = _self.llm_pack_sequences(spark, sf)
+    decile = F.least(
+        (F.col("pack_tokens") * 10 / F.lit(512)).cast("long"), F.lit(14)
+    ).cast("int")
+    return packs.groupBy(decile.alias("fill_decile")).agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("pack_tokens").alias("tokens"),
+    )

@@ -364,3 +364,50 @@ def test_runtime_bloom_filter_fires_on_shuffle_joins(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """Scale-readiness: with AQE skew-join on (session.py defaults), a
+    join against a pathologically hot key gets its oversized partitions
+    SPLIT at runtime — the executed plan marks the SMJ `skew=true`.
+    Thresholds are lowered locally so the 90%-hot-key fixture crosses
+    them; on a cluster the defaults (256 MB) do the same job."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the 4-partition test default flattens the skew ratio; 32 restores
+        # a realistic median for the detector
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(5_000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        agg = left.join(right, "k").agg(F.count(F.lit(1)))
+        agg.collect()  # execute THIS QueryExecution so AQE finalizes it
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
