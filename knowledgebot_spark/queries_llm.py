@@ -3864,3 +3864,137 @@ def llm_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("pack_tokens").alias("tokens"),
     )
+
+
+# --- bigram-LM perplexity quality scoring (wave 10) ---------------------------
+
+_LM_VOCAB = 200
+_LM_TOPK = 20
+
+
+def _duck_lm_perplexity_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train,
+    str_split(lower(text), ' ') AS t
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM (
+      SELECT unnest(t) AS w FROM toks WHERE is_train
+    ) WHERE w <> '' GROUP BY w
+  ) ORDER BY c DESC, w LIMIT {_LM_VOCAB}
+), vs AS (
+  SELECT list(w) AS vlist FROM vocab
+), mapped AS (
+  SELECT doc_id, is_train,
+    [CASE WHEN list_contains(vs.vlist, tok) THEN tok ELSE '<unk>' END
+     FOR tok IN t IF tok <> ''] AS mt
+  FROM toks CROSS JOIN vs
+), bigrams0 AS (
+  SELECT doc_id, is_train,
+    unnest([mt[i] || ' ' || mt[i + 1]
+            FOR i IN generate_series(1, len(mt) - 1)]) AS bg
+  FROM mapped WHERE len(mt) >= 2
+), bigrams AS (
+  SELECT doc_id, is_train, bg, split_part(bg, ' ', 1) AS w1 FROM bigrams0
+), bg_counts AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM bigrams
+  WHERE is_train GROUP BY bg
+), uni_counts AS (
+  SELECT w1 AS w, CAST(count(*) AS BIGINT) AS ca FROM bigrams
+  WHERE is_train GROUP BY w1
+), scored AS (
+  SELECT v.doc_id,
+    -avg(ln((coalesce(b.cab, 0) + 1) * 1.0
+            / (coalesce(u.ca, 0) + {_LM_VOCAB + 1}))) AS nll
+  FROM bigrams v
+  LEFT JOIN bg_counts b ON v.bg = b.bg
+  LEFT JOIN uni_counts u ON v.w1 = u.w
+  WHERE NOT v.is_train
+  GROUP BY v.doc_id
+)
+SELECT doc_id, round(nll, 6) AS nll
+FROM scored ORDER BY round(nll, 6) DESC, doc_id LIMIT {_LM_TOPK}
+"""
+
+
+@register(
+    "llm_lm_perplexity",
+    sql=_duck_lm_perplexity_sql(),
+    tags=("quality", "perplexity", "language-model", "training-data"),
+)
+def llm_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical-LM perplexity quality scoring, the CCNet recipe
+    without external model weights: train an add-1-smoothed bigram model
+    (top-200 vocabulary, OOV -> <unk>) on the md5-range TRAIN split,
+    score the held-out documents by mean negative log-likelihood, and
+    surface the 20 highest — the documents the corpus's own statistics
+    find most surprising (junk, wrong-language, template debris).  The
+    train/score separation matters: scoring a document with a model that
+    saw it underestimates its weirdness.
+
+    Shape: vocabulary is a TakeOrdered top-K; the bigram model is two
+    hash aggs over the train token stream; scoring is two LEFT joins of
+    the held-out bigram stream against the (broadcastable) model tables
+    and one doc-keyed avg.  All counts are exact integers; ln of
+    identical rationals is identical in both engines, the mean rounds at
+    6dp before the final ranking (the llm_pmi_collocations rule).
+    """
+    d = _t(spark, sf, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    toks = d.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("t"),
+    )
+    unigrams = toks.filter("is_train").select(F.explode("t").alias("w"))
+    vocab = (
+        unigrams.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_LM_VOCAB)
+        .select("w")
+    )
+    vset = vocab.agg(F.collect_list("w").alias("vs"))
+    mapped = (
+        toks.crossJoin(F.broadcast(vset))
+        .select(
+            "doc_id",
+            "is_train",
+            F.expr(
+                "transform(t, tok -> CASE WHEN array_contains(vs, tok) "
+                "THEN tok ELSE '<unk>' END)"
+            ).alias("mt"),
+        )
+        .filter(F.size("mt") >= 2)
+    )
+    bigrams = mapped.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(mt) - 1), "
+                "i -> struct(concat(mt[i - 1], ' ', mt[i]) AS bg, mt[i - 1] AS w1))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "is_train", "p.bg", "p.w1")
+    bg_counts = (
+        bigrams.filter("is_train").groupBy("bg").agg(F.count("*").alias("cab"))
+    )
+    uni_counts = (
+        bigrams.filter("is_train").groupBy("w1").agg(F.count("*").alias("ca"))
+    )
+    nll_term = -F.log(
+        (F.coalesce(F.col("cab"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("ca"), F.lit(0)) + F.lit(_LM_VOCAB + 1))
+    )
+    scored = (
+        bigrams.filter(~F.col("is_train"))
+        .join(bg_counts, "bg", "left")
+        .join(uni_counts.withColumnRenamed("w1", "w"), F.col("w1") == F.col("w"), "left")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll_term), 6).alias("nll"))
+    )
+    return scored.orderBy(F.desc("nll"), F.asc("doc_id")).limit(_LM_TOPK)

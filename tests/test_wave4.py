@@ -607,3 +607,21 @@ def test_media_dedup_agrees_with_exact_text_dup(spark, sf_dir):
     expected_groups = len(full_dup_docs)
     assert len(out) == expected_groups
     assert all(r.n_copies > 1 and r.bytes_reclaimed > 0 for r in out)
+
+
+def test_lm_perplexity_scores_heldout_only(spark, sf_dir):
+    """LM-scoring discipline: every scored doc is in the held-out md5
+    range, nll values are positive (probabilities < 1 after smoothing),
+    and ranked descending."""
+    from knowledgebot_spark.queries_llm import _LM_TOPK, llm_lm_perplexity
+
+    out = llm_lm_perplexity(spark, sf_dir).collect()
+    assert 0 < len(out) <= _LM_TOPK
+    import hashlib
+
+    for r in out:
+        h2 = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2]
+        assert h2 >= "cc", f"doc {r.doc_id} is in the TRAIN split"
+        assert r.nll > 0
+    nlls = [r.nll for r in out]
+    assert nlls == sorted(nlls, reverse=True)
