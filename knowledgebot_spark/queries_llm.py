@@ -3998,3 +3998,179 @@ def llm_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.avg(nll_term), 6).alias("nll"))
     )
     return scored.orderBy(F.desc("nll"), F.asc("doc_id")).limit(_LM_TOPK)
+
+
+# --- BM25 lexical retrieval (wave 10) -----------------------------------------
+
+_BM25_TERMS = ("table", "scan", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _duck_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    sum(dl) * 1.0 / count(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT t.doc_id,
+    sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+        * t.tf * ({_BM25_K1} + 1)
+        / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)))
+      AS score
+  FROM tf t
+  JOIN dfreq f ON t.tok = f.tok
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "llm_bm25_search",
+    sql=_duck_bm25_sql(),
+    tags=("search", "bm25", "lexical", "rag"),
+)
+def llm_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 lexical retrieval — the sparse leg of hybrid search: score
+    every document against a fixed query-term set with the Okapi
+    saturation formula (k1=1.2, b=0.75, Lucene-style idf), top 10.
+    Dense cosine (llm_sim_*) finds semantic neighbors; BM25 finds exact-
+    term evidence dense embeddings smear away — production retrieval
+    runs both and fuses (llm_hybrid_fusion).
+
+    Shape: the token stream filters to the (tiny, broadcast-literal)
+    query vocabulary BEFORE any shuffle, so tf is a hash agg over
+    matching postings only; document length and corpus stats are one agg
+    each (1-row broadcast); scoring folds per (doc, term) and sums per
+    doc.  Exact integer tf/df/dl; the float formula evaluates on
+    identical inputs in both engines, rounded at 6dp before ranking.
+    """
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 6
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOPK)
+
+
+# --- hybrid dense + lexical fusion (wave 10) ----------------------------------
+
+_RRF_K = 60
+
+
+def _duck_hybrid_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    dense = _REGISTRY["llm_sim_bruteforce"].sql
+    lexical = _REGISTRY["llm_bm25_search"].sql
+    return f"""
+WITH dense AS ({dense}), lexical AS ({lexical}),
+dr AS (
+  SELECT vec_id AS id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+  FROM dense
+), lr AS (
+  SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM lexical
+), fused AS (
+  SELECT coalesce(dr.id, lr.id) AS id,
+    round(coalesce(1.0 / ({_RRF_K} + dr.r), 0)
+        + coalesce(1.0 / ({_RRF_K} + lr.r), 0), 6) AS rrf,
+    dr.r AS dense_rank, lr.r AS lexical_rank
+  FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+)
+SELECT id, rrf, CAST(dense_rank AS BIGINT) AS dense_rank,
+  CAST(lexical_rank AS BIGINT) AS lexical_rank
+FROM fused ORDER BY rrf DESC, id LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "llm_hybrid_fusion",
+    sql=_duck_hybrid_sql(),
+    tags=("search", "hybrid", "rrf", "rag"),
+)
+def llm_hybrid_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the dense cosine
+    top-10 (llm_sim_bruteforce, vector ids double as document ids in the
+    testdata) and the BM25 lexical top-10 fuse with
+    RRF(d) = sum over lists of 1/(60 + rank) — rank-based, so the two
+    incomparable score scales never need calibration; a document on both
+    lists outranks single-list hits.  The completing piece of the
+    retrieval stack: dense recall + lexical precision -> fused list ->
+    llm_mmr_rerank for diversity.
+
+    Composes the two REGISTERED queries (oracle included, the
+    llm_training_triplets pattern).  RRF terms are exact rationals of
+    small integers — identical doubles in both engines — and the fused
+    candidate set is at most 20 rows, so the fusion itself costs nothing
+    at any corpus scale.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    wd = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    dr = (
+        _self.llm_sim_bruteforce(spark, sf)
+        .select(F.col("vec_id").alias("id"), "score")
+        .withColumn("r", F.row_number().over(wd.orderBy(F.desc("score"), F.asc("id"))))
+        .select("id", F.col("r").alias("dense_rank"))
+    )
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lr = (
+        _self.llm_bm25_search(spark, sf)
+        .withColumn("r", F.row_number().over(wl))
+        .select(F.col("doc_id").alias("id"), F.col("r").alias("lexical_rank"))
+    )
+    fused = dr.join(lr, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("lexical_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "dense_rank",
+        "lexical_rank",
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(_BM25_TOPK)

@@ -625,3 +625,45 @@ def test_lm_perplexity_scores_heldout_only(spark, sf_dir):
         assert r.nll > 0
     nlls = [r.nll for r in out]
     assert nlls == sorted(nlls, reverse=True)
+
+
+def test_bm25_scores_only_term_matches(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _BM25_TERMS, llm_bm25_search
+
+    out = llm_bm25_search(spark, sf_dir).collect()
+    assert out
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in out:
+        toks = set(docs[r.doc_id].lower().split(" "))
+        assert toks & set(_BM25_TERMS), f"doc {r.doc_id} matches no query term"
+        assert r.score > 0
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_fusion_laws(spark, sf_dir):
+    """RRF laws: every fused id comes from one of the source lists, the
+    score is exactly the sum of its reciprocal-rank terms, and a
+    both-lists document always beats a single-list document whose ranks
+    are no better."""
+    from knowledgebot_spark.queries_llm import _RRF_K, llm_hybrid_fusion
+
+    out = llm_hybrid_fusion(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.dense_rank is not None or r.lexical_rank is not None
+        want = 0.0
+        if r.dense_rank is not None:
+            want += 1.0 / (_RRF_K + r.dense_rank)
+        if r.lexical_rank is not None:
+            want += 1.0 / (_RRF_K + r.lexical_rank)
+        assert abs(r.rrf - round(want, 6)) < 1e-9
+    both = [r for r in out if r.dense_rank and r.lexical_rank]
+    single = [r for r in out if not (r.dense_rank and r.lexical_rank)]
+    if both and single:
+        assert max(r.rrf for r in both) > max(r.rrf for r in single)
