@@ -4174,3 +4174,89 @@ def llm_hybrid_fusion(spark: SparkSession, sf: str) -> DataFrame:
         "lexical_rank",
     )
     return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(_BM25_TOPK)
+
+
+# --- pseudo-relevance query expansion (wave 10) -------------------------------
+
+_QE_FEEDBACK = 5
+_QE_TOPK = 10
+
+
+def _duck_query_expansion_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    bm25 = _REGISTRY["llm_bm25_search"].sql
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH bm25 AS ({bm25}), fb AS (
+  SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id LIMIT {_QE_FEEDBACK}
+), toks AS (
+  SELECT t.doc_id, t.tok FROM (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM documents
+  ) t JOIN fb ON t.doc_id = fb.doc_id
+  WHERE t.tok <> '' AND t.tok NOT IN ({terms})
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), w AS (
+  SELECT tok, round(sum(tf * 1.0 / dl), 6) AS weight,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM (
+    SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+    FROM toks t GROUP BY t.doc_id, t.tok
+  ) tf JOIN dl USING (doc_id)
+  GROUP BY tok
+)
+SELECT tok AS term, weight, n_docs
+FROM w ORDER BY weight DESC, tok LIMIT {_QE_TOPK}
+"""
+
+
+@register(
+    "llm_query_expansion",
+    sql=_duck_query_expansion_sql(),
+    tags=("search", "query-expansion", "rm3", "rag"),
+)
+def llm_query_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-lite): take the BM25 top-5 as
+    assumed-relevant, mine their vocabulary for the terms most
+    characteristic of that feedback set (relative term frequency summed
+    across feedback docs, original query terms excluded), and emit the
+    top 10 as expansion candidates — the classic recall lever when the
+    user's query undershoots the corpus vocabulary, and the lexical
+    sibling of llm_hard_negatives' embedding-side mining.
+
+    Composes the REGISTERED BM25 query (oracle included).  Shape: the
+    feedback set is K rows, so the expensive-looking vocabulary mining
+    is a semi-join that prunes the token stream to K documents before
+    any aggregation; term weights are sums of exact rationals over <= K
+    docs, rounded before the final TakeOrdered.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    fb = (
+        _self.llm_bm25_search(spark, sf)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_QE_FEEDBACK)
+        .select("doc_id")
+    )
+    d = _t(spark, sf, "documents")
+    toks = (
+        d.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter((F.col("tok") != "") & ~F.col("tok").isin(*_BM25_TERMS))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    w = (
+        tf.join(dl, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.round(F.sum(F.col("tf") * 1.0 / F.col("dl")), 6).alias("weight"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    return (
+        w.select(F.col("tok").alias("term"), "weight", "n_docs")
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(_QE_TOPK)
+    )

@@ -667,3 +667,21 @@ def test_hybrid_fusion_laws(spark, sf_dir):
     single = [r for r in out if not (r.dense_rank and r.lexical_rank)]
     if both and single:
         assert max(r.rrf for r in both) > max(r.rrf for r in single)
+
+
+def test_query_expansion_excludes_query_terms(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import (
+        _BM25_TERMS,
+        _QE_FEEDBACK,
+        _QE_TOPK,
+        llm_query_expansion,
+    )
+
+    out = llm_query_expansion(spark, sf_dir).collect()
+    assert 0 < len(out) <= _QE_TOPK
+    for r in out:
+        assert r.term not in _BM25_TERMS, "query term leaked into expansion"
+        assert r.weight > 0
+        assert 1 <= r.n_docs <= _QE_FEEDBACK
+    ws = [r.weight for r in out]
+    assert ws == sorted(ws, reverse=True)
