@@ -4260,3 +4260,58 @@ def llm_query_expansion(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(_QE_TOPK)
     )
+
+
+# --- dedup threshold sweep (wave 10) ------------------------------------------
+
+def _duck_threshold_sweep_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    mh = _REGISTRY["llm_dedup_minhash"].sql
+    return f"""
+WITH pairs AS ({mh}), binned AS (
+  SELECT CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS jaccard_bin,
+    CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT jaccard_bin, n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY jaccard_bin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_pairs_at_or_above
+FROM binned
+"""
+
+
+@register(
+    "llm_dedup_threshold_sweep",
+    sql=_duck_threshold_sweep_sql(),
+    tags=("dedup", "threshold", "methodology"),
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-tuning curve for near-dup removal: verified MinHash
+    candidate pairs binned by Jaccard decile, with the reverse-cumulative
+    count (pairs at-or-above each bin) — the curve that answers "how many
+    pairs would a 0.7 cut delete vs a 0.5 cut" BEFORE committing to a
+    threshold, the tuning companion to llm_dedup_calibration's estimator
+    audit.
+
+    Composes the registered detector; the reverse cumulative runs over a
+    10-row relation.  Integer-exact throughout (floor of the already-4dp
+    jaccard decile; counts).
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    pairs = _self.llm_dedup_minhash(spark, sf)
+    binned = pairs.groupBy(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+        .cast("int")
+        .alias("jaccard_bin")
+    ).agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.desc("jaccard_bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return binned.select(
+        "jaccard_bin",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )

@@ -685,3 +685,21 @@ def test_query_expansion_excludes_query_terms(spark, sf_dir):
         assert 1 <= r.n_docs <= _QE_FEEDBACK
     ws = [r.weight for r in out]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_threshold_sweep_reverse_cumulative(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import (
+        llm_dedup_minhash,
+        llm_dedup_threshold_sweep,
+    )
+
+    out = sorted(
+        llm_dedup_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: -r.jaccard_bin,
+    )
+    total = llm_dedup_minhash(spark, sf_dir).count()
+    running = 0
+    for r in out:
+        running += r.n_pairs
+        assert r.n_pairs_at_or_above == running
+    assert running == total, "sweep must partition the verified pairs"
