@@ -4315,3 +4315,71 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+# --- RAG context assembly under a token budget (wave 10) ----------------------
+
+_CTX_BUDGET = 256
+
+
+def _duck_context_assembly_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    fused = _REGISTRY["llm_hybrid_fusion"].sql
+    return f"""
+WITH fused AS ({fused}), sized AS (
+  SELECT f.id, f.rrf,
+    CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+    row_number() OVER (ORDER BY f.rrf DESC, f.id) AS pos
+  FROM fused f JOIN documents d ON d.doc_id = f.id
+), budgeted AS (
+  SELECT id, rrf, n_tokens, pos,
+    CAST(sum(n_tokens) OVER (ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM sized
+)
+SELECT CAST(pos AS BIGINT) AS pos, id, rrf, n_tokens, cum_tokens
+FROM budgeted WHERE cum_tokens - n_tokens < {_CTX_BUDGET}
+"""
+
+
+@register(
+    "llm_context_assembly",
+    sql=_duck_context_assembly_sql(),
+    tags=("rag", "context", "serving"),
+)
+def llm_context_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """The last serving step: assemble the retrieval context by walking
+    the fused ranking (llm_hybrid_fusion) in order and admitting
+    documents until the token budget fills — the greedy first-fit that
+    decides what the generator actually reads.  The document that
+    CROSSES the budget is admitted (standard practice: truncate in the
+    prompt template rather than waste remaining budget), any document
+    starting past the line is not — the llm_pack_sequences cut rule
+    applied to a ranked list.
+
+    Composes the registered fusion query and its oracle; the budget walk
+    is a cumulative sum over the <= 10 fused rows (integer token counts,
+    the greedy cut is exact integer comparison).  At 100 TB the cost is
+    the retrieval underneath; assembly itself is constant.
+    """
+    import knowledgebot_spark.queries_llm as _self
+
+    fused = _self.llm_hybrid_fusion(spark, sf)
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    sized = fused.join(F.broadcast(d), "id").select(
+        "id", "rrf", "n_tokens", F.row_number().over(w).alias("pos")
+    )
+    wc = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budgeted = sized.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(wc).cast("long")
+    )
+    return budgeted.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _CTX_BUDGET
+    ).select(F.col("pos").cast("long").alias("pos"), "id", "rrf", "n_tokens", "cum_tokens")

@@ -703,3 +703,19 @@ def test_threshold_sweep_reverse_cumulative(spark, sf_dir):
         running += r.n_pairs
         assert r.n_pairs_at_or_above == running
     assert running == total, "sweep must partition the verified pairs"
+
+
+def test_context_assembly_budget_rule(spark, sf_dir):
+    """Greedy first-fit laws: positions are a contiguous prefix of the
+    fused ranking, every admitted doc STARTS under the budget, and no
+    following doc could have been admitted."""
+    from knowledgebot_spark.queries_llm import _CTX_BUDGET, llm_context_assembly
+
+    out = sorted(llm_context_assembly(spark, sf_dir).collect(), key=lambda r: r.pos)
+    assert out
+    assert [r.pos for r in out] == list(range(1, len(out) + 1)), "not a prefix"
+    for r in out:
+        assert r.cum_tokens - r.n_tokens < _CTX_BUDGET
+    assert out[-1].cum_tokens >= _CTX_BUDGET or len(out) == 10, (
+        "budget not exhausted yet the walk stopped early"
+    )
