@@ -254,6 +254,11 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_dataset_card",  # 1-row corpus-totals scalar broadcast
         "llm_index_delta",  # 1-row collect_list(4 cell centroids) broadcast
         "rel_funnel_time_constrained",  # three 1-row stage counts crossJoined
+        "llm_lm_perplexity",  # 1-row vocab-list broadcast into OOV mapping
+        "llm_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast
+        "llm_hybrid_fusion",  # full-outer of two <=10-row top-k lists
+        "llm_context_assembly",  # inherits llm_hybrid_fusion's tiny fusion join
+        "llm_query_expansion",  # inherits llm_bm25_search's 1-row stats broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
