@@ -62,8 +62,8 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 #   r05+ plan : llm tail (37+, incl. knn/curriculum/sketch/pagerank/
 #     kmeans/hard-negatives/PQ/calibration/BPE) + corpus(12) +
 #     formats(14, incl. 2 xml) + events(14) + relational 41+
-#     (module totals as of r04 end: streaming 14, llm 64, corpus 12,
-#      formats 14, events 17, pipeline 10, relational 84 = 215; the r04
+#     (module totals as of r04 end: streaming 14, llm 75, corpus 12,
+#      formats 15, events 18, pipeline 10, relational 86 = 230; the r04
 #      window is streaming(14) + llm(1-36) — fourth-through-seventh-wave
 #      additions registered at module TAILS so the window held steady,
 #      except stream_anti_dedup which displaced llm #37.  Count from
