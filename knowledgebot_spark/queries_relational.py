@@ -3170,3 +3170,63 @@ def rel_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).agg(F.sum(item_e4).alias("volume_e4"))
+
+
+# --- Benford first-digit screening (wave 10) ----------------------------------
+
+@register(
+    "rel_benford_screen",
+    sql="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+    AS INTEGER) AS d
+  FROM lineitem WHERE l_extendedprice >= 1
+), counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS observed FROM digits GROUP BY d
+), total AS (
+  SELECT CAST(sum(observed) AS BIGINT) AS n FROM counts
+)
+SELECT c.d AS digit, c.observed,
+  round(t.n * ln(1.0 + 1.0 / c.d) / ln(10.0), 4) AS expected,
+  round(pow(c.observed - t.n * ln(1.0 + 1.0 / c.d) / ln(10.0), 2)
+    / (t.n * ln(1.0 + 1.0 / c.d) / ln(10.0)), 6) AS chi2_term
+FROM counts c CROSS JOIN total t
+""",
+    tags=("data-quality", "benford", "screening"),
+)
+def rel_benford_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law screening of the price column: observed vs expected
+    first-digit counts with per-digit chi-square terms — the forensic
+    data-quality test for fabricated or truncated numeric columns
+    (naturally-occurring multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); synthetic uniform data, like this testdata,
+    fails loudly — which is exactly what the screen is for).
+
+    Shape: first digit is string math on the integer part (no float
+    formatting dialects), one 9-row hash agg, the total as a 1-row
+    broadcast scalar.  Counts are exact; expected values and chi-square
+    terms evaluate ln/pow on identical inputs in both engines, rounded
+    for the hash.
+    """
+    li = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digits = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("observed"))
+    total = counts.agg(F.sum("observed").alias("n"))
+    expected = F.col("n") * F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("digit"),
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - expected, 2) / expected, 6
+            ).alias("chi2_term"),
+        )
+    )

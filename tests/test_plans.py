@@ -259,6 +259,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_hybrid_fusion",  # full-outer of two <=10-row top-k lists
         "llm_context_assembly",  # inherits llm_hybrid_fusion's tiny fusion join
         "llm_query_expansion",  # inherits llm_bm25_search's 1-row stats broadcast
+        "rel_benford_screen",  # 1-row total-count scalar broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -719,3 +719,19 @@ def test_context_assembly_budget_rule(spark, sf_dir):
     assert out[-1].cum_tokens >= _CTX_BUDGET or len(out) == 10, (
         "budget not exhausted yet the walk stopped early"
     )
+
+
+def test_benford_counts_partition_prices(spark, sf_dir):
+    from knowledgebot_spark.queries_relational import rel_benford_screen
+
+    out = rel_benford_screen(spark, sf_dir).collect()
+    total = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") >= 1)
+        .count()
+    )
+    assert sum(r.observed for r in out) == total
+    assert {r.digit for r in out} <= set(range(1, 10))
+    assert abs(sum(r.expected for r in out) - total) < 1.0
+    for r in out:
+        assert r.chi2_term >= 0
