@@ -855,3 +855,51 @@ def llm_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
         )
     )
+
+
+# --- release manifest with shard checksums (wave 10) --------------------------
+
+@register(
+    "llm_release_manifest",
+    sql=f"""
+WITH assigned AS (
+  SELECT {_duck_bucket('doc_id', N_SHARDS)} AS shard, doc_id, md5(text) AS h,
+    len(str_split(text, ' ')) AS tk
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tk) AS BIGINT) AS n_tokens,
+  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_checksum
+FROM assigned GROUP BY shard
+""",
+    tags=("sharding", "manifest", "integrity"),
+)
+def llm_release_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-release manifest: per training shard, document and token
+    counts plus a CONTENT CHECKSUM — md5 over the doc_id-ordered
+    concatenation of per-document content hashes, so a consumer can
+    verify a shipped shard byte-for-byte without re-reading the source
+    corpus (and a re-run producing the same manifest proves the release
+    is reproducible end-to-end).  Pairs with llm_shard_assign's balance
+    audit and llm_dataset_card's summary: card + manifest is what a
+    release actually publishes.
+
+    Shape: one shard-keyed hash agg; the ordered string_agg is bounded
+    per shard (corpus/N_SHARDS docs, 32 bytes each) — at 100 TB raise
+    N_SHARDS so per-shard hash chains stay small, same knob as the file
+    layout itself.  Every output is exact (counts + digests).
+    """
+    d = _t(spark, sf, "documents")
+    assigned = d.select(
+        _bucket(F.col("doc_id"), N_SHARDS).alias("shard"),
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("tk"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        F.md5(
+            F.expr("listagg(h) WITHIN GROUP (ORDER BY doc_id)")
+        ).alias("shard_checksum"),
+    )

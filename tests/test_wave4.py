@@ -735,3 +735,18 @@ def test_benford_counts_partition_prices(spark, sf_dir):
     assert abs(sum(r.expected for r in out) - total) < 1.0
     for r in out:
         assert r.chi2_term >= 0
+
+
+def test_release_manifest_is_reproducible_and_conserves(spark, sf_dir):
+    from knowledgebot_spark.queries_corpus import llm_release_manifest
+
+    a = {r.shard: r for r in llm_release_manifest(spark, sf_dir).collect()}
+    b = {r.shard: r for r in llm_release_manifest(spark, sf_dir).collect()}
+    assert set(a) == set(b)
+    for s in a:
+        assert a[s].shard_checksum == b[s].shard_checksum, "manifest not stable"
+    total = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in a.values()) == total
+    assert len({r.shard_checksum for r in a.values()}) == len(a), (
+        "two shards share a checksum — hash chain broken"
+    )
