@@ -106,7 +106,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session TZ is pinned UTC, so the cast is value-preserving and the
     formatted output stays identical to the batch/NTZ path.
     """
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir))
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # KB_STREAM_MAX_FILES forces multi-batch replays in tests (AvailableNow
+    # otherwise consumes every staged file in ONE batch, which would leave
+    # cross-batch merge paths — e.g. stream_cdc_materialize's version
+    # compaction — unexercised)
+    max_files = os.environ.get("KB_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.parquet(_stage_dir(sf_dir))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

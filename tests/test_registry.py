@@ -31,7 +31,7 @@ def test_output_order_is_evidence_policy():
     assert ranks == sorted(ranks), "catalog not ordered by _OUTPUT_ORDER"
     window = list(catalog)[:50]
     assert all(n.startswith(("stream_", "llm_", "kb_")) for n in window)
-    assert sum(n.startswith("stream_") for n in window) == 14
+    assert sum(n.startswith("stream_") for n in window) == 15
 
 
 def test_entry_runs(spark):

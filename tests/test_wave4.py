@@ -750,3 +750,50 @@ def test_release_manifest_is_reproducible_and_conserves(spark, sf_dir):
     assert len({r.shard_checksum for r in a.values()}) == len(a), (
         "two shards share a checksum — hash chain broken"
     )
+
+
+def test_cdc_materialize_converges_across_batches(spark, sf_dir, tmp_path):
+    """Cross-batch LWW law: splitting the log into 3 micro-batches (via
+    KB_STREAM_MAX_FILES=1 on a 3-file staging) must converge to exactly
+    the batch-computed per-user latest state — the version-merge path is
+    what this exercises; a single AvailableNow batch never runs it."""
+    import os
+
+    from knowledgebot_spark.queries_streaming import stream_cdc_materialize
+
+    ev = read_table(spark, sf_dir, "events")
+    tmp_sf = str(tmp_path / "sfcdc")
+    ev.repartition(3).write.parquet(f"{tmp_sf}/events.parquet")
+    os.environ["KB_STREAM_MAX_FILES"] = "1"
+    try:
+        got = {
+            r.user_id: (r.last_ts, r.last_type, r.last_value)
+            for r in stream_cdc_materialize(spark, tmp_sf).collect()
+        }
+    finally:
+        del os.environ["KB_STREAM_MAX_FILES"]
+    w_latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    want = {
+        r.user_id: (
+            r.last_ts,
+            r.event_type,
+            round(r.value, 2),
+        )
+        for r in w_latest.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "event_type",
+            "value",
+        ).collect()
+    }
+    assert got == want
