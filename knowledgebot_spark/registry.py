@@ -59,15 +59,17 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 #     (second-wave additions landed llm at 42 and streaming at 11, so the
 #      50-row window now ends inside llm; llm 40-42, corpus, formats, and
 #      relational 41+ wait for the next rotation)
-#   r05+ plan : llm tail (37+, incl. knn/curriculum/sketch/pagerank/
-#     kmeans/hard-negatives/PQ/calibration/BPE) + corpus(12) +
-#     formats(14, incl. 2 xml) + events(14) + relational 41+
-#     (module totals as of r04 end: streaming 14, llm 75, corpus 12,
-#      formats 15, events 18, pipeline 10, relational 86 = 230; the r04
-#      window is streaming(14) + llm(1-36) — fourth-through-seventh-wave
-#      additions registered at module TAILS so the window held steady,
-#      except stream_anti_dedup which displaced llm #37.  Count from
-#      load() when planning r05, not from this comment)
+#   r05+ plan : llm tail (36+, incl. knn/curriculum/sketch/pagerank/
+#     kmeans/hard-negatives/PQ/calibration/BPE/BM25/fusion/MMR/coreset) +
+#     corpus(13) + formats(15, incl. xml + binary) + events(18) +
+#     relational 41+
+#     (module totals as of r04 end: streaming 15, llm 75, corpus 13,
+#      formats 15, events 18, pipeline 10, relational 87 = 233; the r04
+#      window is streaming(15) + llm(1-35) — late-wave additions
+#      registered at module TAILS so the window held steady except
+#      stream_anti_dedup and stream_cdc_materialize, which displaced
+#      llm #36-37.  Count from load() when planning r05, not from this
+#      comment)
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_llm",
