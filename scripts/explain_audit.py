@@ -43,6 +43,14 @@ FLAGSHIPS = (
         "rel_cusum_changepoint",
         "fact collapses to |days| rows before the window stack",
     ),
+    (
+        "llm_bm25_search",
+        "postings filtered to the query vocabulary before any shuffle; 1-row stats broadcast",
+    ),
+    (
+        "llm_hybrid_fusion",
+        "two TakeOrdered top-10 lists fused by a tiny full-outer join",
+    ),
 )
 
 
