@@ -1244,3 +1244,96 @@ def rel_funnel_time_constrained(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("n_click_1h")))
         .crossJoin(s3.agg(F.count("*").alias("n_purchase_1h")))
     )
+
+
+# --- activity heatmap (wave 11) -----------------------------------------------
+
+@register(
+    "rel_activity_heatmap",
+    sql="""
+SELECT CAST(EXTRACT(isodow FROM ts) AS INTEGER) AS dow,
+  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+    tags=("events", "heatmap", "reporting"),
+)
+def rel_activity_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the capacity-planning
+    and staffing dashboard query (when does load actually arrive), and
+    the visual twin of rel_seasonal_decompose's hour-of-day seasonal
+    component.  ISO day numbering (Mon=1) on both engines.
+
+    Shape: one hash agg to a bounded 7 x 24 grid; the distinct-user
+    count shuffles on the grid key with per-cell user sets bounded by
+    the population.  Nothing else — the simplest query in the events
+    family on purpose: the point is the 168-cell contract.
+    """
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("raw_dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        # Spark dayofweek: Sun=1..Sat=7; ISO wants Mon=1..Sun=7
+        F.expr("CAST(CASE WHEN raw_dow = 1 THEN 7 ELSE raw_dow - 1 END AS INT)")
+        .alias("dow"),
+        "hod",
+        "n",
+        "n_users",
+    )
+
+
+# --- new vs returning split (wave 11) -----------------------------------------
+
+@register(
+    "rel_new_vs_returning",
+    sql="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT DISTINCT e.user_id, CAST(date_trunc('day', e.ts) AS DATE) AS d,
+    f.first_day
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  CAST(sum(CASE WHEN d = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+  CAST(sum(CASE WHEN d > first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS returning_users
+FROM daily GROUP BY day
+""",
+    tags=("events", "growth", "new-vs-returning"),
+)
+def rel_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily new-vs-returning active-user split: each (user, active day)
+    classifies against the user's first-seen day — the growth-accounting
+    companion to rel_cohort_retention (same first-seen dimension, daily
+    composition instead of a triangle) and rel_rolling_wau (level vs
+    mix).
+
+    Shape: the first-seen dim is one user-keyed min-agg (tiny, broadcast
+    back); activity dedupes to user-days before classification so the
+    output is composition of ACTIVES, not events; final agg lands on
+    |days| rows.  All integer counts.
+    """
+    ev = _t(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day")
+    )
+    daily = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+        .join(F.broadcast(first_seen), "user_id")
+    )
+    return daily.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum((F.col("d") == F.col("first_day")).cast("long")).alias("new_users"),
+        F.sum((F.col("d") > F.col("first_day")).cast("long")).alias(
+            "returning_users"
+        ),
+    )

@@ -797,3 +797,39 @@ def test_cdc_materialize_converges_across_batches(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_heatmap_covers_grid_and_conserves(spark, sf_dir):
+    from knowledgebot_spark.queries_events import rel_activity_heatmap
+
+    out = rel_activity_heatmap(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in out) == total
+    for r in out:
+        assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
+        assert r.n_users <= r.n
+
+
+def test_new_vs_returning_accounting(spark, sf_dir):
+    """Growth-accounting laws: summed new_users over all days equals the
+    total user population (everyone is new exactly once), and per-day
+    new + returning equals that day's distinct actives."""
+    from knowledgebot_spark.queries_events import rel_new_vs_returning
+
+    out = {r.day: r for r in rel_new_vs_returning(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.new_users for r in out.values()) == n_users
+    dau = {
+        r.day: r.n
+        for r in ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for day, r in out.items():
+        assert r.new_users + r.returning_users == dau[day], day
