@@ -1337,3 +1337,88 @@ def rel_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
             "returning_users"
         ),
     )
+
+
+# --- retention decay fit (wave 11) --------------------------------------------
+
+@register(
+    "rel_retention_decay_fit",
+    sql="""
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT c.cohort_day,
+    CAST(date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+      AS INTEGER) AS day_off,
+    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+    BETWEEN 1 AND 14
+  GROUP BY 1, 2
+), base AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_day
+), rates AS (
+  SELECT a.day_off, a.cohort_day,
+    ln(a.n_active * 1.0 / b.cohort_size) AS log_rate
+  FROM act a JOIN base b ON a.cohort_day = b.cohort_day
+  WHERE a.n_active > 0
+)
+SELECT round(regr_slope(log_rate, day_off), 6) AS decay_slope,
+  round(regr_intercept(log_rate, day_off), 6) AS log_intercept,
+  round(exp(regr_intercept(log_rate, day_off)
+    + 30 * regr_slope(log_rate, day_off)), 6) AS projected_day30_rate,
+  CAST(count(*) AS BIGINT) AS n_points
+FROM rates
+""",
+    tags=("events", "retention", "curve-fit"),
+)
+def rel_retention_decay_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential retention-decay fit: the cohort triangle's daily
+    retention rates (offsets 1..14, pooled across cohorts) regress
+    log-linearly against the offset, giving ONE decay constant and a
+    projected day-30 rate — the summary a growth model consumes where
+    rel_cohort_retention gives the raw surface (r(t) ~ e^(a + bt), the
+    standard first-order retention model).
+
+    Shape: the cohort/activity aggregation is rel_cohort_retention's
+    (user-keyed aggs, bounded output); the regression runs regr_slope /
+    regr_intercept over the ~|cohorts| x 14 rate points — a single
+    co-moment aggregate, the rel_stats_agg cross-engine precedent, with
+    6dp rounding on the fitted outputs.
+    """
+    ev = _t(spark, sf, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    act = (
+        ev.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            "user_id",
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("offset"),
+        )
+        .filter(F.col("offset").between(1, 14))
+        .groupBy("cohort_day", "offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = cohort.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    rates = (
+        act.join(base, "cohort_day")
+        .filter(F.col("n_active") > 0)
+        .select(
+            "offset",
+            F.log(F.col("n_active") / F.col("cohort_size")).alias("log_rate"),
+        )
+    )
+    slope = F.expr("regr_slope(log_rate, offset)")
+    intercept = F.expr("regr_intercept(log_rate, offset)")
+    return rates.agg(
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(intercept, 6).alias("log_intercept"),
+        F.round(F.exp(intercept + 30 * slope), 6).alias("projected_day30_rate"),
+        F.count("*").alias("n_points"),
+    )

@@ -4383,3 +4383,46 @@ def llm_context_assembly(spark: SparkSession, sf: str) -> DataFrame:
     return budgeted.filter(
         F.col("cum_tokens") - F.col("n_tokens") < _CTX_BUDGET
     ).select(F.col("pos").cast("long").alias("pos"), "id", "rrf", "n_tokens", "cum_tokens")
+
+
+# --- per-dimension embedding variance profile (wave 11) -----------------------
+
+@register(
+    "llm_embedding_dim_variance",
+    sql="""
+WITH comps AS (
+  SELECT gs.i AS dim, embedding[gs.i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) gs(i)
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+  round(var_pop(x), 6) AS variance,
+  round(avg(x), 6) AS mean,
+  var_pop(x) < 0.0001 AS is_dead
+FROM comps GROUP BY dim
+""",
+    tags=("embedding", "health", "monitoring"),
+)
+def llm_embedding_dim_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding space: a
+    dimension whose variance collapses toward zero carries no
+    information (dead unit — a truncated export, a saturated
+    activation, an off-by-one in the projection), silently wasting
+    index memory and flattening every cosine.  Completes the health
+    trio: llm_embedding_health watches norms, llm_embedding_drift
+    watches the distribution over time, this watches the coordinates.
+
+    Shape: posexplode to (dim, component) and ONE hash agg — 64 output
+    rows at any corpus size; var_pop's co-moment merge is the
+    rel_stats_agg cross-engine precedent, rounded at 6dp, with the
+    dead flag computed on the raw variance (both engines see identical
+    aggregates to within the rounding the hash tolerates).
+    """
+    e = _t(spark, sf, "embeddings")
+    comps = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x")
+    )
+    return comps.groupBy("dim").agg(
+        F.round(F.var_pop("x"), 6).alias("variance"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        (F.var_pop("x") < 0.0001).alias("is_dead"),
+    ).select(F.col("dim").cast("int").alias("dim"), "variance", "mean", "is_dead")

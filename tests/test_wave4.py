@@ -833,3 +833,30 @@ def test_new_vs_returning_accounting(spark, sf_dir):
     }
     for day, r in out.items():
         assert r.new_users + r.returning_users == dau[day], day
+
+
+def test_retention_decay_fit_sanity(spark, sf_dir):
+    """Fit sanity on synthetic NON-decaying activity (everyone active
+    daily): the slope must be near zero — |slope| << ln(2), i.e. nothing
+    resembling a real halving-scale decay — and the day-30 projection
+    must stay a plausible rate.  (Real logs fit negative slopes; the
+    synthetic flatness is itself the fixture's known answer.)"""
+    from knowledgebot_spark.queries_events import rel_retention_decay_fit
+
+    r = rel_retention_decay_fit(spark, sf_dir).collect()[0]
+    assert r.n_points >= 14, "fewer rate points than offsets"
+    assert abs(r.decay_slope) < 0.05, "flat synthetic activity fitted a decay"
+    assert 0 < r.projected_day30_rate < 1.5
+
+
+def test_embedding_dim_variance_profile(spark, sf_dir):
+    from knowledgebot_spark.operators import similarity as sim
+    from knowledgebot_spark.queries_llm import llm_embedding_dim_variance
+
+    out = llm_embedding_dim_variance(spark, sf_dir).collect()
+    assert len(out) == sim.EMBED_DIM
+    assert {r.dim for r in out} == set(range(1, sim.EMBED_DIM + 1))
+    for r in out:
+        assert r.variance >= 0
+        assert r.is_dead == (r.variance < 0.0001) or r.variance == 0.0001
+    assert not all(r.is_dead for r in out), "the whole space cannot be dead"
