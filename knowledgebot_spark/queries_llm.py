@@ -4426,3 +4426,80 @@ def llm_embedding_dim_variance(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("mean"),
         (F.var_pop("x") < 0.0001).alias("is_dead"),
     ).select(F.col("dim").cast("int").alias("dim"), "variance", "mean", "is_dead")
+
+
+# --- OOV rate vs vocabulary size curve (wave 11) ------------------------------
+
+_OOV_SIZES = (50, 100, 200)
+
+
+def _duck_oov_curve_sql() -> str:
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN rank > {k} THEN c ELSE 0 END) AS BIGINT) AS oov_{k}"
+        for k in _OOV_SIZES
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS vocab_size, oov_{k} AS oov_tokens, total, "
+        f"round(oov_{k} * 1.0 / total, 6) AS oov_rate FROM agg"
+        for k in _OOV_SIZES
+    )
+    return f"""
+WITH freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM freq
+), agg AS (
+  SELECT {conds}, CAST(sum(c) AS BIGINT) AS total FROM ranked
+)
+{rows}
+"""
+
+
+@register(
+    "llm_oov_curve",
+    sql=_duck_oov_curve_sql(),
+    tags=("tokenizer", "vocabulary", "oov", "training-data"),
+)
+def llm_oov_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary rate as a function of vocabulary size (top-50 /
+    100 / 200 by frequency): the tokenizer-budget tuning curve — where
+    the OOV mass stops falling is where extra vocabulary slots stop
+    paying for themselves (llm_vocab_coverage gives one point of this
+    curve per source; this gives the corpus-level curve the budget
+    decision reads).
+
+    Shape: one token-frequency agg, one ranking over the |vocab|-sized
+    frequency table (dim-sized, not corpus-sized), one conditional agg
+    producing every curve point in a single pass, stacked to rows.  All
+    exact integer token mass; the rate divides exact integers.
+    """
+    d = _t(spark, sf, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    wo = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = freq.select("c", F.row_number().over(wo).alias("rank"))
+    agg = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rank") > k, F.col("c")).otherwise(0)).alias(
+                f"oov_{k}"
+            )
+            for k in _OOV_SIZES
+        ],
+        F.sum("c").alias("total"),
+    )
+    stack_args = ", ".join(f"{k}, oov_{k}" for k in _OOV_SIZES)
+    return agg.selectExpr(
+        f"stack({len(_OOV_SIZES)}, {stack_args}) AS (vocab_size, oov_tokens)",
+        "total",
+    ).select(
+        "vocab_size",
+        "oov_tokens",
+        "total",
+        F.round(F.col("oov_tokens") / F.col("total"), 6).alias("oov_rate"),
+    )

@@ -3230,3 +3230,70 @@ def rel_benford_screen(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# --- ABC revenue classification (wave 11) -------------------------------------
+
+@register(
+    "rel_abc_classification",
+    sql="""
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+      AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_e4,
+    CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_e4,
+    CAST(sum(rev_e4) OVER () AS BIGINT) AS total_e4
+  FROM rev
+), classed AS (
+  SELECT l_partkey, rev_e4,
+    CASE WHEN (cum_e4 - rev_e4) * 10 < total_e4 * 8 THEN 'A'
+         WHEN (cum_e4 - rev_e4) * 100 < total_e4 * 95 THEN 'B'
+         ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4
+FROM classed GROUP BY abc
+""",
+    tags=("window", "abc", "inventory"),
+)
+def rel_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC classification: parts partitioned into A (the head carrying
+    the first 80% of revenue), B (next 15%), C (the tail) — the
+    inventory-management standard built on rel_pareto_share's exact
+    cumulative machinery, collapsed to the 3-class report procurement
+    actually consumes (count and revenue mass per class).
+
+    Same determinism rules: e4 fixed-point revenue, integer comparisons
+    for both class boundaries — a row's class is decided by the share
+    BEFORE it, so boundary rows land in the cheaper class consistently
+    in both engines.  Shape: dim-sized ranking window, then a 3-row agg.
+    """
+    li = _t(spark, sf, "lineitem")
+    item_e4 = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(item_e4).alias("rev_e4"))
+    wo = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "rev_e4",
+        F.sum("rev_e4")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_e4"),
+        F.sum("rev_e4").over(Window.partitionBy()).alias("total_e4"),
+    )
+    prior = F.col("cum_e4") - F.col("rev_e4")
+    abc = (
+        F.when(prior * 10 < F.col("total_e4") * 8, "A")
+        .when(prior * 100 < F.col("total_e4") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(abc.alias("abc")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev_e4").alias("class_rev_e4"),
+    )

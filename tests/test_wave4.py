@@ -860,3 +860,36 @@ def test_embedding_dim_variance_profile(spark, sf_dir):
         assert r.variance >= 0
         assert r.is_dead == (r.variance < 0.0001) or r.variance == 0.0001
     assert not all(r.is_dead for r in out), "the whole space cannot be dead"
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    from knowledgebot_spark.queries_relational import (
+        rel_abc_classification,
+        rel_pareto_share,
+    )
+
+    out = {r.abc: r for r in rel_abc_classification(spark, sf_dir).collect()}
+    assert set(out) == {"A", "B", "C"}
+    n_parts = (
+        read_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in out.values()) == n_parts
+    total = sum(r.class_rev_e4 for r in out.values())
+    # A carries ~80% of revenue and is the smallest class by count
+    assert out["A"].class_rev_e4 / total > 0.7
+    assert out["A"].n_parts == rel_pareto_share(spark, sf_dir).count(), (
+        "class A must be exactly the Pareto 80% head"
+    )
+
+
+def test_oov_curve_is_monotone(spark, sf_dir):
+    from knowledgebot_spark.queries_llm import _OOV_SIZES, llm_oov_curve
+
+    out = sorted(llm_oov_curve(spark, sf_dir).collect(), key=lambda r: r.vocab_size)
+    assert [r.vocab_size for r in out] == sorted(_OOV_SIZES)
+    rates = [r.oov_rate for r in out]
+    assert rates == sorted(rates, reverse=True), "bigger vocab cannot raise OOV"
+    totals = {r.total for r in out}
+    assert len(totals) == 1
+    for r in out:
+        assert 0 <= r.oov_tokens <= r.total
