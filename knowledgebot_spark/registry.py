@@ -63,8 +63,8 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 #     kmeans/hard-negatives/PQ/calibration/BPE/BM25/fusion/MMR/coreset) +
 #     corpus(13) + formats(15, incl. xml + binary) + events(18) +
 #     relational 41+
-#     (module totals as of r04 end: streaming 15, llm 76, corpus 13,
-#      formats 15, events 21, pipeline 10, relational 87 = 237; the r04
+#     (module totals as of r04 end: streaming 15, llm 77, corpus 13,
+#      formats 15, events 21, pipeline 10, relational 88 = 239; the r04
 #      window is streaming(15) + llm(1-35) — late-wave additions
 #      registered at module TAILS so the window held steady except
 #      stream_anti_dedup and stream_cdc_materialize, which displaced
