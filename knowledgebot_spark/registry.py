@@ -50,43 +50,38 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 
 # The driver's correctness harness hash-checks only the FIRST 50 entries of
 # queries(), in iteration order — so output ordering is evidence policy, not
-# cosmetics.  Modules listed earlier here surface first; within a module,
-# registration order.  Rotate each round so every query eventually earns a
-# driver correctness row (import order above stays dependency-safe and does
-# not matter — cross-module imports resolve registration themselves).
-#   r03 window: pipeline(10) + relational(1-40)        -> all green
-#   r04 window: streaming(13) + llm(1-37)              -> this round
-#     (second-wave additions landed llm at 42 and streaming at 11, so the
-#      50-row window now ends inside llm; llm 40-42, corpus, formats, and
-#      relational 41+ wait for the next rotation)
-#   r05+ plan : llm tail (36+, incl. knn/curriculum/sketch/pagerank/
-#     kmeans/hard-negatives/PQ/calibration/BPE/BM25/fusion/MMR/coreset) +
-#     corpus(13) + formats(15, incl. xml + binary) + events(18) +
-#     relational 41+
-#     (module totals as of r04 end: streaming 15, llm 77, corpus 13,
-#      formats 15, events 21, pipeline 10, relational 88 = 239; the r04
-#      window is streaming(15) + llm(1-35) — late-wave additions
-#      registered at module TAILS so the window held steady except
-#      stream_anti_dedup and stream_cdc_materialize, which displaced
-#      llm #36-37.  Count from load() when planning r05, not from this
-#      comment)
+# cosmetics.  The rotation is DERIVED, not hand-planned: queries that have
+# ever earned a hash_match:true driver row (``_driver_evidence.DRIVER_GREEN``,
+# regenerated from CORRECTNESS_r*.json by scripts/gen_driver_evidence.py)
+# sort LAST, so each round's 50-row window automatically burns down the
+# never-checked tail.  Among unchecked queries, modules surface in
+# _OUTPUT_ORDER and registration order within a module.  Rows-only results
+# (err: no_oracle) don't count as evidence — upgrading such a query to a
+# real oracle puts it back in the window.
 _OUTPUT_ORDER = (
-    "knowledgebot_spark.queries_streaming",
-    "knowledgebot_spark.queries_llm",
+    "knowledgebot_spark.queries_events",
     "knowledgebot_spark.queries_corpus",
     "knowledgebot_spark.queries_formats",
-    "knowledgebot_spark.queries_events",
-    "knowledgebot_spark.queries_pipeline",
+    "knowledgebot_spark.queries_llm",
     "knowledgebot_spark.queries_relational",
+    "knowledgebot_spark.queries_streaming",
+    "knowledgebot_spark.queries_pipeline",
 )
 
 
 def load() -> dict[str, QueryDef]:
+    from knowledgebot_spark._driver_evidence import DRIVER_GREEN
+
     for mod in _MODULES:
         importlib.import_module(mod)
     rank = {mod: i for i, mod in enumerate(_OUTPUT_ORDER)}
     items = list(_REGISTRY.items())  # insertion order == registration order
-    items.sort(key=lambda kv: rank.get(kv[1].fn.__module__, len(rank)))
+    items.sort(
+        key=lambda kv: (
+            kv[0] in DRIVER_GREEN,
+            rank.get(kv[1].fn.__module__, len(rank)),
+        )
+    )
     return dict(items)  # sort() is stable: registration order within module
 
 

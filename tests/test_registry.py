@@ -19,19 +19,44 @@ def test_catalog_loads_and_oracle_subset():
 
 def test_output_order_is_evidence_policy():
     """The driver hash-checks only the FIRST 50 queries() entries, so output
-    ordering is part of the correctness-evidence contract: modules surface
-    in _OUTPUT_ORDER, registration order within a module, and the round-4
-    window (positions 1-50) is exactly streaming + llm + first corpus."""
+    ordering is part of the correctness-evidence contract: queries that have
+    ever earned a hash_match:true driver row (the generated DRIVER_GREEN
+    set) sort last; among the never-checked rest, modules surface in
+    _OUTPUT_ORDER with registration order within a module."""
+    from knowledgebot_spark._driver_evidence import DRIVER_GREEN
     from knowledgebot_spark.registry import _OUTPUT_ORDER, load
 
     catalog = load()
-    mods = [qd.fn.__module__ for qd in catalog.values()]
     rank = {m: i for i, m in enumerate(_OUTPUT_ORDER)}
-    ranks = [rank.get(m, len(rank)) for m in mods]
-    assert ranks == sorted(ranks), "catalog not ordered by _OUTPUT_ORDER"
+    keys = [
+        (n in DRIVER_GREEN, rank.get(qd.fn.__module__, len(rank)))
+        for n, qd in catalog.items()
+    ]
+    assert keys == sorted(keys), "catalog not ordered (unchecked-first, module rank)"
     window = list(catalog)[:50]
-    assert all(n.startswith(("stream_", "llm_", "kb_")) for n in window)
-    assert sum(n.startswith("stream_") for n in window) == 15
+    # every window slot goes to a query with no prior driver evidence, as
+    # long as any remain
+    unchecked_total = sum(1 for n in catalog if n not in DRIVER_GREEN)
+    expected = min(50, unchecked_total)
+    assert sum(n not in DRIVER_GREEN for n in window) == expected
+
+
+def test_driver_evidence_module_is_current():
+    """_driver_evidence.py must be regenerated (scripts/gen_driver_evidence)
+    whenever a new CORRECTNESS_r*.json lands, or the rotation re-burns
+    already-proven queries."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "_gen_evidence", root / "scripts" / "gen_driver_evidence.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    from knowledgebot_spark._driver_evidence import DRIVER_GREEN
+
+    assert frozenset(gen.collect()) == DRIVER_GREEN
 
 
 def test_entry_runs(spark):
