@@ -247,10 +247,10 @@ def exact_dup_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
     )
 
 
-# 32-bit SimHash split into 5 disjoint blocks: by pigeonhole, any pair
+# 60-bit signatures in 5 disjoint 12-bit blocks: by pigeonhole, any pair
 # within Hamming distance 4 is IDENTICAL on at least one block (4 differing
 # bits cannot touch all 5 blocks) — guaranteed recall, never all-pairs.
-# 60-bit signatures in 5 disjoint 12-bit blocks.  Width is the bucket-size
+# Width is the bucket-size
 # lever: a block key must carry enough entropy that same-key buckets stay
 # small as the corpus grows — the original 32-bit/6-7-bit-block layout had
 # only 64-128 distinct values per block, so bucket population (and the
@@ -276,7 +276,7 @@ def with_simhash(
     (each token md5-hashed once; per-bit terms are integer shifts inside
     whole-stage codegen).  The per-row nested-lambda formulation is
     interpreted (higher-order functions don't codegen) and measured ~2x
-    slower.  Shuffle payload is (id, 32 ints) after map-side partial agg.
+    slower.  Shuffle payload is (id, 60 ints) after map-side partial agg.
     shiftright/shiftleft function form: >>/<< do not parse in lambdas."""
     # NULL text -> '' so the doc keeps a (deterministic) signature row on
     # both engines instead of vanishing in the explode

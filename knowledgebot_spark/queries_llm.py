@@ -2620,8 +2620,12 @@ def llm_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: priority is a narrow per-row map (md5 + pow, all
     JVM-side); top-50 plans as TakeOrderedAndProject — per-partition
     heaps, no global sort, no shuffle of the corpus.  Priorities are
-    rounded to 6dp BEFORE ranking with a doc_id tie-break, so the kept
-    set cannot flip on a 1-ulp libm difference between engines.
+    rounded to 6dp BEFORE ranking with a doc_id tie-break, so ties are
+    engine-stable; the residual risk is a last-ulp pow() difference
+    (Java Math.pow vs libm) landing EXACTLY on a 6dp half-boundary,
+    which rounding cannot absorb — never observed across the oracle
+    gate's runs.  If it ever flakes, derive the priority from fixed-point
+    ln-space comparison instead (quantize ln(u)/w to integer micros).
     """
     d = _t(spark, sf, "documents")
     u = (
@@ -3424,7 +3428,11 @@ def llm_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
 
     Like llm_mmr_rerank the greedy loop unrolls into plan stages, but
     here each stage SCANS THE CORPUS (anti-join + <=4-row broadcast +
-    per-row min-fold + 1-row TakeOrdered): k selections cost k linear
+    per-row min-fold + 1-row TakeOrdered).  Each 1-row pick is
+    ``localCheckpoint``-ed before the next stage builds on it — without
+    that, pick r's plan would embed the full lineage of picks 2..r-1
+    (each a corpus aggregate) and the schedule would silently recompute
+    ~O(k^2/2) corpus scans; with it, k selections cost exactly k linear
     passes, the textbook FPS schedule, with nothing pairwise.  Distances
     are the same fixed-point BIGINT quantization as llm_kmeans_embeddings
     — every comparison is exact integer math end-to-end, no float gate
@@ -3438,7 +3446,7 @@ def llm_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     first = q.filter(F.col("vec_id") == 0).select(
         "vec_id", "qv", F.lit(1).alias("rank"), F.lit(0).cast("long").alias("dmin")
     )
-    picks = [first]
+    picks = [first.localCheckpoint(eager=True)]
     dist = F.expr(
         "aggregate(zip_with(qv, s_qv, (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -3463,6 +3471,7 @@ def llm_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             dists.orderBy(F.desc("dmin"), F.asc("vec_id"))
             .limit(1)
             .select("vec_id", "qv", F.lit(r).alias("rank"), F.col("dmin"))
+            .localCheckpoint(eager=True)
         )
     out = picks[0]
     for p in picks[1:]:
