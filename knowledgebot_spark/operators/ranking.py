@@ -1,0 +1,146 @@
+"""Distributed global ranking / cumulative primitives.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` collapses the input onto a
+single task — fine over a post-aggregate or top-k-cut relation, a
+scale-killer over a corpus.  These helpers compute EXACT global
+row_number / running-sum / ntile without ever forming a single partition,
+entirely with JVM-side operators:
+
+  1. range-partition the input on the order key (one shuffle; the range
+     sampler keeps partitions balanced),
+  2. rank / cumulate WITHIN each range partition via an ordinary
+     partitioned window keyed on ``spark_partition_id()``,
+  3. add per-partition offsets: a tiny aggregate (one row per partition,
+     reusing the range exchange) cumulated over |partitions| rows and
+     broadcast back.
+
+The per-partition offset aggregate and the main window consume the SAME
+range exchange, so Catalyst reuses it (one corpus shuffle total); the only
+unpartitioned window left runs over |shuffle partitions| rows — bounded by
+cluster configuration, not data volume.
+
+Determinism: the range sampler is seeded per-partition (RangePartitioner),
+so the row -> partition mapping is stable for a given input, and the
+within-partition window orders on the full key (callers must pass a total
+order — include a unique tiebreaker).  Results are therefore identical to
+the single-partition formulation, row for row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_LOCAL = "__gr_local"
+_OFFSET = "__gr_offset"
+_TOTAL = "__gr_total"
+
+
+def _ranged(df: DataFrame, order_cols: list[Column], num_partitions: int | None):
+    if num_partitions is None:
+        parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        num_partitions = int(parts)
+    # explicit partition count: AQE leaves user-specified repartitions alone,
+    # so the pid captured below is stable across the reused exchange's
+    # consumers
+    return df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+
+def _offsets(ranged: DataFrame, per_part: Column) -> DataFrame:
+    """(pid, offset, total) — offset = sum of ``per_part`` over LOWER pids."""
+    counts = ranged.groupBy(_PID).agg(per_part.alias("_n"))
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        _PID,
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long").alias(_OFFSET),
+        F.sum("_n").over(
+            Window.orderBy(_PID).rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias(_TOTAL),
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append an exact global ``row_number`` over ``order_cols`` (must be a
+    total order) without a single-partition window."""
+    ranged = _ranged(df, order_cols, num_partitions)
+    local = ranged.withColumn(
+        _LOCAL,
+        F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols)),
+    )
+    offs = _offsets(ranged, F.count(F.lit(1)))
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(out, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET, _TOTAL)
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append an exact global running sum of ``value`` over ``order_cols``
+    (rows between unbounded preceding and current row)."""
+    ranged = _ranged(df, order_cols, num_partitions).withColumn("__gr_val", value)
+    local = ranged.withColumn(
+        _LOCAL,
+        F.sum("__gr_val").over(
+            Window.partitionBy(_PID)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    offs = _offsets(ranged, F.sum("__gr_val"))
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(out, F.col(_OFFSET) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFFSET, _TOTAL, "__gr_val")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append an exact global ``ntile(n_buckets)`` over ``order_cols``.
+
+    Standard SQL ntile semantics: with N rows, the first N % n buckets get
+    ceil(N/n) rows, the rest floor(N/n) — derived arithmetically from the
+    global row number and total count (both exact), matching
+    ``F.ntile(n).over(Window.orderBy(...))`` row for row."""
+    ranged = _ranged(df, order_cols, num_partitions)
+    local = ranged.withColumn(
+        _LOCAL,
+        F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols)),
+    )
+    offs = _offsets(ranged, F.count(F.lit(1)))
+    rn = F.col(_OFFSET) + F.col(_LOCAL)  # 1-based global row number
+    n, k = F.col(_TOTAL), F.lit(n_buckets)
+    q = n / k  # integer division pieces below; bigint/int stays exact
+    q_floor = F.floor(q)
+    r = n % k
+    big = r * (q_floor + 1)  # rows covered by the (q+1)-sized buckets
+    tile = F.when(
+        rn <= big, F.floor((rn - 1) / (q_floor + 1)) + 1
+    ).otherwise(r + F.floor((rn - 1 - big) / F.greatest(q_floor, F.lit(1))) + 1)
+    return (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(out, tile.cast("int"))
+        .drop(_PID, _LOCAL, _OFFSET, _TOTAL)
+    )

@@ -1262,9 +1262,12 @@ def llm_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     equal weights) bucketed into deciles — the shape of every
     classifier-based corpus filter: score per doc (embarrassingly
     parallel), then a quantile cut to pick the keep set.  ntile is ordered
-    by (quality, doc_id) so bucket assignment is deterministic; at 100 TB
-    the single-partition ntile window is replaced by approx_percentile
-    cutpoints (see rel_approx_percentile) — documented, not hidden."""
+    by (quality, doc_id) so bucket assignment is deterministic, and runs
+    as a DISTRIBUTED exact ntile (operators/ranking.py: range-partition +
+    partition-offset arithmetic) — no single-partition corpus window
+    anywhere in the plan, identical values to the window formulation."""
+    from knowledgebot_spark.operators import ranking as rk
+
     d = _t(spark, sf, "documents")
     alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
         F.length("text"), F.lit(1)
@@ -1276,8 +1279,9 @@ def llm_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
-    w = Window.orderBy("quality", "doc_id")
-    bucketed = scored.select("quality", F.ntile(10).over(w).alias("decile"))
+    bucketed = rk.with_global_ntile(
+        scored, [F.col("quality").asc(), F.col("doc_id").asc()], 10, out="decile"
+    ).select("quality", "decile")
     return bucketed.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
         F.round(F.min("quality"), 6).alias("min_q"),
@@ -1494,22 +1498,26 @@ def llm_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     order until the cumulative token count hits the budget — how a curation
     pass fills a fixed training-token allowance with the best material.
     Deterministic order (quality DESC, doc_id).  The running sum is a
-    single-partition window here; at 100 TB the same selection is done
-    without any global window by binary-searching a quality CUTPOINT with
-    approx_percentile + a one-row cumulative check per candidate cut (2-3
-    cheap agg passes), documented here as the scale path."""
+    DISTRIBUTED exact global cumsum (operators/ranking.py: range-partition
+    + per-partition offsets, one corpus shuffle, no single-partition
+    window) — identical values to the window formulation at any scale."""
+    from knowledgebot_spark.operators import ranking as rk
+
     d = _t(spark, sf, "documents")
     scored = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.round(F.least(F.col("n_chars") / 2000.0, F.lit(1.0)), 6).alias("quality"),
     )
-    w = (
-        Window.orderBy(F.desc("quality"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rk.with_global_cumsum(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        F.col("n_tokens"),
+        out="cum_tokens",
     )
-    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return ranked.filter(F.col("cum_tokens") <= 20000)
+    return ranked.filter(F.col("cum_tokens") <= 20000).select(
+        "doc_id", "n_tokens", "quality", "cum_tokens"
+    )
 
 
 # --- temperature-scaled source mixing -----------------------------------------
@@ -4516,7 +4524,10 @@ def llm_context_assembly(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     w = Window.orderBy(F.desc("rrf"), F.asc("id"))
-    sized = fused.join(F.broadcast(d), "id").select(
+    # the <=10-row fused list broadcasts INTO the corpus scan (the corpus
+    # side streams and prunes); broadcasting d instead would ship the
+    # whole token-count table
+    sized = d.join(F.broadcast(fused), "id").select(
         "id", "rrf", "n_tokens", F.row_number().over(w).alias("pos")
     )
     wc = Window.orderBy("pos").rowsBetween(

@@ -502,10 +502,21 @@ FROM (
     tags=("window", "ntile"),
 )
 def rel_window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile(4) quartiles over the customer table — computed as a
+    DISTRIBUTED exact ntile (operators/ranking.py) so the quartile
+    assignment never collapses the table onto one task; values are
+    identical to the window-function formulation."""
+    from knowledgebot_spark.operators import ranking as rk
+
     c = _t(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("tile"))
+        rk.with_global_ntile(
+            c.select("c_acctbal", "c_custkey"),
+            [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+            4,
+            out="tile",
+        )
+        .select("c_acctbal", "tile")
         .groupBy("tile")
         .agg(
             F.count("*").alias("n"),
