@@ -69,6 +69,15 @@ HEADLINE = [
     "llm_coreset_kcenter",
     "llm_dedup_sorted_neighborhood",
     "rel_seasonal_decompose",
+    # round-5 additions (the expensive r04 late-wave queries, VERDICT r04 #6)
+    "rel_cusum_changepoint",
+    "rel_pattern_detect",
+    "llm_dedup_overlap_report",
+    "llm_mmr_rerank",
+    "llm_training_triplets",
+    # round-5 new work
+    "llm_quality_ensemble",
+    "llm_token_budget",
 ]
 
 

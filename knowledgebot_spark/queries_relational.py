@@ -3308,3 +3308,64 @@ def rel_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("rev_e4").alias("class_rev_e4"),
     )
+
+
+# --- exact distributed quantiles (round 5) ------------------------------------
+
+@register(
+    "rel_exact_quantiles_distributed",
+    sql="""
+WITH ranked AS (
+  SELECT l_extendedprice AS p,
+    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+qs AS (
+  SELECT * FROM (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10))
+    AS t(q, num, den)
+), sel AS (
+  SELECT q, CAST((n.n_rows * num + den - 1) // den AS BIGINT) AS rn_sel, n.n_rows
+  FROM qs CROSS JOIN n
+)
+SELECT CAST(sel.q AS DOUBLE) AS q, sel.rn_sel, sel.n_rows, round(ranked.p, 2) AS value
+FROM sel JOIN ranked ON ranked.rn = sel.rn_sel
+""",
+    tags=("quantile", "exact", "distributed-rank"),
+)
+def rel_exact_quantiles_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT type-1 quantiles (p25/p50/p75/p90 of l_extendedprice) over an
+    arbitrarily large table without a single-partition sort and without
+    approximation: global row_number via operators/ranking.py
+    (range-partition + partition-offset), then the 4 selection ranks —
+    computed with INTEGER arithmetic, ceil(N*num/den) = (N*num+den-1) div
+    den, so both engines agree even where N*0.9 is inexact in doubles —
+    fetched by a 4-row broadcast join against the ranked relation.
+
+    This is the exact complement to rel_approx_percentile: approx for
+    monitoring, this for the audited cut (e.g. a quality-score threshold
+    that must be reproducible to the row at 100 TB).  Cost: one range
+    shuffle of (p, keys) + a reused-exchange partition-count agg; the
+    quantile fetch itself broadcasts 4 rows."""
+    from knowledgebot_spark.operators import ranking as rk
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").alias("p"), "l_orderkey", "l_linenumber"
+    )
+    ranked = rk.with_global_row_number(
+        li,
+        [F.col("p").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        out="rn",
+    )
+    n = li.agg(F.count("*").cast("bigint").alias("n_rows"))
+    qs = spark.createDataFrame(
+        [(0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10)],
+        "q double, num int, den int",
+    )
+    sel = qs.crossJoin(F.broadcast(n)).select(
+        "q",
+        F.expr("CAST((n_rows * num + den - 1) div den AS BIGINT)").alias("rn_sel"),
+        "n_rows",
+    )
+    return ranked.join(F.broadcast(sel), ranked.rn == sel.rn_sel).select(
+        "q", "rn_sel", "n_rows", F.round("p", 2).alias("value")
+    )
