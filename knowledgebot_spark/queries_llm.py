@@ -2080,12 +2080,20 @@ def llm_pagerank_knn(spark: SparkSession, sf: str) -> DataFrame:
     is the production norm (GraphX's staticPageRank); convergence-driven
     loops just add a driver-side delta check between iterations.
 
-    The DuckDB oracle unrolls the same three iterations as chained CTEs."""
+    The DuckDB oracle unrolls the same three iterations as chained CTEs.
+
+    The edge list is ``localCheckpoint``-ed before the iterations: it is
+    referenced once per unrolled iteration (plus the out-degree agg), and
+    without the checkpoint each reference re-executes the capped-cell
+    cosine join — the single expensive stage — 4x.  Checkpointed, the
+    kNN join runs exactly once; the edge list (<= 3|V| rows) is the same
+    thing GraphX materializes between Pregel supersteps."""
     import knowledgebot_spark.queries_llm as _self
 
     edges = (
         _self.llm_knn_graph(spark, sf)
         .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .localCheckpoint(eager=True)
     )
     bare = _t(spark, sf, "embeddings").select(F.col("vec_id").alias("v"))
     # Graph size as a broadcast 1-row scalar (the catalog's no-driver-collect
@@ -3231,13 +3239,15 @@ def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     llm_kmeans_embeddings the iterations UNROLL into the plan: each of
     the 5 stages is an anti-join (drop selected) + a tiny broadcast
     nested-loop against the <=4 selected rows + a 1-row TakeOrdered
-    argmax.  Every stage's input is bounded by the POOL constant, not
-    the corpus — the only corpus-scale work is the initial brute-force
-    top-20 (TakeOrderedAndProject with a broadcast query, the Q1 scan);
-    at 100 TB the pool feeds from the IVF/LSH path instead, same
-    stages after.  Argmax compares raw doubles built from round-6
-    relevances and bit-reproducible cosine folds, ties broken by vec_id
-    — deterministic in both engines.
+    argmax.  The 20-row pool and each 1-row pick are
+    ``localCheckpoint``-ed (the llm_coreset_kcenter fix): without that,
+    stage r's plan embeds the corpus top-20 scan once per prior stage
+    and the greedy unroll recomputes it combinatorially; with it, the
+    corpus is scanned exactly once and every later stage runs over
+    checkpointed 20-row data.  At 100 TB the pool feeds from the
+    IVF/LSH path instead, same stages after.  Argmax compares raw
+    doubles built from round-6 relevances and bit-reproducible cosine
+    folds, ties broken by vec_id — deterministic in both engines.
     """
     lam = _MMR_LAMBDA
     e = _t(spark, sf, "embeddings")
@@ -3257,6 +3267,7 @@ def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         scored.orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_POOL)
         .select("vec_id", "embedding", "nrm", "rel")
+        .localCheckpoint(eager=True)
     )
     first = (
         pool.orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -3269,6 +3280,7 @@ def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(1).alias("rank"),
             F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
         )
+        .localCheckpoint(eager=True)
     )
     picks = [first]
     for r in range(2, _MMR_K + 1):
@@ -3310,6 +3322,7 @@ def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(r).alias("rank"),
                 F.round("score", 6).alias("mmr"),
             )
+            .localCheckpoint(eager=True)
         )
     out = picks[0]
     for p in picks[1:]:
