@@ -233,6 +233,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_join_range",
         "llm_sim_bruteforce",
         "llm_sim_filtered",
+        "llm_sim_brp_mllib",  # 1-row recall-gate scalar crossJoined (r05 gated oracle)
         "llm_sim_lsh",
         "llm_sim_ivf",
         "llm_tfidf_topterm",
@@ -260,6 +261,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_context_assembly",  # inherits llm_hybrid_fusion's tiny fusion join
         "llm_query_expansion",  # inherits llm_bm25_search's 1-row stats broadcast
         "rel_benford_screen",  # 1-row total-count scalar broadcast
+        "rel_exact_quantiles_distributed",  # 4-row quantile spec x 1-row N scalar
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
@@ -442,6 +444,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "llm_token_budget": "distributed cumsum; offsets window over |partitions| rows",
     "llm_quality_ensemble": "distributed ntile; offsets window over |partitions| rows",
     "rel_window_ntile": "distributed ntile; offsets window over |partitions| rows",
+    "rel_exact_quantiles_distributed": "distributed rank; offsets window over |partitions| rows",
 }
 
 _WINDOW_BARRIERS = (
