@@ -12,9 +12,11 @@ def test_catalog_loads_and_oracle_subset():
     q = queries()
     o = oracle_sql()
     assert set(o) <= set(q)
-    # the vast majority must be oracle-checked; rows-only is reserved for
-    # genuinely non-SQL-reproducible ops (HLL sketch, MLlib fitted models)
-    assert len(o) >= round(len(q) * 0.95)
+    # since round 5 EVERY query carries an oracle — approximate/fitted-model
+    # ops emit gated-hash contracts (exact values + quality booleans) instead
+    # of falling back to rows-only.  A new rows-only query needs a deliberate
+    # decision, not a missing sql=.
+    assert set(o) == set(q), f"rows-only queries: {sorted(set(q) - set(o))}"
 
 
 def test_output_order_is_evidence_policy():
