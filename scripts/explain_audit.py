@@ -51,6 +51,14 @@ FLAGSHIPS = (
         "llm_hybrid_fusion",
         "two TakeOrdered top-10 lists fused by a tiny full-outer join",
     ),
+    (
+        "rel_exact_quantiles_distributed",
+        "range-partition + reused exchange + pid-keyed window; offsets window over |partitions| rows; no single-partition sort",
+    ),
+    (
+        "llm_quality_ensemble",
+        "distributed exact ntile(10): rangepartitioning + partition-offset arithmetic, corpus never on one task",
+    ),
 )
 
 
