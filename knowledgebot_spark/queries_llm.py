@@ -2386,12 +2386,14 @@ _KM_K = 4  # clusters
 _KM_SCALE = 1000  # fixed-point quantization: exact integer first-pass math
 
 
-def _duck_kmeans_sql() -> str:
-    """Oracle for llm_kmeans_embeddings: the same two Lloyd iterations as
-    chained CTEs.  The per-dimension centroid sums are generated by the
-    same Python loop that generates the Spark aggregate columns — parity
-    by construction, and the sums are exact BIGINTs so no float summation
-    order can diverge between engines."""
+def _duck_kmeans_cte() -> str:
+    """WITH-body (q/c0/a1/m/c1/a2 chain) of the two deterministic Lloyd
+    iterations — shared verbatim by the llm_kmeans_embeddings oracle and
+    the llm_semdedup oracle, so the cluster-assignment contract cannot
+    drift between the two.  The per-dimension centroid sums are generated
+    by the same Python loop that generates the Spark aggregate columns —
+    parity by construction, and the sums are exact BIGINTs so no float
+    summation order can diverge between engines."""
     dims = sim.EMBED_DIM
     sums = ", ".join(f"sum(qv[{i + 1}]) AS s{i}" for i in range(dims))
     means = ", ".join(f"s{i}::DOUBLE / n" for i in range(dims))
@@ -2403,8 +2405,7 @@ def _duck_kmeans_sql() -> str:
         "list_reduce(list_transform(q.qv, (x, i) -> "
         "(x::DOUBLE - c1.c[i]) * (x::DOUBLE - c1.c[i])), (p, s) -> p + s)"
     )
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv
   FROM embeddings
@@ -2427,7 +2428,12 @@ WITH q AS (
       row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_dbl}, c1.cid) AS rn
     FROM q CROSS JOIN c1
   ) WHERE rn = 1
-)
+)"""
+
+
+def _duck_kmeans_sql() -> str:
+    return f"""
+WITH {_duck_kmeans_cte()}
 SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
   CAST(sum(di) AS BIGINT) AS inertia_q
 FROM a2 GROUP BY cid
@@ -2465,6 +2471,18 @@ def llm_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     by cluster id; nothing shuffles the vectors themselves, state is
     O(k x dim), and more iterations append identical stages linearly.
     """
+    return (
+        _kmeans_assign2(spark, sf)
+        .select(F.col("cid").alias("cluster_id"), "di")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), F.sum("di").alias("inertia_q"))
+    )
+
+
+def _kmeans_assign2(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, cid, di) after the two deterministic Lloyd iterations —
+    the Spark twin of the ``_duck_kmeans_cte`` a2 relation, shared by
+    llm_kmeans_embeddings and llm_semdedup."""
     dims = sim.EMBED_DIM
     e = _t(spark, sf, "embeddings")
     qv = F.expr(
@@ -2501,13 +2519,10 @@ def llm_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, s.cid AS cid)))[0]"
     )
     a2 = q.crossJoin(F.broadcast(cents1)).select("vec_id", best2.alias("best"))
-    return (
-        a2.select(
-            F.col("best.cid").alias("cluster_id"),
-            F.expr("CAST(floor(best.d + 0.5) AS BIGINT)").alias("di"),
-        )
-        .groupBy("cluster_id")
-        .agg(F.count("*").alias("n_members"), F.sum("di").alias("inertia_q"))
+    return a2.select(
+        "vec_id",
+        F.col("best.cid").alias("cid"),
+        F.expr("CAST(floor(best.d + 0.5) AS BIGINT)").alias("di"),
     )
 
 
@@ -4672,3 +4687,210 @@ def llm_oov_curve(spark: SparkSession, sf: str) -> DataFrame:
         "total",
         F.round(F.col("oov_tokens") / F.col("total"), 6).alias("oov_rate"),
     )
+
+
+# --- SemDeDup: semantic dedup inside embedding clusters (round 5) -------------
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _duck_semdedup_sql() -> str:
+    cosp = _DUCK_COS.replace("a.embedding", "da.embedding").replace(
+        "b.embedding", "db.embedding"
+    )
+    return f"""
+WITH {_duck_kmeans_cte()},
+mem AS (
+  SELECT a2.vec_id, a2.cid, e.embedding,
+    (row_number() OVER (PARTITION BY a2.cid ORDER BY a2.vec_id) - 1) // {dd.BLOCK_CAP} AS sub
+  FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+), pairs AS (
+  SELECT da.cid, db.vec_id AS dropped
+  FROM mem da JOIN mem db
+    ON da.cid = db.cid AND da.sub = db.sub AND da.vec_id < db.vec_id
+  WHERE round({cosp}, 6) >= {_SEMDEDUP_TAU}
+), drops AS (
+  SELECT cid, count(DISTINCT dropped) AS n_dropped FROM pairs GROUP BY cid
+), members AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM mem GROUP BY cid
+)
+SELECT m.cid AS cluster_id, m.n_members,
+  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(m.n_members - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM members m LEFT JOIN drops d ON m.cid = d.cid
+"""
+
+
+@register(
+    "llm_semdedup",
+    sql=_duck_semdedup_sql(),
+    tags=("dedup", "semantic", "semdedup", "clustering"),
+)
+def llm_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and dropping, within
+    each cluster, every vector whose cosine similarity to a LOWER-id
+    cluster-mate reaches tau — near-duplicates that lexical dedup
+    misses (paraphrases, translations, re-encodings) but that sit
+    together in embedding space.  Clustering makes it tractable: pairwise
+    comparison happens only inside a cluster (further sub-block-capped at
+    dedup.BLOCK_CAP like every pairwise op here), never across the corpus.
+    tau=0.4 is calibrated to this synthetic embedding space (its p99.9
+    in-cluster cosine; production SemDeDup uses ~0.95 on real encoder
+    output) so the drop path is exercised, not vacuous.
+
+    Composes the REGISTERED deterministic k-means: cluster assignments
+    come from the shared two-Lloyd-iteration chain (``_kmeans_assign2`` /
+    ``_duck_kmeans_cte`` — one definition, both engines), so this oracle
+    cannot drift from llm_kmeans_embeddings.  The assignment+membership
+    relation is localCheckpoint-ed because three branches (pair sides a/b
+    and the membership counts) would otherwise each re-execute the Lloyd
+    chain.  Per-cluster report: members, dropped, kept.
+    """
+    assign = _kmeans_assign2(spark, sf).select("vec_id", "cid")
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    mem = (
+        assign.join(e, "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sub", F.expr(f"CAST((rn - 1) div {dd.BLOCK_CAP} AS INT)"))
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    a = mem.select(
+        "cid",
+        "sub",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(sim.norm_expr("embedding")).alias("na"),
+    )
+    b = mem.select(
+        "cid",
+        "sub",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(sim.norm_expr("embedding")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cid", "sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(sim.cosine_prenorm_col("ea", "eb", "na", "nb"), 6)
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+    )
+    drops = pairs.groupBy("cid").agg(
+        F.countDistinct("id_b").alias("n_dropped")
+    )
+    members = mem.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return members.join(drops, "cid", "left").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        (F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+# --- DSIR: data selection via importance resampling (round 5) -----------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 20
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "llm_dsir_score",
+    sql=f"""
+WITH tb AS (
+  SELECT doc_id, lang, source,
+    ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang, source, unnest(str_split(lower(text), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+), raw AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b
+), tot AS (
+  SELECT CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+         CAST(count(*) AS BIGINT) AS tr
+  FROM tb
+), scored AS (
+  SELECT tb.doc_id, tb.source, tb.lang,
+    round(avg(ln(
+      ((coalesce(tgt.ct, 0) + 1) * 1.0 / (tot.tt + {_DSIR_BUCKETS}))
+      / ((raw.cr + 1) * 1.0 / (tot.tr + {_DSIR_BUCKETS}))
+    )), 6) AS dsir_score
+  FROM tb LEFT JOIN tgt USING (b) JOIN raw USING (b) CROSS JOIN tot
+  GROUP BY tb.doc_id, tb.source, tb.lang
+)
+SELECT doc_id, source, lang, dsir_score FROM scored
+ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TOPK}
+""",
+    tags=("sampling", "dsir", "importance", "training-data"),
+)
+def llm_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling — score every raw document by how much it
+    resembles a target distribution, using hashed unigram features and
+    add-1-smoothed bucket language models:
+    score(doc) = mean over tokens of ln(p_target(bucket)/p_raw(bucket)).
+    Target here is the '{_DSIR_TARGET_LANG}' slice; the top-{_DSIR_TOPK}
+    most-target-like documents surface.  This is the principled upgrade
+    to hand-written quality rules for "get me more data like X".
+
+    Scale shape: the bucket LMs are {_DSIR_BUCKETS}-row aggregates
+    (broadcast), the totals a 1-row scalar; scoring is a map-side join
+    over the token stream plus one doc-keyed avg, then TakeOrdered.  All
+    counts exact integers; the ln argument is the same rational in both
+    engines (identical division order), means round at 6dp before
+    ranking (the llm_lm_perplexity convention)."""
+    d = _t(spark, sf, "documents")
+    tb = (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    tgt = (
+        tb.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = tb.agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("bigint").alias("tt"),
+        F.count("*").cast("bigint").alias("tr"),
+    )
+    ratio = (
+        ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * 1.0 / (F.col("tt") + _DSIR_BUCKETS))
+        / ((F.col("cr") + 1) * 1.0 / (F.col("tr") + _DSIR_BUCKETS))
+    )
+    scored = (
+        tb.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.round(F.avg(F.log(ratio)), 6).alias("dsir_score"))
+    )
+    return scored.select("doc_id", "source", "lang", "dsir_score").orderBy(
+        F.desc("dsir_score"), F.asc("doc_id")
+    ).limit(_DSIR_TOPK)

@@ -262,6 +262,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_query_expansion",  # inherits llm_bm25_search's 1-row stats broadcast
         "rel_benford_screen",  # 1-row total-count scalar broadcast
         "rel_exact_quantiles_distributed",  # 4-row quantile spec x 1-row N scalar
+        "llm_dsir_score",  # 1-row corpus-totals scalar broadcast
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
