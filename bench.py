@@ -78,6 +78,9 @@ HEADLINE = [
     # round-5 new work
     "llm_quality_ensemble",
     "llm_token_budget",
+    "rel_exact_quantiles_distributed",
+    "llm_semdedup",
+    "llm_dsir_score",
 ]
 
 

@@ -10,12 +10,14 @@ entirely with JVM-side operators:
      sampler keeps partitions balanced),
   2. rank / cumulate WITHIN each range partition via an ordinary
      partitioned window keyed on ``spark_partition_id()``,
-  3. add per-partition offsets: a tiny aggregate (one row per partition,
-     reusing the range exchange) cumulated over |partitions| rows and
-     broadcast back.
+  3. add per-partition offsets: a tiny aggregate (one row per partition)
+     cumulated over |partitions| rows and broadcast back.
 
-The per-partition offset aggregate and the main window consume the SAME
-range exchange, so Catalyst reuses it (one corpus shuffle total); the only
+The offsets branch consumes the same range repartition as the main branch,
+but Catalyst column-prunes it down to the order-key columns — so the two
+exchanges are not textually equal and do NOT fuse into a ReusedExchange;
+the cost of the second pass is a key-only scan + key-only shuffle
+(verified in the executed plan), far cheaper than the main pass.  The only
 unpartitioned window left runs over |shuffle partitions| rows — bounded by
 cluster configuration, not data volume.
 
@@ -42,8 +44,8 @@ def _ranged(df: DataFrame, order_cols: list[Column], num_partitions: int | None)
         parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         num_partitions = int(parts)
     # explicit partition count: AQE leaves user-specified repartitions alone,
-    # so the pid captured below is stable across the reused exchange's
-    # consumers
+    # so the pid captured below is identical in the main branch and the
+    # offsets branch (both re-derive the same seeded range partitioning)
     return df.repartitionByRange(num_partitions, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )

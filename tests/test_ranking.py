@@ -56,6 +56,7 @@ def test_no_corpus_unpartitioned_window_in_plan(docs):
     # the offset branch's tiny window is partitionless by design; the main
     # branch's window must be keyed on the pid column
     assert "windowspecdefinition(__gr_pid" in plan
-    # the corpus reaches exactly one range exchange, and the offset branch
-    # reuses it instead of re-scanning
+    # both branches range-partition; the offsets branch is column-pruned to
+    # the order keys (cheap second pass — ReusedExchange cannot fire across
+    # differently-pruned projections)
     assert plan.count("rangepartitioning") >= 1
