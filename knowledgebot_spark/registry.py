@@ -51,13 +51,14 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's correctness harness hash-checks only the FIRST 50 entries of
 # queries(), in iteration order — so output ordering is evidence policy, not
 # cosmetics.  The rotation is DERIVED, not hand-planned: queries that have
-# ever earned a hash_match:true driver row (``_driver_evidence.DRIVER_GREEN``,
-# regenerated from CORRECTNESS_r*.json by scripts/gen_driver_evidence.py)
-# sort LAST, so each round's 50-row window automatically burns down the
-# never-checked tail.  Among unchecked queries, modules surface in
-# _OUTPUT_ORDER and registration order within a module.  Rows-only results
-# (err: no_oracle) don't count as evidence — upgrading such a query to a
-# real oracle puts it back in the window.
+# ever earned a hash_match:true driver row (read from the repo's
+# CORRECTNESS_r*.json files at load time) sort LAST, so each round's 50-row
+# window automatically burns down the never-checked tail — including the
+# round AFTER a new CORRECTNESS file lands, with no regeneration step.
+# Among unchecked queries, modules surface in _OUTPUT_ORDER and
+# registration order within a module.  Rows-only results (err: no_oracle)
+# don't count as evidence — upgrading such a query to a real oracle puts
+# it back in the window.
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_events",
     "knowledgebot_spark.queries_corpus",
@@ -69,16 +70,42 @@ _OUTPUT_ORDER = (
 )
 
 
-def load() -> dict[str, QueryDef]:
-    from knowledgebot_spark._driver_evidence import DRIVER_GREEN
+_DRIVER_GREEN_CACHE: frozenset[str] | None = None
 
+
+def driver_green() -> frozenset[str]:
+    """Query names with a ``hash_match: true`` row in ANY round's driver
+    correctness file (repo-root ``CORRECTNESS_r*.json``).  Cached per
+    process; unreadable/absent files contribute nothing (first round, or
+    a stripped deployment, degrades to plain module ordering)."""
+    global _DRIVER_GREEN_CACHE
+    if _DRIVER_GREEN_CACHE is None:
+        import json
+        from pathlib import Path
+
+        green: set[str] = set()
+        root = Path(__file__).resolve().parents[1]
+        for path in sorted(root.glob("CORRECTNESS_r*.json")):
+            try:
+                data = json.loads(path.read_text())
+            except Exception:
+                continue
+            for name, row in data.items():
+                if isinstance(row, dict) and row.get("hash_match") is True:
+                    green.add(name)
+        _DRIVER_GREEN_CACHE = frozenset(green)
+    return _DRIVER_GREEN_CACHE
+
+
+def load() -> dict[str, QueryDef]:
+    green = driver_green()
     for mod in _MODULES:
         importlib.import_module(mod)
     rank = {mod: i for i, mod in enumerate(_OUTPUT_ORDER)}
     items = list(_REGISTRY.items())  # insertion order == registration order
     items.sort(
         key=lambda kv: (
-            kv[0] in DRIVER_GREEN,
+            kv[0] in green,
             rank.get(kv[1].fn.__module__, len(rank)),
         )
     )

@@ -22,12 +22,13 @@ def test_catalog_loads_and_oracle_subset():
 def test_output_order_is_evidence_policy():
     """The driver hash-checks only the FIRST 50 queries() entries, so output
     ordering is part of the correctness-evidence contract: queries that have
-    ever earned a hash_match:true driver row (the generated DRIVER_GREEN
-    set) sort last; among the never-checked rest, modules surface in
-    _OUTPUT_ORDER with registration order within a module."""
-    from knowledgebot_spark._driver_evidence import DRIVER_GREEN
-    from knowledgebot_spark.registry import _OUTPUT_ORDER, load
+    ever earned a hash_match:true driver row (driver_green(), derived from
+    the repo's CORRECTNESS_r*.json at load time) sort last; among the
+    never-checked rest, modules surface in _OUTPUT_ORDER with registration
+    order within a module."""
+    from knowledgebot_spark.registry import _OUTPUT_ORDER, driver_green, load
 
+    DRIVER_GREEN = driver_green()
     catalog = load()
     rank = {m: i for i, m in enumerate(_OUTPUT_ORDER)}
     keys = [
@@ -43,22 +44,22 @@ def test_output_order_is_evidence_policy():
     assert sum(n not in DRIVER_GREEN for n in window) == expected
 
 
-def test_driver_evidence_module_is_current():
-    """_driver_evidence.py must be regenerated (scripts/gen_driver_evidence)
-    whenever a new CORRECTNESS_r*.json lands, or the rotation re-burns
-    already-proven queries."""
-    import importlib.util
+def test_driver_evidence_derivation():
+    """driver_green() mirrors the CORRECTNESS files: every hash-green name
+    appears, failed/rows-only rows do not."""
+    import json
     import pathlib
 
-    root = pathlib.Path(__file__).resolve().parents[1]
-    spec = importlib.util.spec_from_file_location(
-        "_gen_evidence", root / "scripts" / "gen_driver_evidence.py"
-    )
-    gen = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(gen)
-    from knowledgebot_spark._driver_evidence import DRIVER_GREEN
+    from knowledgebot_spark.registry import driver_green
 
-    assert frozenset(gen.collect()) == DRIVER_GREEN
+    root = pathlib.Path(__file__).resolve().parents[1]
+    expected = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(p.read_text()).items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                expected.add(name)
+    assert driver_green() == frozenset(expected)
+    assert len(expected) >= 90  # cumulative r02-r04 evidence
 
 
 def test_entry_runs(spark):
