@@ -113,6 +113,54 @@ def with_global_cumsum(
     )
 
 
+def with_global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    rn_out: str = "rn",
+    cum_out: str = "cum",
+    total_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append exact global ``row_number`` AND running sum of ``value`` over
+    ``order_cols`` in ONE ranged pass (shared partitioning, one offsets
+    relation carrying both the count and the value prefix-sums).  When
+    ``total_out`` is given, also append the grand total of ``value`` —
+    replacing a ``sum() OVER ()`` whole-relation window at zero extra
+    cost (the offsets relation already knows it)."""
+    ranged = _ranged(df, order_cols, num_partitions).withColumn("__gr_val", value)
+    w_loc = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = ranged.withColumn(
+        _LOCAL, F.row_number().over(w_loc)
+    ).withColumn(
+        "__gr_lcum",
+        F.sum("__gr_val").over(
+            w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    counts = ranged.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("__gr_val").alias("_s")
+    )
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        _PID,
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).cast("long").alias(_OFFSET),
+        F.coalesce(F.sum("_s").over(w_prev), F.lit(0)).alias("__gr_soff"),
+        F.sum("_s").over(w_all).alias(_TOTAL),
+    )
+    out = (
+        local.join(F.broadcast(offs), _PID)
+        .withColumn(rn_out, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .withColumn(cum_out, F.col("__gr_soff") + F.col("__gr_lcum"))
+    )
+    if total_out is not None:
+        out = out.withColumn(total_out, F.col(_TOTAL))
+    return out.drop(_PID, _LOCAL, _OFFSET, _TOTAL, "__gr_val", "__gr_lcum", "__gr_soff")
+
+
 def with_global_ntile(
     df: DataFrame,
     order_cols: list[Column],

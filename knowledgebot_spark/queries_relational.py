@@ -2976,9 +2976,11 @@ def rel_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     fact table really).
 
     Shape: the fact scan collapses to a |parts|-sized aggregate first
-    (partkey-keyed shuffle, map-side partial agg); the ranking window and
-    the grand-total window then run single-partition over that dim-sized
-    relation only — the global sort never touches lineitem rows.
+    (partkey-keyed shuffle, map-side partial agg); rank, cumulative sum,
+    and the grand total then come from the DISTRIBUTED ranking operator
+    (operators/ranking.py, one ranged pass — the |parts| relation is
+    dim-LIKE at sf0.1 but grows with the catalog, so it never lands on a
+    single task either).
 
     Determinism: per-item revenue quantizes to fixed-point e4 BIGINTs
     before summing (2dp prices x 2dp discounts are exact at 4dp), so the
@@ -2988,20 +2990,20 @@ def rel_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     between engines on real money sums.  Headroom: total_e4 * 10 must fit
     BIGINT, good to ~1e17 total revenue (drop to e2 cents beyond).
     """
+    from knowledgebot_spark.operators import ranking as rk
+
     li = _t(spark, sf, "lineitem")
     item_e4 = F.expr(
         "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
     )
     rev = li.groupBy("l_partkey").agg(F.sum(item_e4).alias("rev_e4"))
-    wo = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
-    ranked = rev.select(
-        "l_partkey",
-        "rev_e4",
-        F.row_number().over(wo).alias("rank"),
-        F.sum("rev_e4")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_e4"),
-        F.sum("rev_e4").over(Window.partitionBy()).alias("total_e4"),
+    ranked = rk.with_global_rank_cumsum(
+        rev,
+        [F.col("rev_e4").desc(), F.col("l_partkey").asc()],
+        F.col("rev_e4"),
+        rn_out="rank",
+        cum_out="cum_e4",
+        total_out="total_e4",
     )
     return ranked.filter(
         (F.col("cum_e4") - F.col("rev_e4")) * 10 < F.col("total_e4") * 8
@@ -3282,22 +3284,24 @@ def rel_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
     Same determinism rules: e4 fixed-point revenue, integer comparisons
     for both class boundaries — a row's class is decided by the share
     BEFORE it, so boundary rows land in the cheaper class consistently
-    in both engines.  Shape: dim-sized ranking window, then a 3-row agg.
+    in both engines.  Shape: distributed cumulative ranking
+    (operators/ranking.py, like rel_pareto_share), then a 3-row agg.
     """
+    from knowledgebot_spark.operators import ranking as rk
+
     li = _t(spark, sf, "lineitem")
     item_e4 = F.expr(
         "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
     )
     rev = li.groupBy("l_partkey").agg(F.sum(item_e4).alias("rev_e4"))
-    wo = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
-    ranked = rev.select(
-        "l_partkey",
-        "rev_e4",
-        F.sum("rev_e4")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_e4"),
-        F.sum("rev_e4").over(Window.partitionBy()).alias("total_e4"),
-    )
+    ranked = rk.with_global_rank_cumsum(
+        rev,
+        [F.col("rev_e4").desc(), F.col("l_partkey").asc()],
+        F.col("rev_e4"),
+        rn_out="_rank",
+        cum_out="cum_e4",
+        total_out="total_e4",
+    ).select("l_partkey", "rev_e4", "cum_e4", "total_e4")
     prior = F.col("cum_e4") - F.col("rev_e4")
     abc = (
         F.when(prior * 10 < F.col("total_e4") * 8, "A")

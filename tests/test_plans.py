@@ -438,8 +438,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "llm_dedup_threshold_sweep": "sweep grid x LSH-candidate aggregate",
     "llm_context_assembly": "cumsum over <=10 fused rows (broadcast-join-bounded)",
     "llm_oov_curve": "rank over vocabulary aggregate",
-    "rel_pareto_share": "cumulative share over |parts| revenue aggregate",
-    "rel_abc_classification": "ABC cut over |parts| revenue aggregate",
+    "rel_pareto_share": "distributed cumsum; offsets window over |partitions| rows",
+    "rel_abc_classification": "distributed cumsum; offsets window over |partitions| rows",
     "llm_zipf_slope": "rank over vocabulary aggregate, top-1000 cut pushed down",
     # operators/ranking.py offset windows: |shuffle partitions| rows post-agg
     "llm_token_budget": "distributed cumsum; offsets window over |partitions| rows",
