@@ -3373,3 +3373,96 @@ def rel_exact_quantiles_distributed(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.join(F.broadcast(sel), ranked.rn == sel.rn_sel).select(
         "q", "rn_sel", "n_rows", F.round("p", 2).alias("value")
     )
+
+
+# --- sweep-line concurrency (round 5) -----------------------------------------
+
+@register(
+    "rel_concurrency_sweep",
+    sql="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM marked
+), bounds AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, sid
+), deltas AS (
+  SELECT epoch_us(s_start) AS ts_us, 1 AS d FROM bounds
+  UNION ALL
+  SELECT epoch_us(s_end) + 1, -1 FROM bounds
+), net AS (
+  SELECT ts_us, CAST(sum(d) AS BIGINT) AS nd FROM deltas GROUP BY ts_us
+), cum AS (
+  SELECT ts_us,
+    CAST(sum(nd) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS concurrency
+  FROM net
+)
+SELECT ts_us, concurrency FROM cum
+ORDER BY concurrency DESC, ts_us LIMIT 10
+""",
+    tags=("events", "sweep-line", "concurrency", "distributed-rank"),
+)
+def rel_concurrency_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions by sweep line: sessionize on the 30-minute
+    inactivity gap (the rel_session_paths machinery), turn each session
+    into a +1 boundary at its start and a -1 at its end (+1us, so
+    single-event sessions still count at their instant), and prefix-sum
+    the net deltas in timestamp order — the classic interval-overlap
+    algorithm (room occupancy, connection-pool load, live concurrency)
+    that no window FRAME can express, because the overlap count at t
+    depends on ALL earlier boundaries.
+
+    The prefix sum is the DISTRIBUTED global cumsum
+    (operators/ranking.py): boundary timestamps are corpus-scale (two per
+    session, microsecond-granular), so a single-partition ORDER BY window
+    would collapse the whole sweep onto one task at 100 TB.  Per-ts net
+    deltas are exact integers; the top-10 peak moments come out of a
+    TakeOrdered, never a global sort."""
+    from knowledgebot_spark.operators import ranking as rk
+    from knowledgebot_spark.queries_events import _micros
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_micros("ts") - _micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    bounds = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = bounds.select(
+        _micros("s_start").alias("ts_us"), F.lit(1).alias("d")
+    ).unionAll(
+        bounds.select((_micros("s_end") + 1).alias("ts_us"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("ts_us").agg(F.sum("d").cast("bigint").alias("nd"))
+    cum = rk.with_global_cumsum(
+        net, [F.col("ts_us").asc()], F.col("nd"), out="concurrency"
+    )
+    return (
+        cum.select("ts_us", F.col("concurrency").cast("bigint").alias("concurrency"))
+        .orderBy(F.desc("concurrency"), F.asc("ts_us"))
+        .limit(10)
+    )
