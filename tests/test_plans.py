@@ -446,6 +446,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "llm_quality_ensemble": "distributed ntile; offsets window over |partitions| rows",
     "rel_window_ntile": "distributed ntile; offsets window over |partitions| rows",
     "rel_exact_quantiles_distributed": "distributed rank; offsets window over |partitions| rows",
+    "rel_concurrency_sweep": "distributed cumsum; offsets window over |partitions| rows",
 }
 
 _WINDOW_BARRIERS = (
