@@ -81,6 +81,7 @@ HEADLINE = [
     "rel_exact_quantiles_distributed",
     "llm_semdedup",
     "llm_dsir_score",
+    "rel_concurrency_sweep",
 ]
 
 
