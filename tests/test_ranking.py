@@ -60,3 +60,39 @@ def test_no_corpus_unpartitioned_window_in_plan(docs):
     # the order keys (cheap second pass — ReusedExchange cannot fire across
     # differently-pruned projections)
     assert plan.count("rangepartitioning") >= 1
+
+def test_ranking_ops_on_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, n_chars long")
+    order = [F.col("doc_id").asc()]
+    assert rk.with_global_row_number(empty, order, num_partitions=4).count() == 0
+    assert (
+        rk.with_global_cumsum(
+            empty, order, F.col("n_chars"), num_partitions=4
+        ).count()
+        == 0
+    )
+    assert rk.with_global_ntile(empty, order, 4, num_partitions=4).count() == 0
+
+
+def test_rank_cumsum_combined_matches_separate(docs):
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    both = rk.with_global_rank_cumsum(
+        docs, order, F.col("n_chars").cast("long"),
+        rn_out="rn", cum_out="cum", total_out="tot", num_partitions=5,
+    )
+    rn_only = rk.with_global_row_number(docs, order, out="rn", num_partitions=5)
+    cum_only = rk.with_global_cumsum(
+        docs, order, F.col("n_chars").cast("long"), out="cum", num_partitions=5
+    )
+    assert (
+        both.select("doc_id", "rn").exceptAll(rn_only.select("doc_id", "rn")).count()
+        == 0
+    )
+    assert (
+        both.select("doc_id", "cum")
+        .exceptAll(cum_only.select("doc_id", "cum"))
+        .count()
+        == 0
+    )
+    total = docs.agg(F.sum(F.col("n_chars").cast("long"))).first()[0]
+    assert both.select("tot").distinct().first()[0] == total
