@@ -670,3 +670,115 @@ def stream_cdc_materialize(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+def _duck_neardup_gate_sql() -> str:
+    from knowledgebot_spark.queries_llm import (
+        _duck_bands,
+        _duck_minhash_cols,
+        _duck_shingle_hashes,
+    )
+
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+    list_concat(list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
+                [0, 0]::BIGINT[]) AS hh
+  FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)
+), hs_t AS (SELECT doc_id, {_duck_shingle_hashes()} AS hs FROM hashed)
+, mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs_t)
+, bands AS ({_duck_bands()})
+, blocked AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bands a
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_seen,
+  CAST(sum(CASE WHEN bl.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN bl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM documents d LEFT JOIN blocked bl ON bl.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "stream_neardup_gate",
+    sql=_duck_neardup_gate_sql(),
+    tags=("streaming", "dedup-gate", "minhash", "foreachBatch"),
+)
+def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming NEAR-dup ingest gate — the MinHash upgrade of
+    stream_anti_dedup's exact ledger join, i.e. the filter a training-data
+    pipeline runs at ingest so near-duplicate documents never reach the
+    corpus.  Each micro-batch: compute banded MinHash signatures
+    (operators/dedup.py, the llm_dedup_minhash machinery verbatim), join
+    against the APPEND-ONLY signature ledger of everything seen so far,
+    block any document sharing a band bucket with a lower-doc_id document
+    (seen earlier, or earlier in this batch), record per-doc decisions,
+    append the batch's signatures to the ledger.
+
+    Semantics are the dominance rule every blocked-dedup query here uses
+    (blocked iff ANY smaller id shares a bucket — no recursive keep
+    chain), so the result is independent of batch boundaries for in-order
+    ingest, and the DuckDB oracle states it in one shot.  The ledger is
+    append-only (signatures never rewrite — contrast stream_cdc's
+    snapshot versions) and duplicate appends from a retried batch cannot
+    change any decision (bucket membership is idempotent).  Per-source
+    admission report: seen / kept / blocked."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators import dedup as dd
+
+    base = f"/tmp/knowledgebot_spark/stream_neardup/{os.path.basename(sf.rstrip('/'))}"
+    ledger, decisions, ckpt = f"{base}/ledger", f"{base}/decisions", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(ledger, exist_ok=True)
+    os.makedirs(decisions, exist_ok=True)
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        sp_sess = batch.sparkSession
+        hashed = batch.select(
+            "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+        )
+        bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id")
+        seen = bands
+        if any(f.endswith(".parquet") for f in os.listdir(ledger)):
+            seen = sp_sess.read.parquet(ledger).unionByName(bands)
+        blocked = (
+            seen.select("band", "bv", F.col("doc_id").alias("id_a"))
+            .join(bands, ["band", "bv"])
+            .filter(F.col("id_a") < F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+            .withColumn("is_blocked", F.lit(True))
+        )
+        batch.select("doc_id", "source").join(blocked, "doc_id", "left").select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
+        ).write.mode("append").parquet(decisions)
+        bands.write.mode("append").parquet(ledger)
+
+    stream = sp.read_documents_stream(spark, sf)
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dec = spark.read.parquet(decisions)
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_seen"),
+        F.sum(F.when(~F.col("is_blocked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("is_blocked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked"),
+    )

@@ -57,7 +57,7 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def _stage_dir(sf_dir: str) -> str:
+def _stage_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source requires a *directory* of data files; the
     driver testdata ships a bare parquet file, while Spark-written datasets
     (e.g. the inflated stress sets) are directories of part files — the
@@ -68,7 +68,7 @@ def _stage_dir(sf_dir: str) -> str:
     whenever the target set changes (lexists also catches broken links)."""
     import hashlib
 
-    target = os.path.abspath(f"{sf_dir.rstrip('/')}/events.parquet")
+    target = os.path.abspath(f"{sf_dir.rstrip('/')}/{table}.parquet")
     if os.path.isdir(target):
         files = sorted(
             f"{target}/{f}"
@@ -82,7 +82,7 @@ def _stage_dir(sf_dir: str) -> str:
     key = hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
     # versioned namespace: layout changes must never share a stage with a
     # prior scheme (a stale extra link = silently duplicated events)
-    stage = f"/tmp/knowledgebot_spark/stream_src/v2/{key}/events"
+    stage = f"/tmp/knowledgebot_spark/stream_src/v2/{key}/{table}"
     os.makedirs(stage, exist_ok=True)
     expected = {f"part-{i:05d}.parquet": src for i, src in enumerate(files)}
     for name in os.listdir(stage):
@@ -116,6 +116,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = reader.option("maxFilesPerTrigger", max_files)
     raw = reader.parquet(_stage_dir(sf_dir))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+DOCUMENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the ingest feed for
+    streaming corpus-curation gates (near-dup filtering at ingest).  Same
+    staging/maxFilesPerTrigger mechanics as read_events_stream."""
+    reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+    max_files = os.environ.get("KB_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(_stage_dir(sf_dir, "documents"))
 
 
 def run_to_memory(

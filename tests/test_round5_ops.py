@@ -135,3 +135,69 @@ def test_mllib_gates_are_booleans_and_true(spark, sf_dir, catalog):
     ivf = catalog["llm_sim_ivf"].fn(spark, sf_dir).first()
     assert ivf.ivf_scores_exact is True and ivf.ivf_recall_ge_0_3 is True
     assert ivf.n_ivf == 10
+
+
+def test_neardup_gate_converges_across_batches(spark, sf_dir, tmp_path):
+    """Batch-boundary invariance of the streaming near-dup gate: splitting
+    the corpus into 3 in-order micro-batches must produce exactly the
+    one-shot dominance-rule result (blocked iff ANY smaller doc_id shares
+    a band bucket) — the append-only ledger join is what this exercises."""
+    import os
+    import shutil
+
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.queries_streaming import stream_neardup_gate
+    from knowledgebot_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    tmp_sf = str(tmp_path / "sfnd")
+    dest = f"{tmp_sf}/documents.parquet"
+    os.makedirs(dest)
+    slices = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        stage = str(tmp_path / f"slice{i}")
+        sl.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        shutil.copy(f"{stage}/{part}", f"{dest}/part-{i:05d}.parquet")
+
+    os.environ["KB_STREAM_MAX_FILES"] = "1"
+    try:
+        got = {
+            r.source: (r.n_seen, r.n_kept, r.n_blocked)
+            for r in stream_neardup_gate(spark, tmp_sf).collect()
+        }
+    finally:
+        del os.environ["KB_STREAM_MAX_FILES"]
+
+    hashed = docs.select("doc_id", F.expr(dd.shingle_hash_expr("text")).alias("sh"))
+    bands = dd.lsh_bands(dd.with_minhash(hashed, shingles_col="sh"), "doc_id")
+    blocked = (
+        bands.select("band", "bv", F.col("doc_id").alias("id_a"))
+        .join(bands, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("b", F.lit(True))
+    )
+    want = {
+        r.source: (r.n_seen, r.n_kept, r.n_blocked)
+        for r in docs.join(blocked, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.sum(F.when(F.col("b").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0)).alias("n_blocked"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in got.values()) > 0, "fixture has no near-dups"
