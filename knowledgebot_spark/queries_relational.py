@@ -3466,3 +3466,59 @@ def rel_concurrency_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("concurrency"), F.asc("ts_us"))
         .limit(10)
     )
+
+
+# --- partition pruning (round 5) ----------------------------------------------
+
+@register(
+    "rel_partition_pruning",
+    sql="""
+SELECT strftime(o_orderdate, '%Y') AS order_year,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE strftime(o_orderdate, '%Y') IN ('1995', '1996')
+GROUP BY 1
+""",
+    tags=("scan", "partition-pruning", "layout"),
+)
+def rel_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Static partition pruning — the single biggest I/O lever at 100 TB:
+    orders staged as a year-partitioned parquet dataset
+    (``order_year=YYYY/`` directories), then read back with a partition
+    predicate.  Catalyst resolves the predicate against directory
+    METADATA, so the scan lists and reads only the 2 matching partitions
+    of 7 — ``PartitionFilters: [isnotnull(order_year), order_year IN
+    (1995,1996)]`` in the plan with zero data filters, the layout
+    counterpart of the PushedFilters row-group pruning the rest of the
+    catalog relies on (plan-asserted in tests/test_plans.py).
+
+    The stage writes once per (sf, code-version) and is re-read by later
+    runs — idempotent, like the other format stages.  Values are
+    identical to scanning the flat table: the oracle states the same
+    aggregate from the unpartitioned file."""
+    import os
+
+    base = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/orders_by_year"
+    o = _t(spark, sf, "orders")
+    src = o.withColumn("order_year", F.date_format("o_orderdate", "yyyy"))
+    done = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(done):
+        (
+            src.write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(base)
+        )
+    back = (
+        spark.read
+        # partition values must come back as strings, not inferred ints —
+        # registry pins partitionColumnTypeInference off, this is explicit
+        # belt-and-braces for sessions built elsewhere
+        .option("basePath", base)
+        .parquet(base)
+        .filter(F.col("order_year").isin("1995", "1996"))
+    )
+    return back.groupBy("order_year").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(F.col("order_year").cast("string").alias("order_year"), "n_orders", "revenue")

@@ -588,3 +588,21 @@ def test_zipf_and_oov_push_topk_below_rank_window(spark, sf_dir):
 
 def _plan_simple(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """rel_partition_pruning's year predicate must resolve against
+    partition directories (PartitionFilters), not data (PushedFilters) —
+    and prune to exactly the 2 selected partitions."""
+    from knowledgebot_spark.registry import load
+
+    df = load()["rel_partition_pruning"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "order_year" in seg and seg.strip(), seg
+    # the year filter must NOT degrade to a post-scan data filter (the
+    # pruned scan may have no PushedFilters line at all)
+    if "PushedFilters: [" in plan:
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "order_year" not in pushed
