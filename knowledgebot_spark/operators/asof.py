@@ -31,14 +31,22 @@ def asof_join(
     right_cols: tuple[str, ...] = (),
     tiebreak_col: str | None = None,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts_col <= left.ts_col`` and matching ``on`` key.
+    """For each left row, attach the closest right row with matching ``on``
+    key: ``direction='backward'`` (default) takes the latest right row at
+    or before the left timestamp (``right.ts <= left.ts``);
+    ``'forward'`` the earliest at or after it (``right.ts >= left.ts``) —
+    the pandas ``merge_asof`` direction semantics, both inclusive.  The
+    forward form is the SAME union + tagged-sort + running-last plan with
+    the timestamp ordering reversed — identical cost.
 
     ``right_cols`` are the right-side payload columns to carry (returned
-    as ``asof_<name>``).  ``how='inner'`` drops left rows with no prior
-    right row; ``'left'`` keeps them with null payload.
+    as ``asof_<name>``).  ``how='inner'`` drops left rows with no match in
+    the chosen direction; ``'left'`` keeps them with null payload.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         *[F.col(c) for c in (ts_col, *right_cols)],
         *( [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else [] ),
@@ -63,7 +71,8 @@ def asof_join(
     # right (side 0) sorts before left (side 1) at equal ts => inclusive <=;
     # among same-(key, ts) right rows the greatest tiebreak sorts last and
     # wins the running last()
-    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    ts_ord = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    order = [ts_ord, F.col("_side").asc()]
     if tiebreak_col:
         order.append(
             F.when(F.col("_side") == 0, F.col("_asof._tb")).asc_nulls_first()

@@ -3522,3 +3522,92 @@ def rel_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     ).select(F.col("order_year").cast("string").alias("order_year"), "n_orders", "revenue")
+
+
+# --- as-of directions: forward + nearest (round 5) ----------------------------
+
+@register(
+    "rel_asof_directions",
+    sql="""
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+back AS (
+  SELECT c.event_id, c.user_id, c.ts AS cts, v.ts AS bts
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.ts <= c.ts
+),
+fwd AS (
+  SELECT c.event_id, v.ts AS fts
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.ts >= c.ts
+)
+SELECT b.event_id, b.user_id,
+  strftime(b.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  strftime(b.bts, '%Y-%m-%d %H:%M:%S') AS back_ts,
+  strftime(f.fts, '%Y-%m-%d %H:%M:%S') AS fwd_ts,
+  CASE
+    WHEN b.bts IS NULL AND f.fts IS NULL THEN 'none'
+    WHEN b.bts IS NULL THEN 'forward'
+    WHEN f.fts IS NULL THEN 'backward'
+    WHEN epoch_us(f.fts) - epoch_us(b.cts)
+         < epoch_us(b.cts) - epoch_us(b.bts) THEN 'forward'
+    ELSE 'backward'
+  END AS nearest
+FROM back b JOIN fwd f ON b.event_id = f.event_id
+""",
+    tags=("join", "asof", "direction"),
+)
+def rel_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
+    """The full pandas-merge_asof direction surface on the scalable as-of
+    plan: for each click, the user's latest view at-or-before
+    (``backward``), earliest view at-or-after (``forward``), and which of
+    the two is nearest in event time (ties -> backward, the pandas rule).
+    Forward is the SAME union + tagged-sort + running-last formulation
+    with the sort reversed — one hash shuffle per direction, no
+    BroadcastNestedLoopJoin anywhere (the naive range encoding), and the
+    two direction results meet on the unique click event_id.  Oracle:
+    two native DuckDB ASOF joins (<= and >=) composed."""
+    from knowledgebot_spark.operators.asof import asof_join
+    from knowledgebot_spark.queries_events import _micros
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts")
+    )
+    back = asof_join(clicks, views, on="user_id", ts_col="ts").select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("bts")
+    )
+    fwd = asof_join(
+        clicks, views, on="user_id", ts_col="ts", direction="forward"
+    ).select(F.col("event_id").alias("f_event_id"), F.col("asof_ts").alias("fts"))
+    j = back.join(fwd, back.event_id == fwd.f_event_id)
+    nearest = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), "none")
+        .when(F.col("bts").isNull(), "forward")
+        .when(F.col("fts").isNull(), "backward")
+        .when(
+            _micros("fts") - _micros("ts") < _micros("ts") - _micros("bts"),
+            "forward",
+        )
+        .otherwise("backward")
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("bts", "yyyy-MM-dd HH:mm:ss").alias("back_ts"),
+        F.date_format("fts", "yyyy-MM-dd HH:mm:ss").alias("fwd_ts"),
+        nearest.alias("nearest"),
+    )

@@ -87,3 +87,37 @@ def test_asof_plan_single_shuffle_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # union + window formulation: there is no join operator at all
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """direction='forward' must attach the EARLIEST right row at-or-after
+    each left timestamp (inclusive), per key — checked against the
+    quadratic brute-force on a small fixture with equal-ts edges."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 30), (2, 5), (2, 50), (3, 7)],
+        "k int, ts int",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 101.0), (2, 4, 200.0), (2, 60, 201.0)],
+        "k int, ts int, v double",
+    )
+    got = {
+        (r.k, r.ts): (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", right_cols=("v",),
+            direction="forward",
+        ).collect()
+    }
+    rr = [(r.k, r.ts, r.v) for r in right.collect()]
+    for (k, ts), (ats, av) in got.items():
+        cand = sorted((rt, rv) for rk, rt, rv in rr if rk == k and rt >= ts)
+        want = cand[0] if cand else (None, None)
+        assert (ats, av) == want, (k, ts, ats, av, want)
+    # inclusive edge: left (1,10) must take right (1,10), not (1,20)
+    assert got[(1, 10)] == (10, 100.0)
+    # no future row -> nulls under how='left'
+    assert got[(1, 30)] == (None, None)
