@@ -3611,3 +3611,87 @@ def rel_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("fts", "yyyy-MM-dd HH:mm:ss").alias("fwd_ts"),
         nearest.alias("nearest"),
     )
+
+
+# --- TPC-H Q21 shape: waiting suppliers (round 5) -----------------------------
+
+@register(
+    "rel_waiting_suppliers",
+    sql="""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_supp AS (
+  SELECT l_orderkey, l_suppkey, bool_or(is_late) AS late
+  FROM lo GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey,
+    count(*) AS n_supp,
+    sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+  FROM per_supp GROUP BY l_orderkey
+), waiting AS (
+  SELECT ps.l_suppkey, ps.l_orderkey
+  FROM per_supp ps JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+  WHERE ps.late AND po.n_supp > 1 AND po.n_late = 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM waiting w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    tags=("join", "tpch-q21", "semi-anti-composition"),
+)
+def rel_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept finished orders waiting: for
+    multi-supplier orders where EXACTLY ONE supplier shipped late (>90
+    days after the order date — this dataset carries no commit/receipt
+    dates), count the orders each such supplier solely delayed.  The
+    textbook formulation is a correlated EXISTS + NOT EXISTS pair; that
+    plans as two extra joins against lineitem.  This is the scalable
+    rewrite: ONE orderkey-keyed aggregation computes per-order supplier
+    and late-supplier counts, and the exists/not-exists pair becomes the
+    integer predicate (n_supp > 1 AND n_late = 1) — the semi/anti
+    composition collapsed into a group-by, with supplier and nation dims
+    broadcast and the top-20 as TakeOrderedAndProject."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.bool_or("is_late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+    )
+    waiting = (
+        per_supp.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.join(F.broadcast(dim), waiting.l_suppkey == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
