@@ -96,3 +96,53 @@ def test_rank_cumsum_combined_matches_separate(docs):
     )
     total = docs.agg(F.sum(F.col("n_chars").cast("long"))).first()[0]
     assert both.select("tot").distinct().first()[0] == total
+
+
+def test_global_ranking_property_random_inputs(spark):
+    """Hypothesis property: for arbitrary (key, value) multisets —
+    duplicates, negatives, skew — the distributed row_number/cumsum/ntile
+    agree with the single-partition window formulation row for row."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(-5, 5), st.integers(-100, 100)),
+            min_size=1,
+            max_size=60,
+        ),
+        parts=st.integers(1, 9),
+        buckets=st.integers(1, 7),
+    )
+    def check(rows, parts, buckets):
+        df = spark.createDataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)], "id int, k int, v long"
+        )
+        order = [F.col("k").asc(), F.col("v").desc(), F.col("id").asc()]
+        got = rk.with_global_rank_cumsum(
+            df, order, F.col("v"), rn_out="rn", cum_out="cum",
+            total_out="tot", num_partitions=parts,
+        )
+        w = Window.orderBy(*order)
+        naive = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "cum",
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        g = {r.id: (r.rn, r.cum, r.tot) for r in got.collect()}
+        total = sum(v for _, v in rows)
+        for r in naive.collect():
+            assert g[r.id] == (r.rn, r.cum, total), (r.id, g[r.id], (r.rn, r.cum))
+        nt = rk.with_global_ntile(df, order, buckets, out="t", num_partitions=parts)
+        naive_t = df.withColumn("t", F.ntile(buckets).over(w))
+        gt = {r.id: r.t for r in nt.collect()}
+        for r in naive_t.collect():
+            assert gt[r.id] == r.t, (r.id, gt[r.id], r.t, buckets)
+
+    check()
