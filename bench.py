@@ -82,6 +82,12 @@ HEADLINE = [
     "llm_semdedup",
     "llm_dsir_score",
     "rel_concurrency_sweep",
+    # round-5 TPC-H shapes
+    "rel_waiting_suppliers",
+    "rel_order_priority_check",
+    "rel_customer_order_distribution",
+    "rel_large_volume_customers",
+    "rel_idle_customer_balance",
 ]
 
 

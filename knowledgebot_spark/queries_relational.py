@@ -3695,3 +3695,204 @@ def rel_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --- TPC-H Q4 shape: order priority checking (round 5) ------------------------
+
+@register(
+    "rel_order_priority_check",
+    sql="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("join", "tpch-q4", "semi-join"),
+)
+def rel_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — order priority checking: how many orders placed in
+    one quarter had at least one line item shipped late (>60 days after
+    the order date; this dataset carries no commit/receipt dates).  The
+    correlated EXISTS plans as a LEFT SEMI join: the equi-key
+    (l_orderkey = o_orderkey) carries the shuffle and the lateness
+    predicate rides along as the join's residual condition, so lineitem
+    is touched exactly once and never materializes matches beyond the
+    first.  The quarter filter pushes to the orders scan; the final
+    aggregate is 5 groups."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q13 shape: customer order-count distribution (round 5) -------------
+
+@register(
+    "rel_customer_order_distribution",
+    sql="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "tpch-q13", "outer-join", "double-agg"),
+)
+def rel_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of customers by order count: LEFT
+    OUTER join customer->orders with a residual filter ON THE JOIN (not
+    WHERE — customers with zero qualifying orders must survive with
+    c_count = 0; the '1-URGENT' priority exclusion stands in for the
+    reference query's comment NOT LIKE).  Two-level aggregation: the
+    first keyed by custkey (shuffle-partitioned on the join key, so AQE
+    can fold it into the join's exchange), the second over the tiny
+    c_count domain (map-side partials, ~tens of groups)."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != F.lit("1-URGENT")
+    )
+    per_cust = (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- TPC-H Q18 shape: large-volume customers (round 5) ------------------------
+
+@register(
+    "rel_large_volume_customers",
+    sql="""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  round(o.o_totalprice, 2) AS totalprice,
+  b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    tags=("join", "tpch-q18", "having", "topk"),
+)
+def rel_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: the IN (GROUP BY ...
+    HAVING) subquery rewritten as aggregate-then-join.  The orderkey
+    aggregation is the only fact-sized shuffle and the HAVING cut (>300
+    units) drops ~all of it before any join, so the surviving handful of
+    orders joins orders (equi, orderkey) and broadcast customer; top-100
+    plans as TakeOrderedAndProject.  Quantities and prices quantize to
+    2dp before ranking (round-before-rank convention)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 300)
+        .select("l_orderkey", F.round("qty_raw", 2).alias("total_qty"))
+    )
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- TPC-H Q22 shape: idle customers with above-average balance (round 5) -----
+
+@register(
+    "rel_idle_customer_balance",
+    sql="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+  round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    tags=("join", "tpch-q22", "anti-join", "scalar-subquery"),
+)
+def rel_idle_customer_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape — sales opportunity: customers holding an
+    above-average positive balance with no order since 2000-01-01
+    (Q22's "no orders in 7 years" clause at this dataset's time range),
+    grouped by nation (standing in for the reference's phone country
+    code, which this dataset lacks).  The scalar subquery is a 1-row
+    aggregate crossJoined in as a broadcast scalar (the llm_tfidf_topterm
+    pattern); the NOT EXISTS plans as a LEFT ANTI join on custkey with
+    the date cut pushed to the orders scan.  At scale the anti-join
+    shuffles on the custkey both sides already carry and the final
+    aggregate is |nations| groups."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

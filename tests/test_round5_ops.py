@@ -201,3 +201,85 @@ def test_neardup_gate_converges_across_batches(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert sum(v[2] for v in got.values()) > 0, "fixture has no near-dups"
+
+
+# --- round-5 TPC-H shapes (Q4 / Q13 / Q18 / Q22) ------------------------------
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_order_priority_check_semi_join_plan(spark, sf_dir, catalog):
+    """Q4's EXISTS must plan as ONE left-semi pass over lineitem (the
+    lateness predicate riding as the join residual), with the quarter
+    filter pushed to the orders scan."""
+    df = catalog["rel_order_priority_check"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    # orders + lineitem scanned once each (formatted explain prints every
+    # scan node twice: tree line + details block)
+    assert plan.count("Scan parquet") == 4
+    assert "PushedFilters" in plan
+    rows = df.collect()
+    # every priority bucket, counts positive, sorted output
+    assert [r.o_orderpriority for r in rows] == sorted(r.o_orderpriority for r in rows)
+    assert all(r.order_count > 0 for r in rows)
+
+
+def test_customer_order_distribution_conservation(spark, sf_dir, catalog):
+    """Q13: the distribution must partition ALL customers (sum of custdist
+    == |customer|) and keep the zero-order bucket when the residual filter
+    excludes a customer's every order."""
+    rows = catalog["rel_customer_order_distribution"].fn(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    # left-join semantics: order counts weighted by custdist reproduce the
+    # non-urgent order total
+    n_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .count()
+    )
+    assert sum(r.c_count * r.custdist for r in rows) == n_orders
+
+
+def test_large_volume_customers_threshold_and_topk_plan(spark, sf_dir, catalog):
+    df = catalog["rel_large_volume_customers"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
+    rows = df.collect()
+    assert all(r.total_qty > 300 for r in rows)
+    prices = [r.totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_idle_customer_balance_anti_join(spark, sf_dir, catalog):
+    """Q22: LEFT ANTI on custkey; every surviving customer is above the
+    positive-balance average and absent from recent orders."""
+    df = catalog["rel_idle_customer_balance"].fn(spark, sf_dir)
+    assert "LeftAnti" in _plan(df)
+    rows = df.collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    recent = {
+        r.o_custkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    expected = (
+        cust.filter(F.col("c_acctbal") > avg_pos)
+        .filter(~F.col("c_custkey").isin(recent) if recent else F.lit(True))
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    assert {r.c_nationkey: r.numcust for r in rows} == {
+        r.c_nationkey: r["count"] for r in expected
+    }
