@@ -1,6 +1,6 @@
 """Generate CATALOG.md: the full query inventory with module, tags,
 oracle status, and cumulative driver evidence — the judge/navigation
-index over the 247-query catalog.
+index over the full query catalog.
 
     python scripts/catalog_report.py > CATALOG.md
 """
