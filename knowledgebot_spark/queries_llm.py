@@ -3187,6 +3187,158 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- BPE merge LEARNING: k unrolled greedy iterations (round 5) ---------------
+
+_BPE_LEARN_ITERS = 3
+
+
+def _bpe_learn_sql() -> str:
+    """Unrolled DuckDB twin of llm_bpe_merge_learn: seg{r} -> pairs{r} ->
+    best{r} -> seg{r+1}.  Pairs unnest ONCE as 't1 t2' strings and split
+    with split_part (the one-unnest-per-SELECT DuckDB rule); tokens never
+    contain spaces, so the join/split round-trip is lossless."""
+    parts = [
+        """
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(str_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), seg1 AS (
+  SELECT freq,
+    '  ' || array_to_string([w[i:i] for i in generate_series(1, length(w))],
+                            '  ') || '  ' AS seg
+  FROM words
+)"""
+    ]
+    for r in range(1, _BPE_LEARN_ITERS + 1):
+        parts.append(
+            f"""
+, pairs{r} AS (
+  SELECT freq, unnest([toks[i] || ' ' || toks[i + 1]
+      for i in generate_series(1, len(toks) - 1)]) AS pair
+  FROM (SELECT freq, str_split(trim(seg), '  ') AS toks FROM seg{r})
+  WHERE len(toks) >= 2
+), best{r} AS (
+  SELECT split_part(pair, ' ', 1) AS t1, split_part(pair, ' ', 2) AS t2,
+    CAST(sum(freq) AS BIGINT) AS n
+  FROM pairs{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+)"""
+        )
+        if r < _BPE_LEARN_ITERS:
+            parts.append(
+                f"""
+, seg{r + 1} AS (
+  SELECT s.freq, replace(s.seg, ' ' || b.t1 || '  ' || b.t2 || ' ',
+                         ' ' || b.t1 || b.t2 || ' ') AS seg
+  FROM seg{r} s, best{r} b
+)"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS merge_step, t1 || t2 AS merged, n FROM best{r}"
+        for r in range(1, _BPE_LEARN_ITERS + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + union + "\nORDER BY merge_step"
+
+
+@register(
+    "llm_bpe_merge_learn",
+    sql=_bpe_learn_sql(),
+    tags=("tokenizer", "bpe", "training-data", "iterative"),
+)
+def llm_bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training, 3 greedy merge iterations end-to-end:
+    llm_bpe_merge_candidates mines ONE iteration's statistics; this query
+    closes the loop — pick the argmax pair, RE-SEGMENT the vocabulary by
+    applying the merge, recount, pick again.  Output: the learned merge
+    table (step, merged token, weighted pair count), exactly what
+    operators/bpe.py consumes as its ranked merge list.
+
+    Segmentations are strings with DOUBLE-space token boundaries
+    ('  ab  c  ' for tokens [ab, c]), so one literal, non-overlapping,
+    left-to-right replace(' t1  t2 ' -> ' t1t2 ') IS canonical greedy BPE
+    merging — each match consumes one boundary space on either side,
+    preserving the double-space invariant, and overlapping runs ('a a a')
+    merge left-to-right exactly like the textbook fold.  Both engines
+    scan replace() identically, so the twin stays byte-equal.
+
+    Scale shape: the corpus-sized shuffle is the ONE word-frequency hash
+    agg; it is localCheckpoint-ed (vocab-sized) so the unrolled stages
+    never re-scan documents.  Each iteration is then a vocab-sized in-row
+    transform + a map-side-combinable integer agg + a 1-row TakeOrdered
+    argmax, localCheckpoint-ed and crossJoined back as a broadcast scalar
+    (the MMR/coreset pick discipline).  The monotone law n1 >= n2 >= n3
+    (a merge can only remove occurrences of other pairs, and pairs born
+    from the merge are bounded by its count) is asserted in tests."""
+    d = _t(spark, sf, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    seg = words.select(
+        "freq",
+        F.expr(
+            "concat('  ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), '  '), '  ')"
+        ).alias("seg"),
+    )
+    bests = []
+    for r in range(1, _BPE_LEARN_ITERS + 1):
+        pairs = (
+            seg.select("freq", F.split(F.trim(F.col("seg")), "  ").alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), i ->"
+                        " concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("t1"),
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("t2"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        bests.append(best)
+        if r < _BPE_LEARN_ITERS:
+            seg = seg.crossJoin(F.broadcast(best)).select(
+                "freq",
+                F.replace(
+                    F.col("seg"),
+                    F.concat(
+                        F.lit(" "), F.col("t1"), F.lit("  "), F.col("t2"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("t1"), F.col("t2"), F.lit(" ")),
+                ).alias("seg"),
+            )
+    out = bests[0].select(
+        F.lit(1).alias("merge_step"),
+        F.concat("t1", "t2").alias("merged"),
+        "n",
+    )
+    for r, b in enumerate(bests[1:], 2):
+        out = out.unionAll(
+            b.select(
+                F.lit(r).alias("merge_step"),
+                F.concat("t1", "t2").alias("merged"),
+                "n",
+            )
+        )
+    return out.orderBy("merge_step")
+
+
 # --- MMR diversity re-ranking (wave 8) ----------------------------------------
 
 _MMR_LAMBDA = 0.7

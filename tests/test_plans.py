@@ -264,6 +264,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_exact_quantiles_distributed",  # 4-row quantile spec x 1-row N scalar
         "llm_dsir_score",  # 1-row corpus-totals scalar broadcast
         "rel_idle_customer_balance",  # 1-row avg-acctbal scalar broadcast (TPC-H Q22)
+        "llm_bpe_merge_learn",  # 1-row argmax-merge pick broadcast per unrolled iteration
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

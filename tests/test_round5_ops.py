@@ -283,3 +283,43 @@ def test_idle_customer_balance_anti_join(spark, sf_dir, catalog):
     assert {r.c_nationkey: r.numcust for r in rows} == {
         r.c_nationkey: r["count"] for r in expected
     }
+
+
+# --- BPE merge learning (round 5) ---------------------------------------------
+
+
+def test_bpe_merge_learn_laws(spark, sf_dir, catalog):
+    """3-iteration greedy BPE training: (a) step-1 equals the standalone
+    one-iteration miner's argmax exactly, (b) weighted pair counts are
+    monotone non-increasing across steps (a merge only removes other
+    pairs' occurrences; pairs born of the merge are bounded by its own
+    count), (c) each learned merge is a non-trivial concatenation."""
+    rows = catalog["llm_bpe_merge_learn"].fn(spark, sf_dir).collect()
+    assert [r.merge_step for r in rows] == [1, 2, 3]
+    top1 = catalog["llm_bpe_merge_candidates"].fn(spark, sf_dir).first()
+    assert rows[0].merged == top1.pair.replace(" ", "") if " " in top1.pair else top1.pair
+    assert rows[0].n == top1.n
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r.merged) >= 2 for r in rows)
+
+
+def test_bpe_merge_fold_semantics(spark):
+    """The double-space replace IS the canonical left-to-right BPE fold:
+    an odd run 'aaa' merges only its first pair, an even run 'aaaa'
+    merges both — pinned on a tiny synthetic vocab via the same seg ->
+    replace expressions the query uses."""
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("bab",)], ["w"])
+    seg = df.select(
+        F.expr(
+            "concat('  ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), '  '), '  ')"
+        ).alias("seg")
+    )
+    merged = seg.select(
+        F.split(
+            F.trim(F.replace(F.col("seg"), F.lit(" a  a "), F.lit(" aa "))), "  "
+        ).alias("toks")
+    )
+    got = {tuple(r.toks) for r in merged.collect()}
+    assert got == {("aa", "a"), ("aa", "aa"), ("b", "a", "b")}
