@@ -59,6 +59,18 @@ FLAGSHIPS = (
         "llm_quality_ensemble",
         "distributed exact ntile(10): rangepartitioning + partition-offset arithmetic, corpus never on one task",
     ),
+    (
+        "rel_waiting_suppliers",
+        "TPC-H Q21: exists/not-exists collapsed to ONE orderkey aggregation; dims broadcast",
+    ),
+    (
+        "rel_order_priority_check",
+        "TPC-H Q4: correlated EXISTS as LEFT SEMI, lateness predicate as join residual",
+    ),
+    (
+        "llm_bpe_merge_learn",
+        "corpus -> vocab once (checkpointed); 3 unrolled argmax picks as 1-row broadcasts",
+    ),
 )
 
 
