@@ -455,3 +455,49 @@ def test_stream_zscore_matches_batch_across_ordered_batches(spark, tmp_path, sf_
     batch = load()["rel_rolling_zscore"].fn(spark, sf_dir).collect()
     want = {(r.user_id, r.event_id): r.z for r in batch}
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_restart_processes_each_file_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a file-source stream with a checkpoint
+    processes files 1-2, terminates, files 3-4 land, and a NEW query
+    object restarted from the SAME checkpoint must pick up ONLY the new
+    files — the append-ledger sink would show duplicated rows if the
+    restarted query replayed committed batches (the driver restart /
+    executor-loss story for every stream_* query's checkpoint usage)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ledger = str(tmp_path / "ledger")
+    ck = str(tmp_path / "ck")
+    schema = "k string, v bigint"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*/")
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: b.write.mode("append").parquet(ledger)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write("f1", [("a", 1), ("b", 2)])
+    _write("f2", [("c", 3)])
+    _run()
+    first = sorted((r.k, r.v) for r in spark.read.parquet(ledger).collect())
+    assert first == [("a", 1), ("b", 2), ("c", 3)]
+
+    _write("f3", [("d", 4)])
+    _write("f4", [("e", 5), ("a", 1)])  # same VALUES as an old row, new file
+    _run()
+    final = sorted((r.k, r.v) for r in spark.read.parquet(ledger).collect())
+    # every input row exactly once — including the value-duplicate from f4,
+    # which must appear exactly twice (once per source file), proving the
+    # restart neither replays old files nor dedups new data
+    assert final == [("a", 1), ("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)]
