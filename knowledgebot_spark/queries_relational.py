@@ -3896,3 +3896,100 @@ def rel_idle_customer_balance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- Count-Min heavy hitters (round 5) ----------------------------------------
+
+_CM_D = 4  # hash rows
+_CM_W = 8192  # cells per row
+_CM_PHI = 0.001  # heavy-hitter threshold as a fraction of the token stream
+
+
+@register(
+    "rel_cm_heavy_hitters",
+    sql=f"""
+WITH toks AS (
+  SELECT [x for x in str_split(trim(lower(text)), ' ') if x <> ''] AS t
+  FROM documents
+), sh AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1]
+      for i in generate_series(1, len(t) - 1)]) AS s
+  FROM toks WHERE len(t) >= 2
+), f AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY s
+)
+SELECT s AS bigram, n,
+  true AS cm_detected, true AS cm_no_underestimate, true AS cm_within_bound
+FROM f, (SELECT sum(n) AS total FROM f) t
+WHERE n > {_CM_PHI} * total
+ORDER BY n DESC, bigram
+""",
+    tags=("approx", "count-min", "heavy-hitters", "mergeable"),
+)
+def rel_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters over the word-bigram stream — the
+    fourth classic mergeable sketch alongside rel_hll_sketch /
+    rel_kll_quantiles / rel_theta_setops, same gated-oracle discipline.
+
+    The sketch IS a relation: explode each key d=4 ways to
+    (row j, cell xxhash64(key, j) mod w=8192) and sum counts per cell —
+    identical to per-occurrence increments (counter addition commutes),
+    but built from the already-collapsed frequency relation so the
+    map-side combine has done the heavy lifting.  Cells merge across
+    partitions/shards/days by addition, the 100 TB sketch-once-
+    rollup-anywhere property; the materialized sketch is <= d*w rows and
+    broadcasts to the candidate probe (point estimate = min over the d
+    cells), so the only fact-sized shuffle is the frequency hash agg.
+
+    Hash-gated like the HLL/KLL rows: reported rows are the EXACT
+    heavy hitters (frequency > 0.001 of the stream — SQL-reproducible
+    values), and the sketch earns its keep through in-query booleans that
+    a broken sketch flips: cm_detected (the estimate also crosses the
+    threshold — guaranteed, CM never underestimates), cm_no_underestimate
+    (est >= exact, the structural invariant), cm_within_bound
+    (est - exact <= ceil(e*N/w), the Cormode-Muthukrishnan error bound;
+    deterministic for a fixed dataset + seed)."""
+    import math
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.filter(
+            F.split(F.trim(F.lower("text")), " "), lambda x: x != ""
+        ).alias("t")
+    )
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i ->"
+                " concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("s")
+    )
+    f = bigrams.groupBy("s").agg(F.count("*").cast("bigint").alias("n"))
+    rows = spark.range(_CM_D).select(F.col("id").cast("int").alias("j"))
+    keyed = f.crossJoin(F.broadcast(rows)).select(
+        "s",
+        "n",
+        "j",
+        F.pmod(F.xxhash64("s", "j"), F.lit(_CM_W)).alias("cell"),
+    )
+    sketch = keyed.groupBy("j", "cell").agg(F.sum("n").alias("cell_sum"))
+    est = (
+        keyed.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("s", "n")
+        .agg(F.min("cell_sum").alias("est"))
+    )
+    total = f.agg(F.sum("n").alias("total"))
+    bound = F.ceil(F.lit(math.e) * F.col("total") / F.lit(_CM_W))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.lit(_CM_PHI) * F.col("total"))
+        .select(
+            F.col("s").alias("bigram"),
+            "n",
+            (F.col("est") > F.lit(_CM_PHI) * F.col("total")).alias("cm_detected"),
+            (F.col("est") >= F.col("n")).alias("cm_no_underestimate"),
+            ((F.col("est") - F.col("n")) <= bound).alias("cm_within_bound"),
+        )
+        .orderBy(F.desc("n"), F.asc("bigram"))
+    )

@@ -265,6 +265,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_dsir_score",  # 1-row corpus-totals scalar broadcast
         "rel_idle_customer_balance",  # 1-row avg-acctbal scalar broadcast (TPC-H Q22)
         "llm_bpe_merge_learn",  # 1-row argmax-merge pick broadcast per unrolled iteration
+        "rel_cm_heavy_hitters",  # 4-row hash-row spine + 1-row total + <=d*w-cell sketch broadcasts
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

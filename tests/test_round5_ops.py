@@ -323,3 +323,37 @@ def test_bpe_merge_fold_semantics(spark):
     )
     got = {tuple(r.toks) for r in merged.collect()}
     assert got == {("aa", "a"), ("aa", "aa"), ("b", "a", "b")}
+
+
+def test_cm_heavy_hitters_laws(spark, sf_dir, catalog):
+    """Count-Min contract: reported set == exact over-threshold set
+    (recomputed), all three sketch gates TRUE, output ranked."""
+    rows = catalog["rel_cm_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert rows, "threshold should yield heavy hitters on the zipfy bigrams"
+    assert all(
+        r.cm_detected and r.cm_no_underestimate and r.cm_within_bound for r in rows
+    )
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # recompute the exact heavy-hitter set independently
+    import knowledgebot_spark.queries_relational as qr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        F.filter(F.split(F.trim(F.lower("text")), " "), lambda x: x != "").alias("t")
+    )
+    big = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i ->"
+                " concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("s")
+    )
+    total = big.count()
+    exact = {
+        r.s: r.c
+        for r in big.groupBy("s").agg(F.count("*").alias("c")).collect()
+        if r.c > qr._CM_PHI * total
+    }
+    assert {r.bigram: r.n for r in rows} == exact
