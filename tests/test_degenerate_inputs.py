@@ -41,6 +41,8 @@ AT_RISK = [
     "llm_curriculum_order",
     "llm_repetition",
     "llm_quality_filter_quantile",
+    "llm_bpe_merge_learn",
+    "rel_cm_heavy_hitters",
 ]
 
 
