@@ -4057,7 +4057,8 @@ WITH pairs AS ({mh})
 SELECT least(da.source, db.source) AS source_a,
   greatest(da.source, db.source) AS source_b,
   CAST(count(*) AS BIGINT) AS n_pairs,
-  round(avg(p.jaccard), 4) AS avg_jaccard
+  CAST((2 * sum(CAST(round(p.jaccard * 10000) AS BIGINT)) + count(*))
+       // (2 * count(*)) AS BIGINT) AS avg_jaccard_e4
 FROM pairs p
 JOIN documents da ON da.doc_id = p.id_a
 JOIN documents db ON db.doc_id = p.id_b
@@ -4102,7 +4103,20 @@ def llm_dup_matrix_by_source(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            F.sum(F.round(F.col("jaccard") * 10000).cast("bigint")).alias(
+                "sum_e4"
+            ),
+        )
+        # exact integer round-half-up mean in 1e-4 units: a double
+        # avg()+round(4) flipped half-boundary cells at sf0.1 (summation
+        # order differs between engines); (2s+n) div 2n is order-free
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr("(2 * sum_e4 + n_pairs) div (2 * n_pairs)").alias(
+                "avg_jaccard_e4"
+            ),
         )
     )
 

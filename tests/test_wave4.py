@@ -566,7 +566,7 @@ def test_dup_matrix_conserves_pairs(spark, sf_dir):
     assert sum(r.n_pairs for r in out) == n_pairs
     for r in out:
         assert r.source_a <= r.source_b, "matrix cell not canonicalized"
-        assert -1.0 <= r.avg_jaccard <= 1.0
+        assert 0 <= r.avg_jaccard_e4 <= 10000  # exact e4 fixed-point mean
 
 
 def test_returned_customers_plan_and_laws(spark, sf_dir):
