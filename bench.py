@@ -82,6 +82,8 @@ HEADLINE = [
     "llm_semdedup",
     "llm_dsir_score",
     "rel_concurrency_sweep",
+    "llm_bpe_merge_learn",
+    "rel_cm_heavy_hitters",
     # round-5 TPC-H shapes
     "rel_waiting_suppliers",
     "rel_order_priority_check",
