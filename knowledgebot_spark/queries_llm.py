@@ -1926,6 +1926,110 @@ def llm_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- kNN-graph triangle census ------------------------------------------------
+
+
+def _duck_knn_triangles_sql() -> str:
+    from knowledgebot_spark.registry import _REGISTRY
+
+    knn = _REGISTRY["llm_knn_graph"].sql
+    return f"""
+WITH knn AS ({knn}),
+ed AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+  FROM knn
+),
+deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM ed UNION ALL SELECT v AS x FROM ed
+  ) GROUP BY x
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM ed e1
+  JOIN ed e2 ON e1.v = e2.u
+  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT
+  CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+  CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges,
+  CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+  CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+  CAST((3 * (SELECT t FROM tri) * 1000000)
+       // greatest((SELECT sum(d * (d - 1) // 2) FROM deg), 1) AS BIGINT)
+    AS closure_e6
+"""
+
+
+@register(
+    "llm_knn_triangles",
+    sql=_duck_knn_triangles_sql(),
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def llm_knn_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the kNN graph —
+    the classic distributed graph kernel (how clumped is embedding
+    space?), composed over the REGISTERED llm_knn_graph detector so the
+    census audits the production graph.  High closure means neighborhoods
+    are mutually similar (dense semantic clusters — dedup candidates);
+    low closure means the kNN edges are hub-dominated.
+
+    Formulation: symmetrize the directed k=3 edges to unordered (u < v)
+    pairs, then count each triangle a<b<c exactly once by the two-hop
+    equi-join (a,b)⋈(b,c) checked against (a,c) — the edge-ordering trick
+    that makes wedge inflation impossible.  Wedges come from degrees
+    (sum d*(d-1)/2), never materialized.  The closure ratio is exact e6
+    fixed-point integer math (3T*1e6 div W, round-free).
+
+    Scale: the edge list is <= k rows per vertex (k=3 directed), so both
+    joins are vertex-keyed equi-joins over a linear-size relation;
+    per-vertex degree is bounded by the kNN cell cap, so the two-hop
+    join output is bounded by sum(deg^2) — linear in vertices with the
+    BLOCK_CAP=64 cells.  The symmetrized edge list is localCheckpoint-ed
+    once for its four consumers (degrees, edge count, both join sides)."""
+    import knowledgebot_spark.queries_llm as _self
+
+    knn = _self.llm_knn_graph(spark, sf)
+    ed = (
+        knn.select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ed.select(F.col("u").alias("x"))
+        .unionAll(ed.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    ne = ed.agg(F.count("*").alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "(3 * n_triangles * 1000000) div greatest(n_wedges, 1)"
+            ).alias("closure_e6"),
+        )
+    )
+
+
 # --- curriculum ordering ------------------------------------------------------
 
 @register(

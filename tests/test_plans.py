@@ -266,6 +266,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_idle_customer_balance",  # 1-row avg-acctbal scalar broadcast (TPC-H Q22)
         "llm_bpe_merge_learn",  # 1-row argmax-merge pick broadcast per unrolled iteration
         "rel_cm_heavy_hitters",  # 4-row hash-row spine + 1-row total + <=d*w-cell sketch broadcasts
+        "llm_knn_triangles",  # two 1-row census scalars crossJoined into the summary row
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

@@ -357,3 +357,34 @@ def test_cm_heavy_hitters_laws(spark, sf_dir, catalog):
         if r.c > qr._CM_PHI * total
     }
     assert {r.bigram: r.n for r in rows} == exact
+
+
+def test_knn_triangles_brute_force_parity(spark, sf_dir, catalog):
+    """Triangle census laws + exact parity with a driver-side brute force
+    over the (small at test scale) symmetrized edge list."""
+    row = catalog["llm_knn_triangles"].fn(spark, sf_dir).first()
+    edges = {
+        (min(r.vec_id, r.nbr_id), max(r.vec_id, r.nbr_id))
+        for r in catalog["llm_knn_graph"].fn(spark, sf_dir).collect()
+    }
+    verts = {x for e in edges for x in e}
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if w > v  # u < v < w: count each triangle once
+    )
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    assert row.n_vertices == len(verts)
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+    assert row.closure_e6 == (3 * tri * 1000000) // max(wedges, 1)
+    assert 0 <= row.closure_e6 <= 1000000
+    assert 3 * row.n_triangles <= row.n_wedges
