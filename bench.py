@@ -84,6 +84,7 @@ HEADLINE = [
     "rel_concurrency_sweep",
     "llm_bpe_merge_learn",
     "rel_cm_heavy_hitters",
+    "llm_knn_triangles",
     # round-5 TPC-H shapes
     "rel_waiting_suppliers",
     "rel_order_priority_check",
