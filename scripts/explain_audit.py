@@ -71,6 +71,14 @@ FLAGSHIPS = (
         "llm_bpe_merge_learn",
         "corpus -> vocab once (checkpointed); 3 unrolled argmax picks as 1-row broadcasts",
     ),
+    (
+        "rel_cm_heavy_hitters",
+        "sketch = (j, cell) relation <= d*w rows, broadcast to the candidate probe",
+    ),
+    (
+        "llm_knn_triangles",
+        "checkpointed edge list; vertex-keyed two-hop equi-join; 1-row census scalars",
+    ),
 )
 
 
