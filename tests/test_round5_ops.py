@@ -388,3 +388,104 @@ def test_knn_triangles_brute_force_parity(spark, sf_dir, catalog):
     assert row.closure_e6 == (3 * tri * 1000000) // max(wedges, 1)
     assert 0 <= row.closure_e6 <= 1000000
     assert 3 * row.n_triangles <= row.n_wedges
+
+
+# --- seeded-synthetic known-answer pins for the round-5 ops -------------------
+
+
+@pytest.fixture(scope="module")
+def synth_docs_dir(spark, tmp_path_factory):
+    """A constructed corpus with hand-computable BPE merges, bigram heavy
+    hitters, and kNN triangles: 'aaab' x 60, 'abab' x 30, 'zq' x 10 plus a
+    repeated two-word phrase."""
+    d = str(tmp_path_factory.mktemp("synth"))
+    docs = []
+    did = 0
+    for text, n in [
+        ("aaab aaab", 30),       # 60 'aaab' words
+        ("abab", 30),            # 30 'abab'
+        ("zq", 10),
+        ("alpha beta", 25),      # dominant bigram 'alpha beta'
+        ("beta gamma", 5),
+    ]:
+        for _ in range(n):
+            docs.append((did, text, "en", f"src{did % 3}", len(text)))
+            did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_bpe_merge_learn_known_answer(spark, synth_docs_dir, catalog):
+    """Hand-computed greedy BPE on the constructed vocab:
+    word freqs: aaab=60, abab=30, zq=10, alpha=25, beta=30, gamma=5.
+    Pair counts, iter 1: (a,a)=60x2(from aaab)... compute: aaab -> pairs
+    aa,aa? chars a,a,a,b -> (a,a),(a,a),(a,b): aa=120, ab=60;
+    abab -> (a,b),(b,a),(a,b): ab=60, ba=30; alpha: al,lp,ph,ha 25 each;
+    beta: be,et,ta 30 each; gamma: ga,am,mm,ma 5 each; zq: 10.
+    ab total = 120?  aaab gives ab 60 + abab gives ab 60 = 120 == aa 120;
+    tie 'a a' vs 'a b' -> lexicographic 'a a' wins (pair asc).
+    Merge 1 = 'aa' (n=120).
+    Re-segment: aaab -> aa,a,b (left-to-right); abab unchanged.
+    Iter 2 pairs: aaab: (aa,a)=60,(a,b)=60; abab: ab=60,ba=30; beta trio 30;
+    'a b' total = 60+60 = 120 -> merge 2 = 'ab' (n=120).
+    Iter 3: aaab -> aa,ab: (aa,ab)=60; abab -> ab,ab: (ab,ab)=30; alpha 25s;
+    beta 30s; merge 3 = 'aaab' from pair (aa,ab)=60.
+    """
+    rows = catalog["llm_bpe_merge_learn"].fn(spark, synth_docs_dir).collect()
+    got = [(r.merge_step, r.merged, r.n) for r in rows]
+    assert got == [(1, "aa", 120), (2, "ab", 120), (3, "aaab", 60)]
+
+
+def test_cm_heavy_hitters_planted(spark, synth_docs_dir, catalog):
+    """The planted dominant bigram must be reported with its exact count
+    and every sketch gate TRUE: 'alpha beta' appears 25 times out of 95
+    bigrams total (aaab aaab x30, alpha beta x25, beta gamma x5)."""
+    rows = catalog["rel_cm_heavy_hitters"].fn(spark, synth_docs_dir).collect()
+    by_bigram = {r.bigram: r for r in rows}
+    assert by_bigram["alpha beta"].n == 25
+    assert by_bigram["aaab aaab"].n == 30
+    assert by_bigram["beta gamma"].n == 5
+    assert all(
+        r.cm_detected and r.cm_no_underestimate and r.cm_within_bound for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_vec_dir(spark, tmp_path_factory):
+    """Embeddings with a known triangle structure inside one (label, sub)
+    cell: 4 vectors where 0-1-2 are mutually closest (a planted clique)
+    and 3 is far from everything but still in the cell."""
+    import math
+
+    d = str(tmp_path_factory.mktemp("synthvec"))
+    def vec(theta):
+        v = [0.0] * 64
+        v[0] = math.cos(theta)
+        v[1] = math.sin(theta)
+        return v
+    rows = [
+        (0, vec(0.00), 1),
+        (1, vec(0.01), 1),
+        (2, vec(0.02), 1),
+        (3, vec(2.50), 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_knn_triangles_planted_clique(spark, synth_vec_dir, catalog):
+    """With k=3 over 4 cell-mates every vector lists the other three, so
+    the symmetrized graph is K4: 6 edges, 4*C(3,2)=12 wedges, 4 triangles,
+    closure = 3*4/12 = exactly 1.0 (1000000 in e6 units)."""
+    row = catalog["llm_knn_triangles"].fn(spark, synth_vec_dir).first()
+    assert (
+        row.n_vertices,
+        row.n_edges,
+        row.n_wedges,
+        row.n_triangles,
+        row.closure_e6,
+    ) == (4, 6, 12, 4, 1000000)
