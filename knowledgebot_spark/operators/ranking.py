@@ -7,25 +7,36 @@ row_number / running-sum / ntile without ever forming a single partition,
 entirely with JVM-side operators:
 
   1. range-partition the input on the order key (one shuffle; the range
-     sampler keeps partitions balanced),
+     sampler keeps partitions balanced) and MATERIALIZE it once,
   2. rank / cumulate WITHIN each range partition via an ordinary
      partitioned window keyed on ``spark_partition_id()``,
   3. add per-partition offsets: a tiny aggregate (one row per partition)
      cumulated over |partitions| rows and broadcast back.
 
-The offsets branch consumes the same range repartition as the main branch,
-but Catalyst column-prunes it down to the order-key columns — so the two
-exchanges are not textually equal and do NOT fuse into a ReusedExchange;
-the cost of the second pass is a key-only scan + key-only shuffle
-(verified in the executed plan), far cheaper than the main pass.  The only
-unpartitioned window left runs over |shuffle partitions| rows — bounded by
-cluster configuration, not data volume.
+Correctness of the two-branch design requires the main branch and the
+offsets branch to observe IDENTICAL range-partition boundaries.  That is
+NOT something the planner guarantees for two separate exchanges over the
+same logical input: the range sampler draws a fresh sample per exchange
+execution, and two non-reused rangepartitioning exchanges over identical
+data can assign different boundaries (where results used to come out
+consistent, it was because a ReusedExchange / stage reuse happened to
+fire — an optimization, not a contract).  So ``_ranged`` materializes the
+ranged relation ONCE via ``localCheckpoint(eager=True)`` (the repo's
+established pattern, cf. llm_semdedup / llm_pagerank_knn / llm_mmr_rerank):
+the range shuffle executes exactly once, both consumers read the same
+persisted blocks, and boundary agreement is structural rather than
+planner-dependent.  The cost is one MEMORY_AND_DISK materialization of the
+ranged relation — linear, spillable, and it replaces what was previously a
+full second scan + key-only shuffle, so the trade is roughly neutral in
+I/O and strictly safer.  The only unpartitioned window left runs over
+|partitions| rows — bounded by cluster configuration, not data volume.
 
-Determinism: the range sampler is seeded per-partition (RangePartitioner),
-so the row -> partition mapping is stable for a given input, and the
-within-partition window orders on the full key (callers must pass a total
-order — include a unique tiebreaker).  Results are therefore identical to
-the single-partition formulation, row for row.
+Callers must pass a total order (include a unique tiebreaker); results are
+then identical to the single-partition formulation row for row —
+property-tested in ``tests/test_ranking.py``, which also asserts the
+runtime guard: the offsets relation's grand total equals the input count
+(``_TOTAL`` with ``per_part=count``), which could not hold under boundary
+disagreement between branches.
 """
 
 from __future__ import annotations
@@ -43,11 +54,14 @@ def _ranged(df: DataFrame, order_cols: list[Column], num_partitions: int | None)
     if num_partitions is None:
         parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         num_partitions = int(parts)
-    # explicit partition count: AQE leaves user-specified repartitions alone,
-    # so the pid captured below is identical in the main branch and the
-    # offsets branch (both re-derive the same seeded range partitioning)
-    return df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # explicit partition count (AQE leaves user repartitions alone), then
+    # localCheckpoint so the seeded range sampling happens exactly once and
+    # the main + offsets branches share one physical partitioning — see the
+    # module docstring for why two separate exchanges would be unsound
+    return (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
 
@@ -123,9 +137,9 @@ def with_global_rank_cumsum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append exact global ``row_number`` AND running sum of ``value`` over
-    ``order_cols`` in ONE ranged pass (shared partitioning, one offsets
-    relation carrying both the count and the value prefix-sums).  When
-    ``total_out`` is given, also append the grand total of ``value`` —
+    ``order_cols`` in ONE ranged pass (shared materialized partitioning, one
+    offsets relation carrying both the count and the value prefix-sums).
+    When ``total_out`` is given, also append the grand total of ``value`` —
     replacing a ``sum() OVER ()`` whole-relation window at zero extra
     cost (the offsets relation already knows it)."""
     ranged = _ranged(df, order_cols, num_partitions).withColumn("__gr_val", value)
@@ -181,14 +195,23 @@ def with_global_ntile(
     )
     offs = _offsets(ranged, F.count(F.lit(1)))
     rn = F.col(_OFFSET) + F.col(_LOCAL)  # 1-based global row number
-    n, k = F.col(_TOTAL), F.lit(n_buckets)
-    q = n / k  # integer division pieces below; bigint/int stays exact
-    q_floor = F.floor(q)
-    r = n % k
+    # all-integer arithmetic (Spark `/` is double division, exact only to
+    # 2^53 — `div` keeps bigint/bigint in the integer domain at any scale)
+    q_floor = F.expr(f"{_TOTAL} div {n_buckets}")
+    r = F.col(_TOTAL) % F.lit(n_buckets)
     big = r * (q_floor + 1)  # rows covered by the (q+1)-sized buckets
     tile = F.when(
-        rn <= big, F.floor((rn - 1) / (q_floor + 1)) + 1
-    ).otherwise(r + F.floor((rn - 1 - big) / F.greatest(q_floor, F.lit(1))) + 1)
+        rn <= big,
+        F.expr(f"({_OFFSET} + {_LOCAL} - 1) div ({_TOTAL} div {n_buckets} + 1)") + 1,
+    ).otherwise(
+        r
+        + F.expr(
+            f"({_OFFSET} + {_LOCAL} - 1 - ({_TOTAL} % {n_buckets})"
+            f" * ({_TOTAL} div {n_buckets} + 1))"
+            f" div greatest({_TOTAL} div {n_buckets}, 1)"
+        )
+        + 1
+    )
     return (
         local.join(F.broadcast(offs), _PID)
         .withColumn(out, tile.cast("int"))

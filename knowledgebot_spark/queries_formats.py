@@ -554,3 +554,217 @@ def rel_scan_binary(spark: SparkSession, sf: str) -> DataFrame:
         F.min("n_name").alias("first_nation"),
         F.sum(F.length("n_name")).alias("name_bytes"),
     )
+
+
+# --- S8/K5: checkpoint state round-trip as an oracled staging query ----------
+# (round-6 advice item 4: the I/O-seam ops get real driver-hash evidence via
+# the staging pattern — stage state, restart, oracle over the resumed values)
+
+from knowledgebot_spark import model as _kbm
+
+
+@register(
+    "kb_checkpoint_roundtrip",
+    sql=_kbm.MODEL_CTE
+    + f"""
+SELECT run_id, resumed_ckpt_micros, n_processed FROM (
+  SELECT 1 AS run_id, CAST(0 AS BIGINT) AS resumed_ckpt_micros,
+    (SELECT count(*) FROM messages
+     WHERE ts_micros > 0
+       AND ts_micros <= {_kbm.CKPT_MICROS}) AS n_processed
+  UNION ALL
+  SELECT 2, CAST({_kbm.CKPT_MICROS} AS BIGINT),
+    (SELECT count(*) FROM messages
+     WHERE ts_micros > {_kbm.CKPT_MICROS})
+  UNION ALL
+  SELECT 3, CAST({_kbm.CKPT_MICROS + _kbm.LOOKBACK_MICROS} AS BIGINT),
+    (SELECT count(*) FROM messages
+     WHERE ts_micros > {_kbm.CKPT_MICROS + _kbm.LOOKBACK_MICROS})
+) ORDER BY run_id
+""",
+    tags=("S8", "K5", "F1", "staging"),
+)
+def kb_checkpoint_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S8 state read + K5 pre-scan-stamped atomic write, proven across a
+    simulated restart (reference KnowledgeBot.py:110,133-163): run 1 starts
+    with no state (checkpoint resumes to 0), processes every message that
+    had arrived by its pre-scan stamp T1 = CKPT_MICROS, and commits T1;
+    run 2 RE-READS the persisted state (must resume to exactly T1),
+    processes the strictly-newer tail (F1 strict >), and commits its own
+    stamp T2.  Row 3 re-loads state once more and must see T2, with only
+    messages strictly newer than T2 left (zero at small SFs; at sf0.1 the
+    corpus timeline extends past T2 — the oracle states the same count).  The resumed checkpoint values flow from the ACTUAL
+    state files through ``sinks.checkpoint.IncrementalRun`` into the Spark
+    filters/literals, so a broken resume (wrong stamp, truncated file,
+    non-atomic write) hash-mismatches against the oracle's closed-form
+    expectations."""
+    import shutil
+
+    from knowledgebot_spark import model
+    from knowledgebot_spark.sinks.checkpoint import IncrementalRun, load_state
+
+    t1 = model.CKPT_MICROS
+    t2 = model.CKPT_MICROS + model.LOOKBACK_MICROS
+    state = f"/tmp/knowledgebot_spark/ckpt/{os.path.basename(sf.rstrip('/'))}/roundtrip"
+    shutil.rmtree(state, ignore_errors=True)
+
+    m = model.messages(spark, sf)
+
+    run1 = IncrementalRun(state, now_micros=t1)  # fresh dir -> resumes to 0
+    ck1 = run1.checkpoint_micros
+    run1.commit()  # K5: stamps PRE-scan time t1, atomically
+
+    run2 = IncrementalRun(state, now_micros=t2)  # must resume to t1
+    ck2 = run2.checkpoint_micros
+    run2.commit()
+
+    ck3 = int(load_state(state)["last_run_timestamp"])  # must be t2
+
+    counts = m.agg(
+        F.sum(
+            F.when((F.col("ts_micros") > ck1) & (F.col("ts_micros") <= t1), 1).otherwise(0)
+        ).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("ts_micros") > ck2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("ts_micros") > ck3, 1).otherwise(0)).cast("bigint").alias("n3"),
+    )
+    return counts.selectExpr(
+        f"stack(3, 1, CAST({ck1} AS BIGINT), n1, "
+        f"2, CAST({ck2} AS BIGINT), n2, "
+        f"3, CAST({ck3} AS BIGINT), n3) AS (run_id, resumed_ckpt_micros, n_processed)"
+    ).orderBy("run_id")
+
+
+@register(
+    "kb_checkpoint_corrupt_default",
+    sql=_kbm.MODEL_CTE
+    + f"""
+SELECT state_case, resumed_ckpt_micros, n_fresh FROM (
+  SELECT 'corrupt' AS state_case, CAST(0 AS BIGINT) AS resumed_ckpt_micros,
+    (SELECT count(*) FROM messages WHERE ts_micros > 0) AS n_fresh
+  UNION ALL
+  SELECT 'missing', CAST(0 AS BIGINT),
+    (SELECT count(*) FROM messages WHERE ts_micros > 0)
+  UNION ALL
+  SELECT 'valid', CAST({_kbm.CKPT_MICROS} AS BIGINT),
+    (SELECT count(*) FROM messages
+     WHERE ts_micros > {_kbm.CKPT_MICROS})
+) ORDER BY state_case
+""",
+    tags=("S8", "staging", "degenerate"),
+)
+def kb_checkpoint_corrupt_default(spark: SparkSession, sf: str) -> DataFrame:
+    """S8 degenerate paths as driver-hash evidence (reference
+    KnowledgeBot.py:139-155: missing OR undecodable state file -> default
+    ``{'last_run_timestamp': 0}``, i.e. reprocess everything rather than
+    silently skip): three state directories — one never written, one with
+    garbage bytes where state.json should be, one valid (K5-written with
+    CKPT_MICROS) — are loaded through the real S8 reader, and each resumed
+    checkpoint drives a freshness count over the model messages.  The
+    corrupt and missing cases must behave identically (resume to epoch 0,
+    everything fresh); the valid case must match kb_freshness's n_fresh."""
+    import shutil
+
+    from knowledgebot_spark import model
+    from knowledgebot_spark.sinks.checkpoint import load_state, save_state
+
+    base = f"/tmp/knowledgebot_spark/ckpt/{os.path.basename(sf.rstrip('/'))}"
+    cases = {}
+    corrupt = f"{base}/corrupt"
+    shutil.rmtree(corrupt, ignore_errors=True)
+    os.makedirs(corrupt, exist_ok=True)
+    with open(f"{corrupt}/state.json", "w", encoding="utf-8") as fh:
+        fh.write("{not json at all")
+    cases["corrupt"] = int(load_state(corrupt)["last_run_timestamp"])
+
+    missing = f"{base}/missing"
+    shutil.rmtree(missing, ignore_errors=True)
+    cases["missing"] = int(load_state(missing)["last_run_timestamp"])
+
+    valid = f"{base}/valid"
+    shutil.rmtree(valid, ignore_errors=True)
+    save_state(valid, {"last_run_timestamp": model.CKPT_MICROS})
+    cases["valid"] = int(load_state(valid)["last_run_timestamp"])
+
+    m = model.messages(spark, sf)
+    counts = m.agg(
+        *[
+            F.sum(F.when(F.col("ts_micros") > ck, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+            for name, ck in cases.items()
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{name}', CAST({ck} AS BIGINT), n_{name}" for name, ck in cases.items()
+    )
+    return counts.selectExpr(
+        f"stack({len(cases)}, {stack_args}) AS (state_case, resumed_ckpt_micros, n_fresh)"
+    ).orderBy("state_case")
+
+
+# --- K4: schema DDL drop + create as an oracled staging query ----------------
+
+
+@register(
+    "kb_ddl_roundtrip",
+    sql=_kbm.MODEL_CTE
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_channels,
+  string_agg(name, ',' ORDER BY name) AS names_csv,
+  CAST(0 AS BIGINT) AS n_stale
+FROM channels_dim
+""",
+    tags=("K4", "ddl", "staging"),
+)
+def kb_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """K4 schema DDL drop+create (reference VectorDatabase.py:43-60:
+    ``schema.delete_class`` then ``create_class`` on every full run —
+    recreate-from-scratch semantics).  Spark form: a managed table in a
+    dedicated catalog database is created from a STALE generation
+    (channels_dim plus poison marker rows), then DROPped and re-CREATEd
+    from the current source — the read-back aggregate proves the stale
+    generation is fully gone (n_stale must be 0; leaked rows would also
+    corrupt n_channels/names_csv and hash-mismatch).  DDL goes through the
+    session catalog (CREATE DATABASE / DROP TABLE / CREATE TABLE AS
+    SELECT), not file manipulation, so what's exercised is the metastore
+    path a warehouse deployment uses."""
+    import shutil
+
+    from knowledgebot_spark import model
+
+    name = os.path.basename(sf.rstrip("/")).replace(".", "_").replace("-", "_")
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS kb_ddl "
+        "LOCATION '/tmp/knowledgebot_spark/ddl_warehouse'"
+    )
+    tbl = f"kb_ddl.channels_{name}"
+    # the session catalog is in-memory: a PREVIOUS session's managed table
+    # files can survive under the warehouse location while being unknown to
+    # this catalog, so DROP TABLE IF EXISTS alone can't clear them — scrub
+    # the orphaned location before the first CREATE (idempotent restart)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(f"/tmp/knowledgebot_spark/ddl_warehouse/channels_{name}", ignore_errors=True)
+
+    dim = model.channels_dim(spark, sf)
+    stale = dim.unionByName(
+        dim.select(
+            F.concat(F.lit("X"), "channel_id").alias("channel_id"),
+            F.concat(F.lit("stale "), "name").alias("name"),
+            "topic",
+            "purpose",
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    stale.write.saveAsTable(tbl)  # generation 1: poisoned
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # K4 delete_class
+    dim.write.saveAsTable(tbl)  # K4 create_class: clean generation 2
+
+    back = spark.table(tbl)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_channels"),
+        F.array_join(F.array_sort(F.collect_list("name")), ",").alias("names_csv"),
+        F.sum(F.when(F.col("name").startswith("stale "), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stale"),
+    )

@@ -930,8 +930,13 @@ def llm_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("vec_id", "exact_score")
     )
+    # coalesce to false: every() skips nulls, so an IVF row whose vec_id is
+    # absent from the rescoring relation (invalid id) must FAIL the gate,
+    # not be silently ignored
     match_row = ivf.join(rescored, "vec_id", "left").agg(
-        F.every(F.col("score") == F.col("exact_score")).alias("ivf_scores_exact")
+        F.every(
+            F.coalesce(F.col("score") == F.col("exact_score"), F.lit(False))
+        ).alias("ivf_scores_exact")
     )
     recall_row = bf.join(ivf.select("vec_id"), "vec_id").agg(
         (F.count("*") >= 3).alias("ivf_recall_ge_0_3")

@@ -720,12 +720,19 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     Semantics are the dominance rule every blocked-dedup query here uses
     (blocked iff ANY smaller id shares a bucket — no recursive keep
-    chain), so the result is independent of batch boundaries for in-order
-    ingest, and the DuckDB oracle states it in one shot.  The ledger is
-    append-only (signatures never rewrite — contrast stream_cdc's
-    snapshot versions) and duplicate appends from a retried batch cannot
-    change any decision (bucket membership is idempotent).  Per-source
-    admission report: seen / kept / blocked."""
+    chain), and the DuckDB oracle states it in one shot.  ORACLE CONTRACT
+    PRECONDITION: ingest is in doc_id order (non-decreasing across
+    micro-batches — true for this source, which streams the documents
+    table in id order).  Out-of-order arrival changes which member of a
+    colliding pair gets admitted (first-arrival wins at the gate; the
+    one-shot oracle's global rule says smallest-id wins), so an
+    out-of-order deployment would need an arrival_seq ledger column in
+    place of doc_id dominance.  Retry idempotence: decisions are written
+    per-batch to a batch_id=N subdirectory with overwrite (a replayed
+    foreachBatch rewrites its own partition, never double-counts), and
+    the ledger is append-only with idempotent bucket membership
+    (duplicate signature appends cannot change any decision).
+    Per-source admission report: seen / kept / blocked."""
     import os
     import shutil
 
@@ -760,7 +767,7 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "source",
             F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
-        ).write.mode("append").parquet(decisions)
+        ).write.mode("overwrite").parquet(f"{decisions}/batch_id={batch_id}")
         bands.write.mode("append").parquet(ledger)
 
     stream = sp.read_documents_stream(spark, sf)

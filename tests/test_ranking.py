@@ -56,10 +56,27 @@ def test_no_corpus_unpartitioned_window_in_plan(docs):
     # the offset branch's tiny window is partitionless by design; the main
     # branch's window must be keyed on the pid column
     assert "windowspecdefinition(__gr_pid" in plan
-    # both branches range-partition; the offsets branch is column-pruned to
-    # the order keys (cheap second pass — ReusedExchange cannot fire across
-    # differently-pruned projections)
-    assert plan.count("rangepartitioning") >= 1
+    # the ranged relation is materialized once (localCheckpoint) so both
+    # branches share ONE physical range partitioning — the downstream plan
+    # must therefore scan the checkpointed RDD, not re-shuffle, and contain
+    # NO rangepartitioning exchange of its own
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_offsets_total_guards_boundary_agreement(docs):
+    """Runtime guard from the round-5 advice: the offsets relation's grand
+    total must equal the input count — an invariant that cannot hold if the
+    offsets branch saw different partition boundaries (e.g. rows double-
+    counted or dropped across disagreeing pid assignments)."""
+    n = docs.count()
+    ranged = rk._ranged(docs, [F.col("doc_id").asc()], num_partitions=7)
+    offs = rk._offsets(ranged, F.count(F.lit(1)))
+    totals = [r[rk._TOTAL] for r in offs.collect()]
+    assert totals and all(t == n for t in totals)
+    # and end-to-end: every row survives the pid join (no orphaned pids)
+    got = rk.with_global_row_number(docs, [F.col("doc_id").asc()], num_partitions=7)
+    assert got.count() == n
 
 def test_ranking_ops_on_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, n_chars long")

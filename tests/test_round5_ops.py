@@ -297,7 +297,9 @@ def test_bpe_merge_learn_laws(spark, sf_dir, catalog):
     rows = catalog["llm_bpe_merge_learn"].fn(spark, sf_dir).collect()
     assert [r.merge_step for r in rows] == [1, 2, 3]
     top1 = catalog["llm_bpe_merge_candidates"].fn(spark, sf_dir).first()
-    assert rows[0].merged == top1.pair.replace(" ", "") if " " in top1.pair else top1.pair
+    assert rows[0].merged == (
+        top1.pair.replace(" ", "") if " " in top1.pair else top1.pair
+    )
     assert rows[0].n == top1.n
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
