@@ -91,6 +91,12 @@ HEADLINE = [
     "rel_customer_order_distribution",
     "rel_large_volume_customers",
     "rel_idle_customer_balance",
+    # round-6 additions: the I/O-seam staging queries (S8/K5 checkpoint,
+    # K4 DDL) — cheap, but their stage-write + catalog-DDL paths belong in
+    # the measured surface
+    "kb_checkpoint_roundtrip",
+    "kb_checkpoint_corrupt_default",
+    "kb_ddl_roundtrip",
 ]
 
 
