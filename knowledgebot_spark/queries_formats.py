@@ -768,3 +768,256 @@ def kb_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_stale"),
     )
+
+
+# --- S6: file glob scan as an oracled staging query ---------------------------
+
+
+@register(
+    "kb_glob_scan",
+    sql="""
+SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+  CAST(count(*) AS BIGINT) AS n_nations,
+  min(n_name) AS first_nation,
+  CAST(sum(length(n_name)) AS BIGINT) AS name_bytes
+FROM nation GROUP BY 1 ORDER BY 1
+""",
+    tags=("S6", "glob", "staging"),
+)
+def kb_glob_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 file-glob scan (reference KnowledgeBot.py export-folder glob of
+    chunk ``.txt`` files): nations staged as text files in per-region
+    directories, then discovered by GLOB — ``pathGlobFilter='*.txt'`` +
+    ``recursiveFileLookup`` selects exactly the .txt part-files and skips
+    the _SUCCESS markers the writer leaves beside them — with the region
+    key recovered from the FILE PATH (``input_file_name``), not the file
+    contents, which is the defining S6 behavior (path-derived metadata).
+    The oracle recomputes the per-region aggregate from the parquet
+    nation table; a glob that over- or under-selects files changes
+    n_nations and hash-fails."""
+    base = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/glob_nations"
+    n = _t(spark, sf, "nation")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            n.select(
+                "n_regionkey",
+                F.concat_ws("|", F.col("n_name"), F.col("n_nationkey").cast("string")).alias(
+                    "value"
+                ),
+            )
+            .repartition("n_regionkey")
+            .write.mode("overwrite")
+            .partitionBy("n_regionkey")
+            .text(base)
+        )
+    files = (
+        spark.read.option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .text(base)
+        .withColumn(
+            "region_key",
+            F.regexp_extract(F.input_file_name(), r"n_regionkey=(\d+)", 1).cast("bigint"),
+        )
+    )
+    parsed = files.select(
+        "region_key", F.split_part("value", F.lit("|"), F.lit(1)).alias("n_name")
+    )
+    return (
+        parsed.groupBy("region_key")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+            F.sum(F.length("n_name")).alias("name_bytes"),
+        )
+        .orderBy("region_key")
+    )
+
+
+# --- K3: vector batch upsert as an oracled staging query ----------------------
+
+
+@register(
+    "kb_vector_upsert",
+    sql="""
+SELECT gen, CAST(count(*) AS BIGINT) AS n_vectors, CAST(sum(val) AS BIGINT) AS sum_val
+FROM (
+  SELECT CASE WHEN vec_id % 3 = 0 THEN 'g2' ELSE 'g1' END AS gen,
+    CASE WHEN vec_id % 3 = 0
+      THEN CAST(floor(embedding[1] * 1000 + 0.5) AS BIGINT) + 1000000
+      ELSE CAST(floor(embedding[1] * 1000 + 0.5) AS BIGINT) END AS val
+  FROM embeddings
+) GROUP BY gen ORDER BY gen
+""",
+    tags=("K3", "upsert", "staging"),
+)
+def kb_vector_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """K3 vector batch upsert (reference VectorDatabase.py:73: batched
+    upsert into the vector store) through the keyed idempotent sink:
+    generation 1 writes every vector's quantized payload; a second batch
+    re-ingests every ``vec_id % 3 == 0`` vector with updated values, and
+    ``upsert_chunks`` must DELETE the stale rows for exactly those keys
+    and append the new ones — touching only the bucket partitions the
+    batch lands in (dynamic partition overwrite, never the whole table).
+    Read-back aggregates by generation; a leaked stale row or a lost
+    update changes both n_vectors and sum_val.  Values are quantized to
+    BIGINT (floor(x*1000+.5) on the first component) so the hash compare
+    is integer-exact across engines."""
+    import shutil
+
+    from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks
+
+    path = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/vec_upsert"
+    shutil.rmtree(path, ignore_errors=True)
+
+    e = _t(spark, sf, "embeddings")
+    val = F.expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+    gen1 = e.select(
+        "vec_id",
+        (F.col("vec_id") % 8).alias("bucket"),
+        val.alias("val"),
+        F.lit("g1").alias("gen"),
+    )
+    upsert_chunks(spark, path, gen1, key_col="vec_id", partition_cols=("bucket",))
+
+    batch2 = (
+        e.filter(F.col("vec_id") % 3 == 0)
+        .select(
+            "vec_id",
+            (F.col("vec_id") % 8).alias("bucket"),
+            (val + 1000000).alias("val"),
+            F.lit("g2").alias("gen"),
+        )
+    )
+    upsert_chunks(spark, path, batch2, key_col="vec_id", partition_cols=("bucket",))
+
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("gen")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .orderBy("gen")
+    )
+
+
+# --- K6: processed marker as an oracled staging query -------------------------
+
+
+@register(
+    "kb_processed_markers",
+    sql=f"""
+WITH spine AS ({_SPINE_SQL})
+SELECT CASE WHEN channel_name = 'chan africa' THEN 'run2' ELSE 'run1' END AS processed_run,
+  CAST(count(*) AS BIGINT) AS n_chunks
+FROM spine GROUP BY 1 ORDER BY 1
+""",
+    tags=("K6", "marker", "staging"),
+)
+def kb_processed_markers(spark: SparkSession, sf: str) -> DataFrame:
+    """K6 processed marker (reference KnowledgeBot.py mortar-board
+    reaction: mark a message processed; re-processing overwrites the same
+    marker idempotently).  Run 1 lands every spine chunk with marker
+    'run1'; run 2 REPROCESSES one channel's messages and the keyed upsert
+    must overwrite exactly those rows' markers with 'run2' — stale 'run1'
+    markers on reprocessed keys, or flipped markers on untouched keys,
+    change the per-marker counts.  The oracle states the same partition
+    from the spine CTE (reprocessed channel -> run2, everything else ->
+    run1)."""
+    import shutil
+
+    from knowledgebot_spark.queries_pipeline import kb_spine_full
+    from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks, with_processed_marker
+
+    path = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/markers"
+    shutil.rmtree(path, ignore_errors=True)
+
+    spine = kb_spine_full(spark, sf).select(
+        "msg_key", "chunk_key", "channel_name", "msg_date"
+    )
+    run1 = with_processed_marker(spine, "run1")
+    upsert_chunks(spark, path, run1, key_col="msg_key")
+
+    redo = with_processed_marker(
+        spine.filter(F.col("channel_name") == "chan africa"), "run2"
+    )
+    upsert_chunks(spark, path, redo, key_col="msg_key")
+
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("processed_run"))
+        .agg(F.count("*").alias("n_chunks"))
+        .orderBy("processed_run")
+    )
+
+
+# --- P13: truthy / list / validation config casts as an oracled query ---------
+
+# Fixture matrix evaluated through the REAL config layer at query build;
+# the oracle states the expected outputs as literals, so any behavior
+# change in parse_bool/parse_list/EngineConfig validation hash-fails.
+_CONFIG_CASES = (
+    ("bool_TRUE", "KB_ENABLE_LLM", "TRUE"),
+    ("bool_1", "KB_ENABLE_LLM", "1"),
+    ("bool_yes_ws", "KB_ENABLE_LLM", "  yes  "),
+    ("bool_On", "KB_ENABLE_LLM", "On"),
+    ("bool_0", "KB_ENABLE_LLM", "0"),
+    ("bool_no", "KB_ENABLE_LLM", "no"),
+    ("bool_absent", "KB_ENABLE_LLM", None),
+    ("list_padded", "KB_CHANNELS", " a , b ,, c "),
+    ("list_empty", "KB_CHANNELS", ""),
+    ("list_absent", "KB_CHANNELS", None),
+    ("int_default", "KB_THREAD_MAX_AGE_DAYS", None),
+    ("int_set", "KB_THREAD_MAX_AGE_DAYS", "30"),
+    ("overlap_ge_size", "KB_CHUNK_OVERLAP", "100"),
+    ("size_nonpositive", "KB_CHUNK_LENGTH", "0"),
+)
+
+
+@register(
+    "kb_config_casts",
+    sql="""
+SELECT * FROM (VALUES
+  ('bool_TRUE', 'true'), ('bool_1', 'true'), ('bool_yes_ws', 'true'),
+  ('bool_On', 'true'), ('bool_0', 'false'), ('bool_no', 'false'),
+  ('bool_absent', 'false'),
+  ('list_padded', 'a|b|c'), ('list_empty', ''), ('list_absent', ''),
+  ('int_default', '7'), ('int_set', '30'),
+  ('overlap_ge_size', 'rejected:ValueError'),
+  ('size_nonpositive', 'rejected:ValueError')
+) t(case_id, resolved) ORDER BY case_id
+""",
+    tags=("P13", "config"),
+)
+def kb_config_casts(spark: SparkSession, sf: str) -> DataFrame:
+    """P13 truthy/config casts (reference Config/Schema.py:83 truthy set,
+    :119-122 comma-list split+strip, env-over-default resolution) driven
+    through the REAL ``knowledgebot_spark.config`` layer: each fixture env
+    is resolved via ``EngineConfig.from_env`` and the resolved field (or
+    the validation rejection — the overlap>=size / size<=0 guards that fix
+    the reference's infinite-loop, SURVEY.md §2.2) becomes a row the
+    oracle pins as a literal.  A semantics drift in parse_bool/parse_list
+    or a dropped validation changes ``resolved`` and hash-fails.  The
+    config plane is driver-side by nature; Spark's role is carrying the
+    resolved matrix into the comparable result."""
+    from knowledgebot_spark.config import EngineConfig
+
+    rows = []
+    for case_id, var, raw in _CONFIG_CASES:
+        env = {} if raw is None else {var: raw}
+        try:
+            cfg = EngineConfig.from_env(env)
+            if var == "KB_ENABLE_LLM":
+                resolved = "true" if cfg.enable_llm else "false"
+            elif var == "KB_CHANNELS":
+                resolved = "|".join(cfg.channels)
+            elif var == "KB_THREAD_MAX_AGE_DAYS":
+                resolved = str(cfg.thread_max_age_days)
+            else:
+                resolved = "ok"
+        except ValueError:
+            resolved = "rejected:ValueError"
+        rows.append((case_id, resolved))
+    return spark.createDataFrame(rows, "case_id string, resolved string").orderBy(
+        "case_id"
+    )

@@ -88,13 +88,22 @@ def upsert_chunks(
     # rewritten.  The affected-partition set of one incremental batch is
     # small, so collecting it to build a pruning predicate is driver-cheap
     # (it is partition *metadata*, not data rows).
+    # Partition values are canonicalized to STRINGS on both sides of every
+    # membership comparison: the read-back side surfaces them as strings
+    # (partitionColumnTypeInference is pinned off), while a new batch
+    # carries native types — comparing raw tuples would make e.g. bigint
+    # (3,) from the batch and string ('3',) from disk look like DIFFERENT
+    # partitions, sending every existing partition down the emptied-rewrite
+    # path and wiping the table (caught by kb_vector_upsert's bigint
+    # bucket key; directory names are strings anyway).
+    def _canon(rows) -> set[tuple[str, ...]]:
+        return {tuple(str(v) for v in r) for r in rows}
+
     keyed = existing.join(
         F.broadcast(reprocessed_keys.select(key_col)), key_col, "left_semi"
     )
-    affected = {tuple(r) for r in keyed.select(*partition_cols).distinct().collect()}
-    affected |= {
-        tuple(r) for r in new_rows.select(*partition_cols).distinct().collect()
-    }
+    affected = _canon(keyed.select(*partition_cols).distinct().collect())
+    affected |= _canon(new_rows.select(*partition_cols).distinct().collect())
     if not affected:
         return
 
@@ -102,7 +111,7 @@ def upsert_chunks(
     for values in affected:
         clause = F.lit(True)
         for col, val in zip(partition_cols, values):
-            clause = clause & (F.col(col) == F.lit(val))
+            clause = clause & (F.col(col).cast("string") == F.lit(val))
         part_pred = part_pred | clause
 
     survivors = (
@@ -116,7 +125,7 @@ def upsert_chunks(
     # Materialize the output partition set BEFORE the overwrite — `out`'s
     # lineage reads the files the write replaces, so it must not be
     # re-evaluated afterwards (persist also makes the write a cache read).
-    out_parts = {tuple(r) for r in out.select(*partition_cols).distinct().collect()}
+    out_parts = _canon(out.select(*partition_cols).distinct().collect())
 
     # Dynamic partition overwrite: only the partitions present in `out`
     # (== the affected set) are replaced; everything else is untouched.

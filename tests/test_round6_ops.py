@@ -67,3 +67,62 @@ def test_ddl_roundtrip_drops_stale_generation(spark, sf_dir, catalog):
     name = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
     back = spark.table(f"kb_ddl.channels_{name}")
     assert back.count() == n_regions
+
+
+def test_glob_scan_excludes_non_matching_files(spark, sf_dir, catalog):
+    """S6: the glob must select exactly the .txt part-files — the writer's
+    _SUCCESS markers sit beside them in every directory and would add rows
+    (or crash the parse) if pathGlobFilter over-selected."""
+    import glob as g
+
+    rows = catalog["kb_glob_scan"].fn(spark, sf_dir).collect()
+    n_regions = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert len(rows) == n_regions
+    base = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf_dir.rstrip('/'))}/glob_nations"
+    assert os.path.exists(f"{base}/_SUCCESS")  # decoy present, not selected
+    n_nations = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert sum(r.n_nations for r in rows) == n_nations
+
+
+def test_vector_upsert_replaces_exactly_the_batch_keys(spark, sf_dir, catalog):
+    rows = {r.gen: r for r in catalog["kb_vector_upsert"].fn(spark, sf_dir).collect()}
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    n_g2 = e.filter("vec_id % 3 = 0").count()
+    assert rows["g2"].n_vectors == n_g2
+    assert rows["g1"].n_vectors == n - n_g2
+    # no key appears twice: total row count is exactly |vectors|
+    path = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf_dir.rstrip('/'))}/vec_upsert"
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.select("vec_id").distinct().count() == n
+
+
+def test_processed_marker_overwrite_is_idempotent(spark, sf_dir, catalog):
+    """K6: re-running a key overwrites the same marker — the reprocessed
+    channel's chunks carry run2 ONLY (no duplicated rows with both
+    markers), everything else keeps run1."""
+    rows = {r.processed_run: r.n_chunks for r in
+            catalog["kb_processed_markers"].fn(spark, sf_dir).collect()}
+    path = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf_dir.rstrip('/'))}/markers"
+    back = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    per_key = back.groupBy("msg_key").agg(
+        F.count_distinct("processed_run").alias("n_markers")
+    )
+    assert per_key.filter("n_markers > 1").count() == 0
+    africa = back.filter(F.col("channel_name") == "chan africa")
+    assert africa.filter("processed_run <> 'run2'").count() == 0
+    assert rows.get("run2", 0) == africa.count()
+
+
+def test_config_casts_pin_the_real_config_layer(spark, sf_dir, catalog):
+    rows = {r.case_id: r.resolved for r in
+            catalog["kb_config_casts"].fn(spark, sf_dir).collect()}
+    assert rows["bool_yes_ws"] == "true"      # strip + lower before the set
+    assert rows["bool_On"] == "true"
+    assert rows["bool_absent"] == "false"     # default, not crash
+    assert rows["list_padded"] == "a|b|c"     # split + strip + drop-empties
+    assert rows["overlap_ge_size"] == "rejected:ValueError"
+    assert rows["size_nonpositive"] == "rejected:ValueError"
