@@ -97,6 +97,10 @@ HEADLINE = [
     "kb_checkpoint_roundtrip",
     "kb_checkpoint_corrupt_default",
     "kb_ddl_roundtrip",
+    "rel_min_cost_supplier",
+    "rel_forecast_revenue",
+    "rel_market_share",
+    "rel_product_profit",
 ]
 
 

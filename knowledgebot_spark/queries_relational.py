@@ -3993,3 +3993,87 @@ def rel_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("bigram"))
     )
+
+
+# --- Z-order layout + zone-map skipping (round 6) ------------------------------
+
+@register(
+    "rel_zorder_skipping",
+    sql="""
+WITH bounds AS (
+  SELECT CAST(max(l_partkey) AS BIGINT) AS pmax,
+    CAST(max(l_suppkey) AS BIGINT) AS smax
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_box_rows,
+  CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS box_qty,
+  CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+    AS BIGINT)), 0) AS BIGINT) AS box_rev_e4,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total_rows
+FROM lineitem, bounds
+WHERE l_partkey <= pmax // 8
+  AND l_suppkey BETWEEN smax // 4 AND smax // 2
+""",
+    tags=("layout", "zorder", "zone-map", "staging"),
+)
+def rel_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout — the multi-dimensional counterpart of
+    rel_partition_pruning's directory pruning: lineitem staged as 16
+    parquet files range-partitioned + sorted on the bit-interleaved
+    (partkey, suppkey) key (``operators/layout.py``; keys min-max
+    scaled to 12 bits each with broadcast scalars, monotone per
+    dimension so file zone maps stay tight on the ORIGINAL columns),
+    then a 2-D box query (low partkey band x middle suppkey band) runs
+    against the staged layout.  Under any 1-D sort one of the two
+    predicates would overlap ~every file; under Z-order the box
+    overlaps O(perimeter) of the curve — tests/test_layout.py reads
+    the parquet footers and proves >= half the files are skippable on
+    min/max stats alone, and strictly more than under a hash layout.
+    Values are layout-invariant: the oracle states the same box
+    aggregate from the flat table, and total row count proves the
+    staging lost nothing.  At 100 TB this is the difference between a
+    2-key lookup reading 16 TB and reading 250 GB."""
+    import os
+
+    from knowledgebot_spark.operators.layout import write_zordered, zorder_key
+
+    base = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/lineitem_zorder"
+    li = _t(spark, sf, "lineitem")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        bounds = li.agg(
+            F.max("l_partkey").cast("bigint").alias("pmax"),
+            F.max("l_suppkey").cast("bigint").alias("smax"),
+        )
+        scaled = li.crossJoin(F.broadcast(bounds)).select(
+            li["*"],
+            # monotone 12-bit quantization: floor(key * 4096 / (max+1))
+            F.expr("CAST(l_partkey * 4096 div (pmax + 1) AS BIGINT)").alias("pq"),
+            F.expr("CAST(l_suppkey * 4096 div (smax + 1) AS BIGINT)").alias("sq"),
+        )
+        write_zordered(
+            scaled.drop("pmax", "smax"), base, ["pq", "sq"], n_files=16, bits=12
+        )
+    back = spark.read.parquet(base)
+    bounds = li.agg(
+        F.max("l_partkey").cast("bigint").alias("pmax"),
+        F.max("l_suppkey").cast("bigint").alias("smax"),
+    )
+    box = back.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("l_partkey") <= F.expr("pmax div 8"))
+        & (F.col("l_suppkey") >= F.expr("smax div 4"))
+        & (F.col("l_suppkey") <= F.expr("smax div 2"))
+    )
+    total = back.agg(F.count("*").cast("bigint").alias("n_total_rows"))
+    rev_e4 = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+    )
+    return (
+        box.agg(
+            F.count("*").cast("bigint").alias("n_box_rows"),
+            F.coalesce(F.sum(F.col("l_quantity").cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("box_qty"),
+            F.coalesce(F.sum(rev_e4), F.lit(0)).cast("bigint").alias("box_rev_e4"),
+        )
+        .crossJoin(F.broadcast(total))
+    )

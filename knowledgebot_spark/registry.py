@@ -22,6 +22,7 @@ _REGISTRY: dict[str, "QueryDef"] = {}
 _MODULES = (
     "knowledgebot_spark.queries_pipeline",
     "knowledgebot_spark.queries_relational",
+    "knowledgebot_spark.queries_tpch",
     "knowledgebot_spark.queries_llm",
     "knowledgebot_spark.queries_corpus",
     "knowledgebot_spark.queries_streaming",
@@ -65,6 +66,7 @@ _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_formats",
     "knowledgebot_spark.queries_llm",
     "knowledgebot_spark.queries_relational",
+    "knowledgebot_spark.queries_tpch",
     "knowledgebot_spark.queries_streaming",
     "knowledgebot_spark.queries_pipeline",
 )

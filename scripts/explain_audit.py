@@ -79,6 +79,22 @@ FLAGSHIPS = (
         "llm_knn_triangles",
         "checkpointed edge list; vertex-keyed two-hop equi-join; 1-row census scalars",
     ),
+    (
+        "rel_market_share",
+        "TPC-H Q8: 7-relation star, every dim broadcast, ONE orderkey fact shuffle",
+    ),
+    (
+        "rel_forecast_revenue",
+        "TPC-H Q6: zero joins, all 3 predicates in PushedFilters, no exchange",
+    ),
+    (
+        "rel_product_profit",
+        "TPC-H Q9: semi-join prune -> derived partsupp co-keyed rejoin -> orderkey bridge",
+    ),
+    (
+        "rel_zorder_skipping",
+        "Morton-clustered staging read: PushedFilters on both box dimensions over 16 zone-mapped files",
+    ),
 )
 
 

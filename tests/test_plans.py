@@ -267,6 +267,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_bpe_merge_learn",  # 1-row argmax-merge pick broadcast per unrolled iteration
         "rel_cm_heavy_hitters",  # 4-row hash-row spine + 1-row total + <=d*w-cell sketch broadcasts
         "llm_knn_triangles",  # two 1-row census scalars crossJoined into the summary row
+        "rel_important_stock",  # 1-row (total, n) scalar broadcast (TPC-H Q11 HAVING)
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

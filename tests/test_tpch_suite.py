@@ -1,0 +1,261 @@
+"""Third-implementation checks for the 12 round-6 TPC-H shapes
+(queries_tpch.py): each query's result is recomputed in pandas/numpy
+from the raw parquet with the same exact fixed-point arithmetic —
+independent of both Spark and the DuckDB oracle — plus plan-shape
+assertions for the two scan-only queries (Q6/Q19 must not shuffle)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from knowledgebot_spark.registry import load
+
+    return load()
+
+
+@pytest.fixture(scope="module")
+def raw(sf_dir):
+    t = {
+        n: pd.read_parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        for n in ("region", "nation", "supplier", "customer", "part", "orders", "lineitem")
+    }
+    return t
+
+
+def _e4(x) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype="float64") * 10000 + 0.5).astype("int64")
+
+
+def _rev_e4(li: pd.DataFrame) -> np.ndarray:
+    return _e4(li["l_extendedprice"] * (1 - li["l_discount"]))
+
+
+def _partsupp(li: pd.DataFrame) -> pd.DataFrame:
+    d = li.assign(
+        unit_e4=_e4(li["l_extendedprice"] / li["l_quantity"]),
+        qty=li["l_quantity"].astype("int64"),
+    )
+    return (
+        d.groupby(["l_partkey", "l_suppkey"])
+        .agg(cost_e4=("unit_e4", "min"), availqty=("qty", "sum"))
+        .reset_index()
+    )
+
+
+def test_q6_forecast_revenue_exact(spark, sf_dir, catalog, raw):
+    row = catalog["rel_forecast_revenue"].fn(spark, sf_dir).collect()[0]
+    li = raw["lineitem"]
+    m = (
+        (li["l_shipdate"] >= "1997-01-01")
+        & (li["l_shipdate"] < "1998-01-01")
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    )
+    sel = li[m]
+    assert row.n_items == len(sel)
+    assert row.revenue_e4 == int(_e4(sel["l_extendedprice"] * sel["l_discount"]).sum())
+
+
+def test_q2_min_cost_rows_are_regional_minima(spark, sf_dir, catalog, raw):
+    rows = catalog["rel_min_cost_supplier"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    ps = _partsupp(raw["lineitem"])
+    eu_nations = raw["nation"].merge(
+        raw["region"][raw["region"]["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )["n_nationkey"]
+    eu_supp = set(raw["supplier"][raw["supplier"]["s_nationkey"].isin(eu_nations)]["s_suppkey"])
+    target = raw["part"][
+        raw["part"]["p_size"].between(10, 15) & (raw["part"]["p_type"] == "LARGE")
+    ]
+    offers = ps[ps["l_suppkey"].isin(eu_supp) & ps["l_partkey"].isin(set(target["p_partkey"]))]
+    min_by_part = offers.groupby("l_partkey")["cost_e4"].min().to_dict()
+    for r in rows:
+        assert r.supplycost_e4 == min_by_part[r.p_partkey]
+
+
+def test_q8_market_share_ints_consistent(spark, sf_dir, catalog):
+    rows = catalog["rel_market_share"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.nation_vol_e4 <= r.total_vol_e4
+        assert r.mkt_share == round(r.nation_vol_e4 / r.total_vol_e4, 6)
+
+
+def test_q9_profit_one_cell_recomputed(spark, sf_dir, catalog, raw):
+    rows = catalog["rel_product_profit"].fn(spark, sf_dir).collect()
+    assert rows
+    li = raw["lineitem"]
+    red = set(raw["part"][raw["part"]["p_name"].str.contains("red")]["p_partkey"])
+    lr = li[li["l_partkey"].isin(red)].copy()
+    ps = _partsupp(lr)[["l_partkey", "l_suppkey", "cost_e4"]]
+    j = lr.merge(ps, on=["l_partkey", "l_suppkey"]).merge(
+        raw["supplier"][["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey"
+    ).merge(
+        raw["nation"][["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey"
+    ).merge(
+        raw["orders"][["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey"
+    )
+    j["amount_e4"] = _rev_e4(j) - j["cost_e4"] * j["l_quantity"].astype("int64")
+    j["o_year"] = pd.to_datetime(j["o_orderdate"]).dt.year
+    expect = j.groupby(["n_name", "o_year"])["amount_e4"].sum()
+    got = {(r.nation, r.o_year): r.profit_e4 for r in rows}
+    assert got == {(n, int(y)): int(v) for (n, y), v in expect.items()}
+
+
+def test_q11_threshold_set_recomputed(spark, sf_dir, catalog, raw):
+    rows = catalog["rel_important_stock"].fn(spark, sf_dir).collect()
+    assert rows
+    ps = _partsupp(raw["lineitem"])
+    af_nations = raw["nation"].merge(
+        raw["region"][raw["region"]["r_name"] == "AFRICA"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )["n_nationkey"]
+    af_supp = set(raw["supplier"][raw["supplier"]["s_nationkey"].isin(af_nations)]["s_suppkey"])
+    g = (
+        ps[ps["l_suppkey"].isin(af_supp)]
+        .assign(v=lambda d: d["cost_e4"] * d["availqty"])
+        .groupby("l_partkey")["v"]
+        .sum()
+    )
+    thresh = (2 * int(g.sum())) // len(g)
+    expect = {(int(k), int(v)) for k, v in g.items() if v > thresh}
+    assert {(r.ps_partkey, r.value_e4) for r in rows} == expect
+
+
+def test_q12_band_counts_partition_the_window(spark, sf_dir, catalog, raw):
+    rows = {r.ship_band: r for r in catalog["rel_ship_lag_priority"].fn(spark, sf_dir).collect()}
+    li, o = raw["lineitem"], raw["orders"]
+    w = li[(li["l_shipdate"] >= "1998-01-01") & (li["l_shipdate"] < "1999-01-01")]
+    j = w.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    total = sum(r.high_line_count + r.low_line_count for r in rows.values())
+    assert total == len(j)
+    slow = j[j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=60)]
+    if "SLOW" in rows:
+        assert rows["SLOW"].high_line_count + rows["SLOW"].low_line_count == len(slow)
+    high = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    assert sum(r.high_line_count for r in rows.values()) == int(high.sum())
+
+
+def test_q14_promo_exact(spark, sf_dir, catalog, raw):
+    row = catalog["rel_promo_revenue"].fn(spark, sf_dir).collect()[0]
+    li = raw["lineitem"]
+    w = li[(li["l_shipdate"] >= "1997-09-01") & (li["l_shipdate"] < "1997-10-01")].merge(
+        raw["part"][["p_partkey", "p_type"]], left_on="l_partkey", right_on="p_partkey"
+    )
+    rev = _rev_e4(w)
+    assert row.total_e4 == int(rev.sum())
+    assert row.promo_e4 == int(rev[(w["p_type"] == "PROMO").to_numpy()].sum())
+    assert row.promo_pct == round(100.0 * row.promo_e4 / row.total_e4, 6)
+
+
+def test_q15_top_supplier_is_argmax(spark, sf_dir, catalog, raw):
+    rows = catalog["rel_top_supplier"].fn(spark, sf_dir).collect()
+    assert rows
+    li = raw["lineitem"]
+    w = li[(li["l_shipdate"] >= "1997-01-01") & (li["l_shipdate"] < "1997-04-01")].copy()
+    w["rev"] = _rev_e4(w)
+    per = w.groupby("l_suppkey")["rev"].sum()
+    mx = int(per.max())
+    assert {r.s_suppkey for r in rows} == {int(k) for k, v in per.items() if v == mx}
+    assert all(r.total_e4 == mx for r in rows)
+
+
+def test_q16_counts_recomputed(spark, sf_dir, catalog, raw):
+    rows = catalog["rel_supplier_part_counts"].fn(spark, sf_dir).collect()
+    assert rows
+    pairs = raw["lineitem"][["l_partkey", "l_suppkey"]].drop_duplicates()
+    excluded = set(
+        raw["supplier"][raw["supplier"]["s_name"].str.endswith("7")]["s_suppkey"]
+    )
+    p = raw["part"]
+    keep = p[
+        (p["p_brand"] != "Brand#21")
+        & (p["p_type"] != "PROMO")
+        & p["p_size"].isin([1, 4, 9, 14, 19, 23, 36, 45])
+    ]
+    j = pairs[~pairs["l_suppkey"].isin(excluded)].merge(
+        keep, left_on="l_partkey", right_on="p_partkey"
+    )
+    expect = (
+        j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"].nunique().to_dict()
+    )
+    got = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in rows}
+    assert got == {(b, t, int(s)): int(v) for (b, t, s), v in expect.items()}
+
+
+def test_q17_small_qty_exact(spark, sf_dir, catalog, raw):
+    row = catalog["rel_small_qty_revenue"].fn(spark, sf_dir).collect()[0]
+    p = raw["part"]
+    target = set(
+        p[(p["p_brand"] == "Brand#13") & p["p_size"].between(1, 10)]["p_partkey"]
+    )
+    li = raw["lineitem"]
+    w = li[li["l_partkey"].isin(target)].copy()
+    w["qty"] = w["l_quantity"].astype("int64")
+    stats = w.groupby("l_partkey")["qty"].agg(["sum", "count"])
+    j = w.merge(stats, left_on="l_partkey", right_index=True)
+    small = j[j["qty"] * 5 * j["count"] < j["sum"]]
+    assert row.n_small_lines == len(small)
+    assert row.small_order_rev_e4 == int(_e4(small["l_extendedprice"]).sum())
+
+
+def test_q19_disjunction_exact(spark, sf_dir, catalog, raw):
+    row = catalog["rel_disjunctive_revenue"].fn(spark, sf_dir).collect()[0]
+    j = raw["lineitem"].merge(
+        raw["part"][["p_partkey", "p_brand", "p_size"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    leg = lambda b, smax, qlo, qhi: (
+        (j["p_brand"] == b)
+        & j["p_size"].between(1, smax)
+        & j["l_quantity"].between(qlo, qhi)
+    )
+    m = leg("Brand#12", 5, 1, 11) | leg("Brand#23", 10, 10, 20) | leg("Brand#4", 15, 20, 30)
+    sel = j[m]
+    assert row.n_lines == len(sel)
+    assert row.revenue_e4 == int(_rev_e4(sel).sum())
+
+
+def test_q20_excess_stock_recomputed(spark, sf_dir, catalog, raw):
+    rows = catalog["rel_excess_stock_suppliers"].fn(spark, sf_dir).collect()
+    assert rows
+    p = raw["part"]
+    blue = set(p[p["p_name"].str.startswith("blue")]["p_partkey"])
+    li = raw["lineitem"]
+    lb = li[li["l_partkey"].isin(blue)].copy()
+    lb["qty"] = lb["l_quantity"].astype("int64")
+    aq = lb.groupby(["l_partkey", "l_suppkey"])["qty"].sum()
+    w = lb[(lb["l_shipdate"] >= "1997-01-01") & (lb["l_shipdate"] < "1998-01-01")]
+    q97 = w.groupby(["l_partkey", "l_suppkey"])["qty"].sum()
+    both = pd.concat([aq.rename("aq"), q97.rename("q97")], axis=1, join="inner")
+    qual = {int(s) for (_, s) in both[both["aq"] > 4 * both["q97"]].index}
+    am_nations = raw["nation"].merge(
+        raw["region"][raw["region"]["r_name"] == "AMERICA"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )["n_nationkey"]
+    am_supp = set(raw["supplier"][raw["supplier"]["s_nationkey"].isin(am_nations)]["s_suppkey"])
+    assert {r.s_suppkey for r in rows} == qual & am_supp
+
+
+def test_scan_shapes_do_not_shuffle(spark, sf_dir, catalog):
+    """Q6 is pure scan->agg (zero exchanges besides the final single-
+    partition gather); Q19 is one broadcast join, fact never shuffles."""
+    for name in ("rel_forecast_revenue", "rel_disjunctive_revenue"):
+        df = catalog[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), name
+        assert not re.search(r"SortMergeJoin|CartesianProduct|BroadcastNestedLoop", plan), name
