@@ -5169,3 +5169,64 @@ def llm_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
     return scored.select("doc_id", "source", "lang", "dsir_score").orderBy(
         F.desc("dsir_score"), F.asc("doc_id")
     ).limit(_DSIR_TOPK)
+
+
+# --- distributed gram matrix (round 6) ----------------------------------------
+
+_GRAM_D = 64  # embedding dimensionality of the testdata vectors
+
+
+@register(
+    "llm_gram_matrix",
+    sql=f"""
+WITH q AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {_GRAM_D}) AS t(i)
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+  CAST(sum(a.x * b.x) AS BIGINT) AS gram_e8
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("embedding", "gram", "linear-algebra", "mergeable", "mapInPandas"),
+)
+def llm_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    mergeable linear-algebra primitive behind PCA / ZCA whitening and
+    covariance-based drift monitors.  The 100 TB shape: each Arrow batch
+    computes its LOCAL D x D partial gram as one vectorized integer
+    matmul (mapInPandas; B·D² multiply-adds per batch, BLAS-backed),
+    emits only the D(D+1)/2 = 2080 upper-triangle cells, and the cells
+    merge BY ADDITION in a 2080-group hash aggregate — the same
+    sketch-then-merge contract as HLL/KLL/theta/Count-Min, so the
+    vectors themselves never shuffle and the wire cost is
+    #batches x 2080 rows regardless of corpus size.  Components are
+    e4-quantized BEFORE the matmul, so every partial is exact int64 and
+    the merge is order-insensitive — no float summation-order exposure
+    anywhere.  The DuckDB oracle states the same upper triangle via a
+    dimension-exploded self-join (the O(N·D²)-row formulation this
+    operator exists to avoid)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf, "embeddings").select("embedding")
+
+    def partial_gram(batches):
+        iu = np.triu_indices(_GRAM_D)
+        i_col = (iu[0] + 1).astype("int32")
+        j_col = (iu[1] + 1).astype("int32")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Q = np.floor(X * 10000 + 0.5).astype("int64")
+            G = Q.T @ Q
+            yield pd.DataFrame({"i": i_col, "j": j_col, "g": G[iu]})
+
+    parts = e.mapInPandas(partial_gram, "i int, j int, g long")
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("gram_e8"))
+        .orderBy("i", "j")
+    )

@@ -259,3 +259,50 @@ def test_scan_shapes_do_not_shuffle(spark, sf_dir, catalog):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert not re.search(r"Exchange hashpartitioning", plan), name
         assert not re.search(r"SortMergeJoin|CartesianProduct|BroadcastNestedLoop", plan), name
+
+
+def test_gram_matrix_matches_numpy_and_is_partitioning_invariant(spark, sf_dir, catalog):
+    """llm_gram_matrix: full numpy recompute (third implementation),
+    diagonal-PSD sanity, and exact invariance under a hostile
+    repartitioning of the input (the mergeable-partial contract)."""
+    rows = catalog["llm_gram_matrix"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    import pyspark.sql.functions as F
+
+    e = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    X = np.stack(e["embedding"].to_numpy()).astype("float64")
+    Q = np.floor(X * 10000 + 0.5).astype("int64")
+    G = Q.T @ Q
+    for r in rows:
+        assert r.gram_e8 == G[r.i - 1, r.j - 1], (r.i, r.j)
+    diag = {r.i: r.gram_e8 for r in rows if r.i == r.j}
+    assert all(v >= 0 for v in diag.values())  # x_i . x_i >= 0
+
+    # merge invariance: 1-partition and 13-partition inputs give the
+    # exact same integers (order-insensitive addition, no float path)
+    src = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from knowledgebot_spark.queries_llm import llm_gram_matrix  # noqa: F401  (registered path used above)
+    one = {(r.i, r.j): r.gram_e8 for r in rows}
+    import numpy as _np
+
+    def partial(batches):
+        iu = _np.triu_indices(64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Xb = _np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Qb = _np.floor(Xb * 10000 + 0.5).astype("int64")
+            Gb = Qb.T @ Qb
+            yield pd.DataFrame(
+                {"i": (iu[0] + 1).astype("int32"), "j": (iu[1] + 1).astype("int32"), "g": Gb[iu]}
+            )
+
+    redo = (
+        src.repartition(13, "label")
+        .select("embedding")
+        .mapInPandas(partial, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("gram_e8"))
+        .collect()
+    )
+    assert {(r.i, r.j): r.gram_e8 for r in redo} == one
