@@ -101,6 +101,21 @@ HEADLINE = [
     "rel_forecast_revenue",
     "rel_market_share",
     "rel_product_profit",
+    # the rest of the TPC-H suite, so the bench reports all 22 shapes
+    "rel_shipping_priority",
+    "rel_volume_shipping",
+    "rel_returned_customers",
+    "rel_important_stock",
+    "rel_ship_lag_priority",
+    "rel_promo_revenue",
+    "rel_top_supplier",
+    "rel_supplier_part_counts",
+    "rel_small_qty_revenue",
+    "rel_disjunctive_revenue",
+    "rel_excess_stock_suppliers",
+    "llm_gram_matrix",
+    "llm_power_iteration",
+    "rel_zorder_skipping",
 ]
 
 

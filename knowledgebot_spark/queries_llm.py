@@ -5230,3 +5230,87 @@ def llm_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("g").cast("bigint").alias("gram_e8"))
         .orderBy("i", "j")
     )
+
+
+# --- power iteration on the gram matrix (round 6) -----------------------------
+
+_POWER_ITERS = 3
+
+
+@register(
+    "llm_power_iteration",
+    sql=f"""
+WITH q AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {_GRAM_D}) AS t(i)
+),
+gsym AS (
+  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+    CAST(sum(a.x * b.x) AS BIGINT) AS g
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT i AS idx, CAST(10000 AS BIGINT) AS v
+  FROM generate_series(1, {_GRAM_D}) AS t(i)),
+u1 AS (SELECT g.i AS idx, CAST(sum(g.g * v.v) AS BIGINT) AS u
+  FROM gsym g JOIN v0 v ON g.j = v.idx GROUP BY 1),
+v1 AS (SELECT idx, u // greatest((SELECT max(abs(u)) FROM u1) // 10000, 1) AS v FROM u1),
+u2 AS (SELECT g.i AS idx, CAST(sum(g.g * v.v) AS BIGINT) AS u
+  FROM gsym g JOIN v1 v ON g.j = v.idx GROUP BY 1),
+v2 AS (SELECT idx, u // greatest((SELECT max(abs(u)) FROM u2) // 10000, 1) AS v FROM u2),
+u3 AS (SELECT g.i AS idx, CAST(sum(g.g * v.v) AS BIGINT) AS u
+  FROM gsym g JOIN v2 v ON g.j = v.idx GROUP BY 1),
+v3 AS (SELECT idx, u // greatest((SELECT max(abs(u)) FROM u3) // 10000, 1) AS v FROM u3)
+SELECT CAST(idx AS INTEGER) AS dim_idx, CAST(v AS BIGINT) AS v_e4
+FROM v3 ORDER BY dim_idx
+""",
+    tags=("embedding", "pca", "power-iteration", "iterative", "linear-algebra"),
+)
+def llm_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by power
+    iteration over the REGISTERED gram matrix — the PCA step that turns
+    llm_gram_matrix into a usable whitening/drift basis.  The corpus is
+    touched exactly once (the gram pass); the matrix is symmetrized from
+    its upper triangle and localCheckpoint-ed (the llm_pagerank_knn
+    rule: iterations must not re-execute the expensive upstream), and
+    each of the 3 unrolled iterations is a D-row matvec — a join +
+    64-group aggregate against the broadcast 64-row vector, costing
+    nothing at any corpus size.  All arithmetic is exact int64: v0 is
+    the all-10000 vector and each iterate renormalizes by max-abs with
+    pure integer division (``u div greatest(max|u| div 10000, 1)``), so
+    both engines walk identical lattice points — no float eigensolver
+    drift, no summation-order exposure.  (The e4 grid supports ~1e10
+    vectors before the matvec product nears int64 range; rescale the
+    grid beyond that.)"""
+    g_tri = llm_gram_matrix(spark, sf)
+    off = g_tri.filter(F.col("i") != F.col("j"))
+    gsym = (
+        g_tri.select("i", "j", F.col("gram_e8").alias("g"))
+        .unionAll(
+            off.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("gram_e8").alias("g")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1, _GRAM_D + 1).select(
+        F.col("id").cast("int").alias("idx"), F.lit(10000).cast("bigint").alias("v")
+    )
+    for _ in range(_POWER_ITERS):
+        u = (
+            gsym.join(F.broadcast(v), gsym.j == v.idx)
+            .groupBy(gsym.i.alias("uidx"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("uidx").alias("idx"),
+                F.expr("u div greatest(m div 10000, 1)").cast("bigint").alias("v"),
+            )
+        )
+    return v.select(
+        F.col("idx").cast("int").alias("dim_idx"), F.col("v").cast("bigint").alias("v_e4")
+    ).orderBy("dim_idx")

@@ -306,3 +306,32 @@ def test_gram_matrix_matches_numpy_and_is_partitioning_invariant(spark, sf_dir, 
         .collect()
     )
     assert {(r.i, r.j): r.gram_e8 for r in redo} == one
+
+
+def test_power_iteration_replays_exact_integer_lattice(spark, sf_dir, catalog):
+    """llm_power_iteration: the Spark result equals a pure-python integer
+    replay of the same lattice walk (third implementation), and the
+    Rayleigh quotient is non-decreasing over the iterates — the property
+    that makes 3 steps of power iteration meaningful."""
+    rows = catalog["llm_power_iteration"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    e = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    X = np.stack(e["embedding"].to_numpy()).astype("float64")
+    Q = np.floor(X * 10000 + 0.5).astype("int64")
+    G = Q.T @ Q  # full symmetric, exact int64
+    v = np.full(64, 10000, dtype=object)  # python ints: no overflow ambiguity
+    Gobj = G.astype(object)
+    rq = []
+    def trunc_div(a: int, b: int) -> int:  # Spark div / DuckDB // semantics
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for _ in range(3):
+        u = Gobj @ v
+        m = max(abs(int(x)) for x in u)
+        d = max(m // 10000, 1)
+        v = np.array([trunc_div(int(x), d) for x in u], dtype=object)
+        rq.append((v @ Gobj @ v) / (v @ v))
+    got = {r.dim_idx: r.v_e4 for r in rows}
+    assert got == {i + 1: int(v[i]) for i in range(64)}
+    assert rq[0] <= rq[-1] * (1 + 1e-9)  # Rayleigh non-decreasing (int lattice)
