@@ -43,6 +43,8 @@ AT_RISK = [
     "llm_quality_filter_quantile",
     "llm_bpe_merge_learn",
     "rel_cm_heavy_hitters",
+    "llm_gram_matrix",  # zero-norm + 1e-30 vectors through the int matmul
+    "llm_power_iteration",  # max|u| renormalizer against near-zero mass
 ]
 
 

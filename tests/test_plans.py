@@ -268,6 +268,8 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_cm_heavy_hitters",  # 4-row hash-row spine + 1-row total + <=d*w-cell sketch broadcasts
         "llm_knn_triangles",  # two 1-row census scalars crossJoined into the summary row
         "rel_important_stock",  # 1-row (total, n) scalar broadcast (TPC-H Q11 HAVING)
+        "llm_power_iteration",  # 1-row max|u| renormalizer broadcast per unrolled matvec
+        "rel_zorder_skipping",  # 1-row box-agg x 1-row total-count x 1-row bounds scalars
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
