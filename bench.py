@@ -116,6 +116,7 @@ HEADLINE = [
     "llm_gram_matrix",
     "llm_power_iteration",
     "rel_zorder_skipping",
+    "rel_bloom_join_prune",
 ]
 
 

@@ -4077,3 +4077,179 @@ def rel_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(total))
     )
+
+
+# --- Bloom-filter join pruning (round 6) ---------------------------------------
+
+# 3 seeds x 63-bit words: positions stay in [0, 62] so no shift ever
+# touches the sign bit (DuckDB rejects 1<<63; Spark wraps negative).
+_BLOOM_WORDS = 1024
+_BLOOM_BITS = _BLOOM_WORDS * 63
+_BLOOM_SEEDS = (17, 29, 47)
+
+
+def _bloom_pos_sql(key: str, seed: int) -> str:
+    """Portable position hash: md5 is bit-identical across engines (the
+    kb_embed parity trick), so Spark and DuckDB build the SAME filter."""
+    return (
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{seed}'), 1, 12))::BIGINT"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "rel_bloom_join_prune",
+    sql=f"""
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+bloom AS (
+  SELECT pos // 63 AS word_idx, CAST(bit_or(1::BIGINT << (pos % 63)) AS BIGINT) AS bits
+  FROM (
+    SELECT {_bloom_pos_sql('o_orderkey', 17)} AS pos FROM dim
+    UNION ALL SELECT {_bloom_pos_sql('o_orderkey', 29)} FROM dim
+    UNION ALL SELECT {_bloom_pos_sql('o_orderkey', 47)} FROM dim
+  ) GROUP BY 1
+),
+probe AS (
+  SELECT l_orderkey, CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS rev_e4,
+    {_bloom_pos_sql('l_orderkey', 17)} AS p1,
+    {_bloom_pos_sql('l_orderkey', 29)} AS p2,
+    {_bloom_pos_sql('l_orderkey', 47)} AS p3
+  FROM lineitem
+),
+cand AS (
+  SELECT pr.l_orderkey, pr.rev_e4
+  FROM probe pr
+  JOIN bloom b1 ON b1.word_idx = pr.p1 // 63
+  JOIN bloom b2 ON b2.word_idx = pr.p2 // 63
+  JOIN bloom b3 ON b3.word_idx = pr.p3 // 63
+  WHERE ((b1.bits >> (pr.p1 % 63)) & 1) = 1
+    AND ((b2.bits >> (pr.p2 % 63)) & 1) = 1
+    AND ((b3.bits >> (pr.p3 % 63)) & 1) = 1
+),
+matched AS (
+  SELECT c.l_orderkey, c.rev_e4 FROM cand c JOIN dim d ON c.l_orderkey = d.o_orderkey
+),
+plain AS (
+  SELECT l.l_orderkey,
+    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT) AS rev_e4
+  FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_fact_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM matched) AS n_matched,
+  (SELECT CAST(coalesce(sum(rev_e4), 0) AS BIGINT) FROM matched) AS revenue_e4,
+  (SELECT count(*) FROM matched) = (SELECT count(*) FROM plain)
+    AND (SELECT coalesce(sum(rev_e4), 0) FROM matched)
+      = (SELECT coalesce(sum(rev_e4), 0) FROM plain) AS no_false_negatives
+""",
+    tags=("join", "bloom", "runtime-filter", "semi-join-prune"),
+)
+def rel_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter join pruning — the runtime-filter pattern for star
+    joins whose dim-side filter output is too large to broadcast as a
+    key set but trivially fits as BITS: the selective dim (urgent 1997
+    orders) collapses to a 1024-word x 63-bit Bloom filter (one bit_or
+    aggregate, 8 KB regardless of dim cardinality), the filter
+    broadcasts into the fact scan, and only rows passing all 3 hash
+    probes reach the real shuffle join — at 100 TB the fact-side
+    exchange shrinks by the dim's selectivity (~6%) at the cost of one
+    8 KB broadcast, exactly what Spark's own
+    ``runtime.bloomFilter`` rewrite does, built here from portable
+    primitives (md5 position hashes, bit-identical in DuckDB, so the
+    oracle constructs the SAME filter).  The final equality join drops
+    Bloom false positives; ``no_false_negatives`` pins the containment
+    guarantee (candidate superset covers the exact join) in-query, and
+    the emitted candidate/matched counts expose the false-positive rate
+    to the driver hash.  Positions use 63-bit words so no shift touches
+    the sign bit on either engine."""
+    o = _t(spark, sf, "orders")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey")
+
+    def pos(key: str, seed: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_BITS
+        )
+
+    positions = None
+    for seed in _BLOOM_SEEDS:
+        p = dim.select(pos("o_orderkey", seed).alias("pos"))
+        positions = p if positions is None else positions.unionAll(p)
+    bloom = (
+        positions.groupBy(F.expr("pos div 63").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+            ).alias("bits")
+        )
+    )
+
+    li = _t(spark, sf, "lineitem")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+    )
+    probe = li.select(
+        "l_orderkey",
+        rev.alias("rev_e4"),
+        pos("l_orderkey", 17).alias("p1"),
+        pos("l_orderkey", 29).alias("p2"),
+        pos("l_orderkey", 47).alias("p3"),
+    )
+    cand = probe
+    for i, p in enumerate(("p1", "p2", "p3"), start=1):
+        b = bloom.select(
+            F.col("word_idx").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        cand = cand.join(
+            F.broadcast(b), F.expr(f"{p} div 63") == F.col(f"w{i}")
+        ).filter(F.expr(f"(shiftright(bits{i}, CAST({p} % 63 AS INT)) & 1) = 1"))
+    cand = cand.select("l_orderkey", "rev_e4")
+
+    matched = cand.join(dim, cand.l_orderkey == dim.o_orderkey).select("l_orderkey", "rev_e4")
+    plain = li.join(dim, li.l_orderkey == dim.o_orderkey).select(rev.alias("rev_e4"))
+
+    counts = (
+        probe.agg(F.count("*").cast("bigint").alias("n_fact_rows"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").cast("bigint").alias("n_candidates"))))
+        .crossJoin(
+            F.broadcast(
+                matched.agg(
+                    F.count("*").cast("bigint").alias("n_matched"),
+                    F.coalesce(F.sum("rev_e4"), F.lit(0)).cast("bigint").alias("revenue_e4"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                plain.agg(
+                    F.count("*").cast("bigint").alias("pn"),
+                    F.coalesce(F.sum("rev_e4"), F.lit(0)).cast("bigint").alias("prev"),
+                )
+            )
+        )
+    )
+    return counts.select(
+        "n_fact_rows",
+        "n_candidates",
+        "n_matched",
+        "revenue_e4",
+        (
+            (F.col("n_matched") == F.col("pn")) & (F.col("revenue_e4") == F.col("prev"))
+        ).alias("no_false_negatives"),
+    )

@@ -335,3 +335,27 @@ def test_power_iteration_replays_exact_integer_lattice(spark, sf_dir, catalog):
     got = {r.dim_idx: r.v_e4 for r in rows}
     assert got == {i + 1: int(v[i]) for i in range(64)}
     assert rq[0] <= rq[-1] * (1 + 1e-9)  # Rayleigh non-decreasing (int lattice)
+
+
+def test_bloom_join_prune_containment_and_effectiveness(spark, sf_dir, catalog, raw):
+    """rel_bloom_join_prune: the exact join recomputed in pandas must be
+    fully contained in the bloom candidates (no false negatives), the
+    matched aggregate must equal the plain join, and the filter must
+    actually prune (candidates a small fraction of the fact)."""
+    r = catalog["rel_bloom_join_prune"].fn(spark, sf_dir).collect()[0]
+    o, li = raw["orders"], raw["lineitem"]
+    dim = o[
+        (o["o_orderpriority"] == "1-URGENT")
+        & (o["o_orderdate"] >= "1997-01-01")
+        & (o["o_orderdate"] < "1998-01-01")
+    ][["o_orderkey"]]
+    plain = li.merge(dim, left_on="l_orderkey", right_on="o_orderkey")
+    assert r.no_false_negatives
+    assert r.n_fact_rows == len(li)
+    assert r.n_matched == len(plain)
+    assert r.revenue_e4 == int(_rev_e4(plain).sum())
+    assert r.n_matched <= r.n_candidates <= r.n_fact_rows
+    # 8 KB of bits must prune the fact to well under the 3-probe
+    # false-positive ceiling: |dim|*3/bits fill -> fp ~ fill^3, plus the
+    # true-match fraction; 25% of the fact is a loose structural bound
+    assert r.n_candidates <= r.n_fact_rows * 0.25
