@@ -4253,3 +4253,90 @@ def rel_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_matched") == F.col("pn")) & (F.col("revenue_e4") == F.col("prev"))
         ).alias("no_false_negatives"),
     )
+
+
+# --- incremental view maintenance with retractions (round 6) -------------------
+
+# The maintained view: per-month order counts + exact e2 revenue over a
+# sliding window.  Base materializes [1999-01, 1999-05); the refresh
+# slides to [1999-02, 1999-06) by merging an INSERT delta (+May) and a
+# RETRACT delta (-January) into the stored partials — the base window's
+# rows are never rescanned.
+_IVM_BASE_LO, _IVM_BASE_HI = "1999-01-01", "1999-05-01"
+_IVM_NEW_LO, _IVM_NEW_HI = "1999-02-01", "1999-06-01"
+_IVM_INS_LO = _IVM_BASE_HI  # insert delta = [base_hi, new_hi)
+
+
+@register(
+    "rel_incremental_view_refresh",
+    sql=f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_IVM_NEW_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_IVM_NEW_HI} 00:00:00'
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("warehouse", "incremental-view", "retraction", "staging"),
+)
+def rel_incremental_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance with retractions: a
+    per-month (count, exact-e2 revenue) view materialized over
+    [1999-01, 1999-05) is slid to [1999-02, 1999-06) by merging two
+    DELTAS into the stored partials — an insert delta (+May's partial
+    agg) and a retract delta (-January's, weight -1) — via a
+    full-outer-shaped grouped merge in which counts/sums ADD and
+    groups whose merged count reaches zero drop out.  The base
+    window's fact rows are never rescanned: refresh cost is
+    O(|delta| + |view|), independent of the view's history — the
+    batch statement of Structured Streaming's update-mode aggregation
+    state, and the reason aggregates maintained this way must be
+    MERGEABLE partials (count/sum here; the HLL/KLL/theta/CM/gram
+    relations merge the same way).  The oracle recomputes the slid
+    window directly from the fact table, so a wrong merge (lost
+    retraction, double-counted insert, ghost zero-count group)
+    hash-fails.  The driver-visible result is layout-invariant;
+    staging is write-once per (sf, window) like the other staging
+    queries."""
+    import os
+
+    base_dir = (
+        f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/ivm_base"
+    )
+    o = _t(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    price_e2 = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+
+    def window_agg(lo: str, hi: str, weight: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy(month)
+            .agg(
+                (F.count("*") * weight).cast("bigint").alias("n_orders"),
+                (F.sum(price_e2) * weight).cast("bigint").alias("revenue_e2"),
+            )
+        )
+
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        window_agg(_IVM_BASE_LO, _IVM_BASE_HI, 1).write.mode("overwrite").parquet(
+            base_dir
+        )
+
+    base = spark.read.parquet(base_dir)
+    insert_delta = window_agg(_IVM_INS_LO, _IVM_NEW_HI, 1)
+    retract_delta = window_agg(_IVM_BASE_LO, _IVM_NEW_LO, -1)
+    merged = (
+        base.unionByName(insert_delta)
+        .unionByName(retract_delta)
+        .groupBy("order_month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_e2").cast("bigint").alias("revenue_e2"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.orderBy("order_month")

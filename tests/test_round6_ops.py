@@ -126,3 +126,30 @@ def test_config_casts_pin_the_real_config_layer(spark, sf_dir, catalog):
     assert rows["list_padded"] == "a|b|c"     # split + strip + drop-empties
     assert rows["overlap_ge_size"] == "rejected:ValueError"
     assert rows["size_nonpositive"] == "rejected:ValueError"
+
+
+def test_incremental_view_refresh_retracts_and_inserts(spark, sf_dir, catalog):
+    """IVM: the refreshed view must have dropped January BY MERGE (the
+    staged base still contains it — proof the retraction did the work,
+    not a re-filter), gained May from the insert delta, and match a
+    pandas recompute of the slid window exactly."""
+    import pandas as pd
+
+    rows = {r.order_month: r for r in
+            catalog["rel_incremental_view_refresh"].fn(spark, sf_dir).collect()}
+    assert "1999-01" not in rows          # retracted to zero and dropped
+    assert "1999-05" in rows              # inserted by the delta
+    base = pd.read_parquet(
+        f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf_dir.rstrip('/'))}/ivm_base"
+    )
+    assert "1999-01" in set(base["order_month"])  # base kept it; merge removed it
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    w = o[(o["o_orderdate"] >= "1999-02-01") & (o["o_orderdate"] < "1999-06-01")].copy()
+    w["m"] = w["o_orderdate"].dt.strftime("%Y-%m")
+    import numpy as np
+
+    w["e2"] = np.floor(w["o_totalprice"] * 100 + 0.5).astype("int64")
+    exp = w.groupby("m").agg(n=("m", "size"), rev=("e2", "sum"))
+    assert {m: (r.n_orders, r.revenue_e2) for m, r in rows.items()} == {
+        m: (int(v["n"]), int(v["rev"])) for m, v in exp.iterrows()
+    }
