@@ -95,6 +95,14 @@ FLAGSHIPS = (
         "rel_zorder_skipping",
         "Morton-clustered staging read: PushedFilters on both box dimensions over 16 zone-mapped files",
     ),
+    (
+        "rel_bloom_join_prune",
+        "8 KB bloom words broadcast into the fact scan; 3-probe residual before the real join",
+    ),
+    (
+        "llm_power_iteration",
+        "checkpointed symmetrized gram; 3 matvecs as 64-row broadcast joins + 1-row renormalizer scalars",
+    ),
 )
 
 
