@@ -117,6 +117,7 @@ HEADLINE = [
     "llm_power_iteration",
     "rel_zorder_skipping",
     "rel_bloom_join_prune",
+    "rel_table_fingerprint",
 ]
 
 

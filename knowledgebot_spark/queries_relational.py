@@ -4340,3 +4340,126 @@ def rel_incremental_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
     )
     return merged.orderBy("order_month")
+
+
+# --- order-invariant table fingerprint (round 6) -------------------------------
+
+# Row hash inputs are restricted to cross-engine-canonical strings:
+# BIGINT casts (identical decimal text in Spark and DuckDB), fixed-point
+# money, and strftime'd dates — never raw doubles, whose VARCHAR
+# rendering differs between engines.
+_FP_ROW = (
+    "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+    "o_orderstatus, o_orderpriority, "
+    "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), "
+    "date_format(o_orderdate, 'yyyy-MM-dd'))"
+)
+_FP_ROW_DUCK = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, o_orderpriority, "
+    "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), "
+    "strftime(o_orderdate, '%Y-%m-%d'))"
+)
+
+
+@register(
+    "rel_table_fingerprint",
+    sql=f"""
+WITH canon AS (
+  SELECT o_orderkey, {_FP_ROW_DUCK} AS row_str FROM orders
+),
+h AS (
+  SELECT o_orderkey,
+    ('0x' || substr(md5(row_str), 1, 15))::BIGINT AS h60,
+    ('0x' || substr(md5(row_str), 17, 8))::BIGINT AS h31
+  FROM canon
+),
+clean AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(bit_xor(h60) AS BIGINT) AS xor60,
+    CAST(sum(h31) AS BIGINT) AS sum31
+  FROM h
+),
+mutated AS (
+  -- the replica with ONE field of ONE row corrupted (+1 cent on the
+  -- minimum orderkey): recompute the canonical string accordingly
+  SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    THEN concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      o_orderstatus, o_orderpriority,
+      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1 AS VARCHAR),
+      strftime(o_orderdate, '%Y-%m-%d'))
+    ELSE {_FP_ROW_DUCK} END AS row_str
+  FROM orders
+),
+hm AS (
+  SELECT ('0x' || substr(md5(row_str), 1, 15))::BIGINT AS h60,
+    ('0x' || substr(md5(row_str), 17, 8))::BIGINT AS h31
+  FROM mutated
+),
+dirty AS (
+  SELECT CAST(bit_xor(h60) AS BIGINT) AS xor60, CAST(sum(h31) AS BIGINT) AS sum31
+  FROM hm
+)
+SELECT c.n_rows, c.xor60, c.sum31,
+  (c.xor60 <> d.xor60 OR c.sum31 <> d.sum31) AS corruption_detected
+FROM clean c, dirty d
+""",
+    tags=("reconciliation", "fingerprint", "order-invariant", "mergeable"),
+)
+def rel_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-invariant table fingerprint — the anti-entropy primitive for
+    verifying replicas/migrations at 100 TB without moving data: each
+    row canonicalizes to a cross-engine-stable string (BIGINT casts,
+    fixed-point money, formatted dates — never raw doubles, whose text
+    rendering differs between engines), hashes once with md5, and the
+    table collapses to (count, bit_xor of 60-bit hashes, sum of 31-bit
+    hashes).  Both aggregates are order-invariant AND mergeable — xor
+    and addition commute across partitions, shards, and clusters, so
+    two sides of a replication fence each compute 24 bytes and compare.
+    The pair covers each other's blind spots: xor misses even-count
+    duplicate swaps, the 31-bit sum misses nothing short of engineered
+    collisions but would overflow alone at >2^32 rows (count bounds it;
+    shard the sum beyond that).  The query also fingerprints a replica
+    with ONE cent corrupted on one row and emits
+    ``corruption_detected`` — the single-bit-flip sensitivity the
+    mechanism exists for, pinned behind the driver hash."""
+    o = _t(spark, sf, "orders")
+    row_str = F.expr(_FP_ROW)
+    # Spark lacks DuckDB's 0x-prefix string->int cast; conv() is the
+    # portable equivalent (same md5 hex, same integer)
+    h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    h31 = F.conv(F.substring(F.md5(row_str), 17, 8), 16, 10).cast("bigint")
+    clean = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.bit_xor(h60).cast("bigint").alias("xor60"),
+        F.sum(h31).cast("bigint").alias("sum31"),
+    )
+    min_key = o.agg(F.min("o_orderkey").alias("mk"))
+    mut_price = F.expr(
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        " + CASE WHEN o_orderkey = mk THEN 1 ELSE 0 END AS STRING)"
+    )
+    mut_str = F.expr(
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, o_orderpriority, mut_price_str, "
+        "date_format(o_orderdate, 'yyyy-MM-dd'))"
+    )
+    mutated = (
+        o.crossJoin(F.broadcast(min_key))
+        .withColumn("mut_price_str", mut_price)
+        .withColumn("row_str", mut_str)
+    )
+    mh60 = F.conv(F.substring(F.md5(F.col("row_str")), 1, 15), 16, 10).cast("bigint")
+    mh31 = F.conv(F.substring(F.md5(F.col("row_str")), 17, 8), 16, 10).cast("bigint")
+    dirty = mutated.agg(
+        F.bit_xor(mh60).cast("bigint").alias("d_xor60"),
+        F.sum(mh31).cast("bigint").alias("d_sum31"),
+    )
+    return clean.crossJoin(F.broadcast(dirty)).select(
+        "n_rows",
+        "xor60",
+        "sum31",
+        (
+            (F.col("xor60") != F.col("d_xor60")) | (F.col("sum31") != F.col("d_sum31"))
+        ).alias("corruption_detected"),
+    )

@@ -153,3 +153,45 @@ def test_incremental_view_refresh_retracts_and_inserts(spark, sf_dir, catalog):
     assert {m: (r.n_orders, r.revenue_e2) for m, r in rows.items()} == {
         m: (int(v["n"]), int(v["rev"])) for m, v in exp.iterrows()
     }
+
+
+def test_table_fingerprint_is_partition_invariant_and_replayable(spark, sf_dir, catalog):
+    """Fingerprint: equal under a hostile repartitioning of the input
+    (order/partition-invariance is the whole contract) and replayable
+    in pure python from the same canonicalization."""
+    import hashlib
+
+    import pandas as pd
+    import numpy as np
+
+    r = catalog["rel_table_fingerprint"].fn(spark, sf_dir).collect()[0]
+    assert r.corruption_detected
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    e2 = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+    xor60, sum31, n = 0, 0, 0
+    for key, cust, status, prio, cents, day in zip(
+        o["o_orderkey"], o["o_custkey"], o["o_orderstatus"],
+        o["o_orderpriority"], e2, o["o_orderdate"].dt.strftime("%Y-%m-%d"),
+    ):
+        s = f"{key}|{cust}|{status}|{prio}|{cents}|{day}"
+        h = hashlib.md5(s.encode()).hexdigest()
+        xor60 ^= int(h[:15], 16)
+        sum31 += int(h[16:24], 16)
+        n += 1
+    assert (r.n_rows, r.xor60, r.sum31) == (n, xor60, sum31)
+
+    # partition invariance: 13-way repartitioned source, same integers
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(13, "o_custkey")
+    row_str = F.expr(
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, o_orderpriority, "
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), "
+        "date_format(o_orderdate, 'yyyy-MM-dd'))"
+    )
+    h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    h31 = F.conv(F.substring(F.md5(row_str), 17, 8), 16, 10).cast("bigint")
+    redo = src.agg(F.bit_xor(h60).alias("x"), F.sum(h31).alias("s")).collect()[0]
+    assert (redo.x, redo.s) == (xor60, sum31)
