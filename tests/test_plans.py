@@ -271,6 +271,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_power_iteration",  # 1-row max|u| renormalizer broadcast per unrolled matvec
         "rel_zorder_skipping",  # 1-row box-agg x 1-row total-count x 1-row bounds scalars
         "rel_bloom_join_prune",  # four 1-row count/sum scalars crossJoined into the report row
+        "rel_table_fingerprint",  # 1-row min-key + 1-row dirty-checksum scalars crossJoined
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
