@@ -103,6 +103,10 @@ FLAGSHIPS = (
         "llm_power_iteration",
         "checkpointed symmetrized gram; 3 matvecs as 64-row broadcast joins + 1-row renormalizer scalars",
     ),
+    (
+        "rel_table_fingerprint",
+        "two scan-linear md5 passes collapsing to xor/sum partials; no shuffle beyond the final gather",
+    ),
 )
 
 
