@@ -25,6 +25,21 @@ def main() -> None:
           "evidence (CORRECTNESS_r*.json).  Order below is the driver's "
           "evidence-rotation order: never-checked queries first — the first "
           "50 rows are the next round's correctness window.")
+    never = sum(1 for name in catalog if name not in green)
+    if 0 < never <= 100:
+        tail = max(0, never - 50)
+        if tail == 0:
+            print()
+            print(f"All {never} remaining never-checked queries fit inside the "
+                  "next round's 50-row window — driver coverage closes at "
+                  f"{len(catalog)}/{len(catalog)} when it lands.")
+        elif tail <= 50:
+            print()
+            print(f"After the next round's 50-row window lands, {tail} "
+                  "never-checked queries remain (rows 51–"
+                  f"{never} below) — they all fit inside the following "
+                  "round's window, projecting full driver coverage at "
+                  f"{len(catalog)}/{len(catalog)} two rounds out.")
     print()
     print("| # | query | module | tags | oracle | driver-green |")
     print("|---|---|---|---|---|---|")
