@@ -28,7 +28,16 @@ persisted blocks, and boundary agreement is structural rather than
 planner-dependent.  The cost is one MEMORY_AND_DISK materialization of the
 ranged relation — linear, spillable, and it replaces what was previously a
 full second scan + key-only shuffle, so the trade is roughly neutral in
-I/O and strictly safer.  The only unpartitioned window left runs over
+I/O and sound where the old plan was not.  Fault-tolerance caveat:
+``localCheckpoint`` TRUNCATES LINEAGE — if an executor holding checkpoint
+blocks is lost mid-job, Spark cannot recompute them and the job fails
+(rather than silently recomputing with fresh, possibly different,
+boundaries; for this operator fail-stop is the correct failure mode, since
+a recomputed range sample could disagree across the two branches).
+Long-running production jobs on preemptible nodes should substitute a
+reliable ``checkpoint()`` to durable storage at the same call site — same
+semantics, survives executor loss, one extra write.  The only
+unpartitioned window left runs over
 |partitions| rows — bounded by cluster configuration, not data volume.
 
 Callers must pass a total order (include a unique tiebreaker); results are

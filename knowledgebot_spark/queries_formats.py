@@ -727,7 +727,19 @@ def kb_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     corrupt n_channels/names_csv and hash-mismatch).  DDL goes through the
     session catalog (CREATE DATABASE / DROP TABLE / CREATE TABLE AS
     SELECT), not file manipulation, so what's exercised is the metastore
-    path a warehouse deployment uses."""
+    path a warehouse deployment uses.
+
+    Re-entrancy contract (shared by the checkpoint/marker staging queries):
+    the build-time side effects (DROP/CREATE under the shared
+    /tmp/knowledgebot_spark/ddl_warehouse, keyed per sf-dir) assume the
+    driver harness's single-process, invoke-then-collect discipline.  The
+    returned handle is lazy over a table this function itself drops and
+    recreates — invoking the query fn again BEFORE collecting a previously
+    returned DataFrame, or running two sessions against the same warehouse
+    path, reads across generations.  A multi-tenant deployment would key
+    the database per session (e.g. suffix the warehouse path with the
+    session id) to make this safe; the harness contract makes that
+    unnecessary here."""
     import shutil
 
     from knowledgebot_spark import model

@@ -4371,13 +4371,13 @@ WITH canon AS (
 h AS (
   SELECT o_orderkey,
     ('0x' || substr(md5(row_str), 1, 15))::BIGINT AS h60,
-    ('0x' || substr(md5(row_str), 17, 8))::BIGINT AS h31
+    ('0x' || substr(md5(row_str), 17, 8))::BIGINT AS h32
   FROM canon
 ),
 clean AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
     CAST(bit_xor(h60) AS BIGINT) AS xor60,
-    CAST(sum(h31) AS BIGINT) AS sum31
+    CAST(sum(h32) AS BIGINT) AS sum32
   FROM h
 ),
 mutated AS (
@@ -4393,15 +4393,15 @@ mutated AS (
 ),
 hm AS (
   SELECT ('0x' || substr(md5(row_str), 1, 15))::BIGINT AS h60,
-    ('0x' || substr(md5(row_str), 17, 8))::BIGINT AS h31
+    ('0x' || substr(md5(row_str), 17, 8))::BIGINT AS h32
   FROM mutated
 ),
 dirty AS (
-  SELECT CAST(bit_xor(h60) AS BIGINT) AS xor60, CAST(sum(h31) AS BIGINT) AS sum31
+  SELECT CAST(bit_xor(h60) AS BIGINT) AS xor60, CAST(sum(h32) AS BIGINT) AS sum32
   FROM hm
 )
-SELECT c.n_rows, c.xor60, c.sum31,
-  (c.xor60 <> d.xor60 OR c.sum31 <> d.sum31) AS corruption_detected
+SELECT c.n_rows, c.xor60, c.sum32,
+  (c.xor60 <> d.xor60 OR c.sum32 <> d.sum32) AS corruption_detected
 FROM clean c, dirty d
 """,
     tags=("reconciliation", "fingerprint", "order-invariant", "mergeable"),
@@ -4412,14 +4412,15 @@ def rel_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     row canonicalizes to a cross-engine-stable string (BIGINT casts,
     fixed-point money, formatted dates — never raw doubles, whose text
     rendering differs between engines), hashes once with md5, and the
-    table collapses to (count, bit_xor of 60-bit hashes, sum of 31-bit
+    table collapses to (count, bit_xor of 60-bit hashes, sum of 32-bit
     hashes).  Both aggregates are order-invariant AND mergeable — xor
     and addition commute across partitions, shards, and clusters, so
     two sides of a replication fence each compute 24 bytes and compare.
     The pair covers each other's blind spots: xor misses even-count
-    duplicate swaps, the 31-bit sum misses nothing short of engineered
-    collisions but would overflow alone at >2^32 rows (count bounds it;
-    shard the sum beyond that).  The query also fingerprints a replica
+    duplicate swaps, the 32-bit sum misses nothing short of engineered
+    collisions but its signed-int64 accumulator can overflow alone at
+    ~2^31 rows of ~2^32-sized terms (count bounds it; shard the sum or
+    widen to decimal beyond that).  The query also fingerprints a replica
     with ONE cent corrupted on one row and emits
     ``corruption_detected`` — the single-bit-flip sensitivity the
     mechanism exists for, pinned behind the driver hash."""
@@ -4428,11 +4429,11 @@ def rel_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # Spark lacks DuckDB's 0x-prefix string->int cast; conv() is the
     # portable equivalent (same md5 hex, same integer)
     h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
-    h31 = F.conv(F.substring(F.md5(row_str), 17, 8), 16, 10).cast("bigint")
+    h32 = F.conv(F.substring(F.md5(row_str), 17, 8), 16, 10).cast("bigint")
     clean = o.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.bit_xor(h60).cast("bigint").alias("xor60"),
-        F.sum(h31).cast("bigint").alias("sum31"),
+        F.sum(h32).cast("bigint").alias("sum32"),
     )
     min_key = o.agg(F.min("o_orderkey").alias("mk"))
     mut_price = F.expr(
@@ -4450,16 +4451,16 @@ def rel_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("row_str", mut_str)
     )
     mh60 = F.conv(F.substring(F.md5(F.col("row_str")), 1, 15), 16, 10).cast("bigint")
-    mh31 = F.conv(F.substring(F.md5(F.col("row_str")), 17, 8), 16, 10).cast("bigint")
+    mh32 = F.conv(F.substring(F.md5(F.col("row_str")), 17, 8), 16, 10).cast("bigint")
     dirty = mutated.agg(
         F.bit_xor(mh60).cast("bigint").alias("d_xor60"),
-        F.sum(mh31).cast("bigint").alias("d_sum31"),
+        F.sum(mh32).cast("bigint").alias("d_sum32"),
     )
     return clean.crossJoin(F.broadcast(dirty)).select(
         "n_rows",
         "xor60",
-        "sum31",
+        "sum32",
         (
-            (F.col("xor60") != F.col("d_xor60")) | (F.col("sum31") != F.col("d_sum31"))
+            (F.col("xor60") != F.col("d_xor60")) | (F.col("sum32") != F.col("d_sum32"))
         ).alias("corruption_detected"),
     )

@@ -34,6 +34,9 @@ _ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')  # note: '}' is NOT escaped by Spark
 
 
 def _escape_partition_value(value) -> str:
+    if value is None:
+        # Spark writes null partition values to this sentinel directory.
+        return "__HIVE_DEFAULT_PARTITION__"
     out = []
     for ch in str(value):
         if ch in _ESCAPE_CHARS or ord(ch) < 0x20 or ch == "\x7f":
@@ -95,15 +98,22 @@ def upsert_chunks(
     # (3,) from the batch and string ('3',) from disk look like DIFFERENT
     # partitions, sending every existing partition down the emptied-rewrite
     # path and wiping the table (caught by kb_vector_upsert's bigint
-    # bucket key; directory names are strings anyway).
-    def _canon(rows) -> set[tuple[str, ...]]:
-        return {tuple(str(v) for v in r) for r in rows}
+    # bucket key; directory names are strings anyway).  The cast happens
+    # SPARK-side (not Python str()) so it agrees with Spark's own directory
+    # rendering — boolean casts to 'true'/'false' (Python str gives 'True'),
+    # and null stays None here, matched null-safely below and rendered as
+    # __HIVE_DEFAULT_PARTITION__ when a tombstoned directory is addressed.
+    def _canon(df: DataFrame) -> set[tuple[str | None, ...]]:
+        casted = df.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_cols]
+        )
+        return {tuple(r) for r in casted.distinct().collect()}
 
     keyed = existing.join(
         F.broadcast(reprocessed_keys.select(key_col)), key_col, "left_semi"
     )
-    affected = _canon(keyed.select(*partition_cols).distinct().collect())
-    affected |= _canon(new_rows.select(*partition_cols).distinct().collect())
+    affected = _canon(keyed)
+    affected |= _canon(new_rows)
     if not affected:
         return
 
@@ -111,7 +121,9 @@ def upsert_chunks(
     for values in affected:
         clause = F.lit(True)
         for col, val in zip(partition_cols, values):
-            clause = clause & (F.col(col).cast("string") == F.lit(val))
+            clause = clause & F.col(col).cast("string").eqNullSafe(
+                F.lit(val).cast("string")
+            )
         part_pred = part_pred | clause
 
     survivors = (
@@ -125,7 +137,7 @@ def upsert_chunks(
     # Materialize the output partition set BEFORE the overwrite — `out`'s
     # lineage reads the files the write replaces, so it must not be
     # re-evaluated afterwards (persist also makes the write a cache read).
-    out_parts = _canon(out.select(*partition_cols).distinct().collect())
+    out_parts = _canon(out)
 
     # Dynamic partition overwrite: only the partitions present in `out`
     # (== the affected set) are replaced; everything else is untouched.

@@ -169,7 +169,7 @@ def test_table_fingerprint_is_partition_invariant_and_replayable(spark, sf_dir, 
 
     o = pd.read_parquet(f"{sf_dir}/orders.parquet")
     e2 = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
-    xor60, sum31, n = 0, 0, 0
+    xor60, sum32, n = 0, 0, 0
     for key, cust, status, prio, cents, day in zip(
         o["o_orderkey"], o["o_custkey"], o["o_orderstatus"],
         o["o_orderpriority"], e2, o["o_orderdate"].dt.strftime("%Y-%m-%d"),
@@ -177,9 +177,9 @@ def test_table_fingerprint_is_partition_invariant_and_replayable(spark, sf_dir, 
         s = f"{key}|{cust}|{status}|{prio}|{cents}|{day}"
         h = hashlib.md5(s.encode()).hexdigest()
         xor60 ^= int(h[:15], 16)
-        sum31 += int(h[16:24], 16)
+        sum32 += int(h[16:24], 16)
         n += 1
-    assert (r.n_rows, r.xor60, r.sum31) == (n, xor60, sum31)
+    assert (r.n_rows, r.xor60, r.sum32) == (n, xor60, sum32)
 
     # partition invariance: 13-way repartitioned source, same integers
     from pyspark.sql import functions as F
@@ -192,6 +192,6 @@ def test_table_fingerprint_is_partition_invariant_and_replayable(spark, sf_dir, 
         "date_format(o_orderdate, 'yyyy-MM-dd'))"
     )
     h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
-    h31 = F.conv(F.substring(F.md5(row_str), 17, 8), 16, 10).cast("bigint")
-    redo = src.agg(F.bit_xor(h60).alias("x"), F.sum(h31).alias("s")).collect()[0]
-    assert (redo.x, redo.s) == (xor60, sum31)
+    h32 = F.conv(F.substring(F.md5(row_str), 17, 8), 16, 10).cast("bigint")
+    redo = src.agg(F.bit_xor(h60).alias("x"), F.sum(h32).alias("s")).collect()[0]
+    assert (redo.x, redo.s) == (xor60, sum32)

@@ -207,3 +207,43 @@ def test_keyed_sink_reads_prune_partitions(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "channel_name" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_tombstone_bool_and_null_partition_values(spark, tmp_path):
+    """Partition canonicalization must agree with Spark's directory
+    rendering for NON-string partition types: boolean renders 'true' (not
+    Python's 'True') and null renders __HIVE_DEFAULT_PARTITION__.  A fully
+    tombstoned bool- or null-valued partition must be emptied — with the
+    old Python-str canonicalization the bool partition compared as 'True'
+    and never matched, leaving stale files behind (ADVICE r6 #1)."""
+    schema = "msg_key string, flagged boolean, region string, content string"
+    path = str(tmp_path / "boolpart")
+    batch = spark.createDataFrame(
+        [
+            ("K1", True, "eu", "doomed-true-part"),
+            ("K2", False, None, "doomed-null-part"),
+            ("K3", False, "us", "keep"),
+        ],
+        schema,
+    )
+    upsert_chunks(
+        spark, path, batch, key_col="msg_key",
+        partition_cols=("flagged", "region"),
+    )
+    # tombstone K1 and K2 with zero replacement rows: their partitions
+    # (flagged=true/region=eu and flagged=false/region=null) become empty
+    keys = spark.createDataFrame([("K1",), ("K2",)], ["msg_key"])
+    upsert_chunks(
+        spark, path, spark.createDataFrame([], schema),
+        reprocessed_keys=keys, key_col="msg_key",
+        partition_cols=("flagged", "region"),
+    )
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("msg_key", "flagged", "region", "content")
+        .collect()
+    )
+    # partition values read back as directory-name strings (partition
+    # type inference is pinned off session-wide)
+    assert rows == [("K3", "false", "us", "keep")]
