@@ -118,6 +118,13 @@ HEADLINE = [
     "rel_zorder_skipping",
     "rel_bloom_join_prune",
     "rel_table_fingerprint",
+    # round-7 additions
+    "llm_cc_alternating_star",
+    "rel_compaction_plan",
+    "rel_snapshot_diff",
+    "llm_quality_classifier",
+    "llm_leakage_safe_split",
+    "llm_random_projection",
 ]
 
 

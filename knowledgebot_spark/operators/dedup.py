@@ -340,3 +340,104 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def alternating_star_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) — the O(log n)-round algorithm the bounded label propagation
+    in llm_dedup_clusters name-checks for pathological chains.  Label
+    propagation needs diameter-many rounds (a 1M-node path graph = 1M
+    rounds); alternating stars contract the graph geometrically, so a
+    chain of ANY length converges in ~log2(diameter) rounds.
+
+    Input: an undirected edge list with two integer-comparable columns
+    (first two columns are taken as the endpoints).  Returns
+    ``(node, label)`` with ``label`` = the component's minimum node id,
+    for every node incident to at least one edge.
+
+    Both operations are expressed as keyed aggregates + joins — no
+    collect_set of neighborhoods, so a hub node's neighborhood never has
+    to fit in one task's memory:
+
+      * large-star: per node u, m = min(N(u) + {u}); every neighbor v > u
+        re-attaches as edge (m, v).
+      * small-star on the canonical (small, large) form: per node u
+        grouped as the LARGER endpoint, m = min of its smaller neighbors;
+        each smaller neighbor and u itself re-attach to m.
+
+    Convergence is DETECTED, not assumed: each round's canonical edge set
+    collapses to (count, xor-of-edge-hashes) — 16 bytes on the driver —
+    and the loop stops when two consecutive rounds agree (the fixpoint of
+    small∘large is exactly the star forest).  Each round's result is
+    localCheckpoint-ed: iterative lineage would otherwise double the plan
+    per round, and boundary-stable inputs matter more than replay here
+    (fail-stop on executor loss, same trade as operators/ranking.py).
+
+    Scale: every round is one hash-agg (min per node) + one broadcast-free
+    keyed join on the edge list, so the cost is O(|E|) per round and
+    O(|E| log n) total — at 100 TB the edge list (near-dup pairs) is tiny
+    relative to the corpus that produced it, and the round count is
+    bounded by the log of the largest component's diameter, not by the
+    component count or corpus size."""
+    a, b = edges.columns[:2]
+    canon = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("ca"),
+            F.greatest(F.col(a), F.col(b)).alias("cb"),
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("ca", "cb")), F.lit(0)).alias("x"),
+        ).collect()[0]
+        return (row.n, row.x)
+
+    prev = _checksum(canon)
+    for _ in range(max_rounds):
+        sym = canon.unionAll(
+            canon.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+        )
+        # large-star: m(u) over ALL neighbors and self; v > u re-attaches to m
+        lmins = sym.groupBy("ca").agg(
+            F.least(F.min("cb"), F.first("ca")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("cb") > F.col("ca"))
+            .join(lmins, "ca")
+            .select(F.col("m").alias("ca"), F.col("cb").alias("cb"))
+            .filter(F.col("ca") != F.col("cb"))
+            .distinct()
+        )
+        # small-star on canonical (small=ca, large=cb): group by the larger
+        # endpoint; m = min smaller neighbor (< cb by construction)
+        smins = large.groupBy("cb").agg(F.min("ca").alias("m"))
+        attach_small = (
+            large.join(smins, "cb")
+            .filter(F.col("ca") != F.col("m"))
+            .select(F.col("m").alias("ca"), F.col("ca").alias("cb"))
+        )
+        attach_big = smins.select(F.col("m").alias("ca"), F.col("cb").alias("cb"))
+        canon = (
+            attach_small.unionAll(attach_big)
+            .filter(F.col("ca") != F.col("cb"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(canon)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"alternating_star_components: no fixpoint in {max_rounds} rounds"
+        )
+    # fixpoint = star forest: ca is the component min for every cb
+    return canon.select(F.col("cb").alias("node"), F.col("ca").alias("label")).unionAll(
+        canon.select(F.col("ca").alias("node"), F.col("ca").alias("label")).distinct()
+    )

@@ -903,3 +903,50 @@ def llm_release_manifest(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("listagg(h) WITHIN GROUP (ORDER BY doc_id)")
         ).alias("shard_checksum"),
     )
+
+
+# --- connected components, the O(log n) way (round 7) -------------------------
+
+
+@register(
+    "llm_cc_alternating_star",
+    sql=None,  # assigned below: identical oracle to llm_dedup_clusters —
+               # two algorithms, one answer
+    tags=("dedup", "connected-components", "alternating-star", "iterative"),
+)
+def llm_cc_alternating_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution again — same near-dup edges (MinHash
+    LSH, Jaccard >= {CLUSTER_JACCARD}), same (doc_id, cluster_id,
+    cluster_size) answer — but components via ALTERNATING LARGE-STAR /
+    SMALL-STAR contraction (Kiveris et al., SoCC'14;
+    operators/dedup.py:alternating_star_components) instead of the
+    diameter-bounded label propagation in llm_dedup_clusters.  This is the
+    production path that query's docstring promises: convergence is
+    detected (16-byte edge-set checksum per round), not assumed from a
+    fixed round count, and a chain-shaped component of ANY diameter
+    converges in ~log2(diameter) rounds where label propagation needs
+    diameter rounds.  Hash-checked against the same recursive-CTE closure
+    oracle as llm_dedup_clusters — the strongest possible parity statement
+    for an iterative algorithm: two independent implementations, one
+    driver hash."""
+    docs = _t(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    pairs = dd.candidate_pairs(
+        dd.lsh_bands(dd.with_minhash(hashed), "doc_id"), "doc_id"
+    )
+    verified = dd.jaccard_verify(pairs, dd.with_shingles(docs, "text"), "doc_id")
+    near = verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
+        "id_a", "id_b"
+    )
+    labels = dd.alternating_star_components(near)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+_REGISTRY["llm_cc_alternating_star"].sql = _REGISTRY["llm_dedup_clusters"].sql

@@ -5314,3 +5314,285 @@ def llm_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
     return v.select(
         F.col("idx").cast("int").alias("dim_idx"), F.col("v").cast("bigint").alias("v_e4")
     ).orderBy("dim_idx")
+
+
+# --- hashed-feature quality classifier inference (round 7) ---------------------
+
+_QC_BUCKETS = 256  # hashed feature space (collisions are the point)
+
+
+@register(
+    "llm_quality_classifier",
+    sql=f"""
+WITH w AS (
+  SELECT i AS bucket,
+    (('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 2001)
+      - 1000 AS w_e3
+  FROM generate_series(0, {_QC_BUCKETS} - 1) AS t(i)
+),
+feats AS (
+  SELECT doc_id, source, list_concat(tk,
+    list_transform(generate_series(1, len(tk) - 1),
+                   i -> tk[i] || '_' || tk[i+1])) AS fs
+  FROM (SELECT doc_id, source, str_split(lower(text), ' ') AS tk
+        FROM documents)
+),
+scored AS (
+  SELECT doc_id, source, CAST(sum(w.w_e3) AS BIGINT) AS score_e3
+  FROM (SELECT doc_id, source,
+          ('0x' || substr(md5(unnest(fs)), 1, 3))::INT % {_QC_BUCKETS} AS bucket
+        FROM feats) f
+  JOIN w USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN score_e3 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(sum(score_e3) AS BIGINT) AS sum_score_e3
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+    tags=("quality", "classifier", "hashed-features", "training-data"),
+)
+def llm_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear text-quality classifier INFERENCE over hashed n-gram
+    features — the fastText-style keep/drop scorer (CCNet / RefinedWeb
+    lineage) that curation pipelines run over every crawled document.
+    Features are word unigrams + bigrams hashed into {_QC_BUCKETS}
+    buckets (collisions intended — that IS the hashing trick), and the
+    model is a deterministic weight table derived per bucket from md5
+    (a stand-in for trained weights with identical execution shape:
+    feature hashing, weight lookup, dot product, threshold).  Shape:
+    one explode over features, the feature md5 in WHOLE-STAGE CODEGEN
+    on the exploded rows, a {_QC_BUCKETS}-row broadcast-joined weight
+    table (exactly what a real trained model ships), ONE doc-keyed
+    hash agg with map-side partials.  Two shapes were measured at 100x
+    data and rejected: hashing tokens once inside a higher-order
+    transform() (HOF lambdas run INTERPRETED — slower than one codegen
+    md5 per feature despite half the hash volume), and a window-lead
+    bigram join (shuffles the whole token stream — the one thing a
+    100 TB curation pass must never do; this shape keeps the partial
+    agg map-side and shuffles only per-doc sums).  Exact int64 e3
+    fixed-point scores — no float summation-order exposure.  The
+    remaining constant IS md5, kept for cross-engine oracle parity;
+    production swaps xxhash64 (native, several-fold cheaper) at
+    identical plan shape."""
+    d = _t(spark, sf, "documents")
+    weights = spark.range(_QC_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.expr(
+            "(CAST(conv(substr(md5(concat('w', CAST(id AS STRING))), 1, 4), "
+            "16, 10) AS BIGINT) % 2001) - 1000"
+        ).alias("w_e3"),
+    )
+    feats = d.selectExpr(
+        "doc_id",
+        "source",
+        "split(lower(text), ' ') AS tk",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "concat(tk, CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk)-1), "
+        "i -> concat(element_at(tk, i), '_', element_at(tk, i+1))) "
+        "ELSE array() END) AS fs",
+    )
+    exploded = feats.select("doc_id", "source", F.explode("fs").alias("f")).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(conv(substr(md5(f), 1, 3), 16, 10) AS INT) % {_QC_BUCKETS}"
+        ).alias("bucket"),
+    )
+    scored = (
+        exploded.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w_e3").cast("bigint").alias("score_e3"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("score_e3") >= 0).cast("int")).cast("bigint").alias("n_keep"),
+            F.sum("score_e3").cast("bigint").alias("sum_score_e3"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- leakage-safe (group-aware) split (round 7) --------------------------------
+
+
+@register(
+    "llm_leakage_safe_split",
+    sql="""
+WITH grouped AS (
+  SELECT doc_id,
+    md5(array_to_string(str_split(lower(text), ' ')[1:8], ' ')) AS group_key
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, group_key,
+    CASE WHEN substr(md5(group_key), 1, 2) < 'cc' THEN 'train'
+         WHEN substr(md5(group_key), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END AS split
+  FROM grouped
+),
+straddle AS (
+  SELECT CAST(max(n_splits) AS BIGINT) AS max_splits_per_group
+  FROM (SELECT group_key, count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY 1)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups,
+  max_splits_per_group
+FROM assigned CROSS JOIN straddle
+GROUP BY split, max_splits_per_group ORDER BY split
+""",
+    tags=("sampling", "split", "leakage", "training-data"),
+)
+def llm_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-aware train/val/test split: hash the DUPLICATE-GROUP key
+    (the exact-dedup content key — normalized first 8 words), not the
+    document id, so near-identical documents can never straddle train
+    and eval — the leakage mode a doc-id split (llm_train_val_split)
+    cannot prevent and the #1 cause of inflated eval numbers on
+    crawled corpora.  The query PROVES the property in-band:
+    max_splits_per_group is computed from the data (count distinct
+    split per group, max over groups) and is 1 by construction — a
+    regression that breaks group-atomicity flips the driver hash.
+    Shape: split membership is a pure function of the group hash (no
+    stored assignment table, no shuffle to assign; re-runs and
+    backfills are stable); the proof adds one group-keyed aggregate.
+    At 100 TB the group key is already computed by the dedup pass —
+    this split is a free rider on it."""
+    d = _t(spark, sf, "documents")
+    grouped = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 8), " ")
+        ).alias("group_key"),
+    )
+    h = F.substring(F.md5(F.col("group_key")), 1, 2)
+    assigned = grouped.select(
+        "doc_id",
+        "group_key",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    straddle = (
+        assigned.groupBy("group_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").cast("bigint").alias("max_splits_per_group"))
+    )
+    return (
+        assigned.crossJoin(F.broadcast(straddle))
+        .groupBy("split", "max_splits_per_group")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("group_key").cast("bigint").alias("n_groups"),
+        )
+        .select("split", "n_docs", "n_groups", "max_splits_per_group")
+        .orderBy("split")
+    )
+
+
+# --- Johnson-Lindenstrauss random projection (round 7) -------------------------
+
+_RP_K = 16  # projected dimensionality
+
+
+@register(
+    "llm_random_projection",
+    sql=f"""
+WITH q AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {_GRAM_D}) AS t(i)
+),
+r AS (
+  SELECT i, k,
+    CASE WHEN substr(md5('rp' || CAST(i AS VARCHAR) || '_'
+                          || CAST(k AS VARCHAR)), 1, 1) < '8'
+         THEN 1 ELSE -1 END AS s
+  FROM generate_series(1, {_GRAM_D}) AS a(i),
+       generate_series(1, {_RP_K}) AS b(k)
+),
+y AS (
+  SELECT q.vec_id, r.k, CAST(sum(q.x * r.s) AS BIGINT) AS y
+  FROM q JOIN r ON q.i = r.i GROUP BY 1, 2
+),
+x2 AS (SELECT CAST(sum(x * x) AS BIGINT) AS tot FROM q)
+SELECT CAST(k AS INTEGER) AS k,
+  CAST(sum(y) AS BIGINT) AS sum_y_e4,
+  CAST(sum(y * y) AS BIGINT) AS sum_y2_e8,
+  CAST(CAST(sum(y * y) AS BIGINT) * 10000 // x2.tot AS BIGINT) AS ratio_e4
+FROM y CROSS JOIN x2 GROUP BY k, x2.tot ORDER BY k
+""",
+    tags=("embedding", "random-projection", "jl", "mergeable", "mapInPandas"),
+)
+def llm_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding corpus
+    ({_GRAM_D} -> {_RP_K} dims) with an in-band energy-preservation
+    audit — the dimensionality-reduction pass that makes downstream
+    clustering / ANN / dedup cheaper while provably preserving pairwise
+    geometry.  The projection matrix is the Rademacher (+/-1) family,
+    derived per cell from md5 so both engines multiply by the SAME
+    matrix (Achlioptas 2003: database-friendly random projections —
+    sign matrices satisfy the JL lemma).  Execution is the gram-matrix
+    contract (llm_gram_matrix): each Arrow batch does ONE vectorized
+    int64 matmul (B x {_GRAM_D} @ {_GRAM_D} x {_RP_K}) and emits only
+    per-dimension partial sums (sum y, sum y^2, plus the input energy
+    sum x^2) that merge BY ADDITION — vectors never shuffle, wire cost
+    is #batches x {_RP_K}+1 rows, exact int64 end to end.  For a
+    Rademacher matrix E[y_k^2] = ||x||^2, so each projected dim's
+    ratio_e4 = sum(y_k^2) * 10000 / sum(||x||^2) concentrates near
+    10000 — a per-dimension JL health check computed for free from the
+    same partials.  (Int64 headroom: ~1e9 vectors at e4 quantization
+    before sum(y^2)*10000 nears the signed-64 bound; shard or widen to
+    decimal beyond, same caveat as the gram matrix.)"""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    S = np.empty((_GRAM_D, _RP_K), dtype="int64")
+    for i in range(1, _GRAM_D + 1):
+        for k in range(1, _RP_K + 1):
+            first = hashlib.md5(f"rp{i}_{k}".encode()).hexdigest()[0]
+            S[i - 1, k - 1] = 1 if first < "8" else -1
+
+    e = _t(spark, sf, "embeddings").select("embedding")
+
+    def partial_project(batches):
+        k_col = np.arange(1, _RP_K + 1, dtype="int32")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Q = np.floor(X * 10000 + 0.5).astype("int64")
+            Y = Q @ S
+            out = pd.DataFrame(
+                {
+                    "k": np.concatenate(([0], k_col)),
+                    "sy": np.concatenate(([int((Q * Q).sum())], Y.sum(axis=0))),
+                    "sy2": np.concatenate(([0], (Y * Y).sum(axis=0))),
+                }
+            )
+            yield out
+
+    parts = e.mapInPandas(partial_project, "k int, sy long, sy2 long")
+    merged = parts.groupBy("k").agg(
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sy2").cast("bigint").alias("sy2"),
+    )
+    tot = merged.filter(F.col("k") == 0).select(F.col("sy").alias("tot_x2"))
+    return (
+        merged.filter(F.col("k") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("sy").alias("sum_y_e4"),
+            F.col("sy2").alias("sum_y2_e8"),
+            F.expr("CAST(sy2 * 10000 div tot_x2 AS BIGINT)").alias("ratio_e4"),
+        )
+        .orderBy("k")
+    )

@@ -4464,3 +4464,210 @@ def rel_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("xor60") != F.col("d_xor60")) | (F.col("sum32") != F.col("d_sum32"))
         ).alias("corruption_detected"),
     )
+
+
+# --- table maintenance: small-file compaction planning (round 7) --------------
+
+_COMPACT_FILES = 499   # synthetic file inventory: orderkey mod buckets
+_COMPACT_BINS = 40     # target bin count (target_bytes = total div 40 + 1)
+
+
+@register(
+    "rel_compaction_plan",
+    sql=f"""
+WITH files AS (
+  SELECT o_orderkey % {_COMPACT_FILES} AS file_id,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS size_bytes
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(CAST(sum(size_bytes) AS BIGINT) // {_COMPACT_BINS} + 1 AS BIGINT)
+    AS target FROM files
+),
+packed AS (
+  SELECT file_id, size_bytes, t.target,
+    CAST(sum(size_bytes) OVER (
+      ORDER BY size_bytes DESC, file_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM files CROSS JOIN t
+)
+SELECT CAST((cum - 1) // target AS BIGINT) AS bin_id,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+  CAST(max(size_bytes) AS BIGINT) AS max_file_bytes,
+  CAST(min(target) AS BIGINT) AS target_bytes,
+  CAST(CAST(sum(size_bytes) AS BIGINT) * 10000 // min(target) AS BIGINT)
+    AS fill_e4
+FROM packed GROUP BY 1 ORDER BY 1
+""",
+    tags=("maintenance", "compaction", "bin-packing", "distributed-cumsum"),
+)
+def rel_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass every
+    keyed-parquet / lakehouse layout needs once streaming ingest has
+    sprayed thousands of under-sized files (the keyed sink's dynamic
+    partition overwrites produce exactly this).  Files (here a synthetic
+    but deterministic inventory: orderkey mod {_COMPACT_FILES} buckets,
+    size = fixed-point byte proxy) are ordered size-DESC and packed by
+    PREFIX SUM into target-sized rewrite bins: bin_id = (cum - 1) div
+    target.  This is next-fit-decreasing relaxed for distribution — the
+    only sequential state is the running sum, computed with the exact
+    distributed cumsum (operators/ranking.py: range partition + offsets,
+    no single-partition window), so planning a 10M-file inventory is one
+    linear pass + one tiny shuffle.  Capacity bound is honest: a bin can
+    overshoot target by less than its largest member file (fill_e4 makes
+    the overshoot visible per bin); classic FFD packs ~equally well but
+    is inherently sequential.  All arithmetic exact int64 on both
+    engines."""
+    from knowledgebot_spark.operators import ranking as rk
+
+    o = _t(spark, sf, "orders")
+    files = o.groupBy(
+        (F.col("o_orderkey") % _COMPACT_FILES).alias("file_id")
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("size_bytes")
+    )
+    tot = files.agg(
+        F.expr(f"CAST(sum(size_bytes) div {_COMPACT_BINS} + 1 AS BIGINT)").alias(
+            "target"
+        )
+    )
+    sized = files.crossJoin(F.broadcast(tot))
+    packed = rk.with_global_cumsum(
+        sized,
+        [F.col("size_bytes").desc(), F.col("file_id").asc()],
+        F.col("size_bytes"),
+        out="cum",
+    )
+    return (
+        packed.withColumn("bin_id", F.expr("CAST((cum - 1) div target AS BIGINT)"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
+            F.max("size_bytes").cast("bigint").alias("max_file_bytes"),
+            F.min("target").cast("bigint").alias("target_bytes"),
+            F.expr("CAST(sum(size_bytes) * 10000 div min(target) AS BIGINT)").alias(
+                "fill_e4"
+            ),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# --- reconciliation: row-level snapshot diff (round 7) -------------------------
+
+
+@register(
+    "rel_snapshot_diff",
+    sql="""
+WITH canon AS (
+  SELECT o_orderkey AS k,
+    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS c1,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    o_custkey, o_orderstatus, o_orderpriority,
+    strftime(o_orderdate, '%Y-%m-%d') AS day
+  FROM orders
+),
+base AS (
+  SELECT k, concat_ws('|', CAST(k AS VARCHAR), CAST(o_custkey AS VARCHAR),
+    o_orderstatus, o_orderpriority, CAST(cents AS VARCHAR), day) AS row_b
+  FROM canon
+),
+replica AS (
+  SELECT k, concat_ws('|', CAST(k AS VARCHAR), CAST(o_custkey AS VARCHAR),
+    o_orderstatus, o_orderpriority,
+    CAST(cents + (CASE WHEN c1 = 'f' THEN 1 ELSE 0 END) AS VARCHAR), day)
+    AS row_r
+  FROM canon WHERE c1 <> '0'
+  UNION ALL
+  SELECT k + 100000000,
+    concat_ws('|', CAST(k + 100000000 AS VARCHAR), CAST(o_custkey AS VARCHAR),
+    o_orderstatus, o_orderpriority, CAST(cents AS VARCHAR), day)
+  FROM canon WHERE c1 = 'a'
+),
+diff AS (
+  SELECT coalesce(b.k, r.k) AS k,
+    CASE WHEN b.row_b IS NULL THEN 'added'
+         WHEN r.row_r IS NULL THEN 'removed'
+         WHEN b.row_b <> r.row_r THEN 'changed'
+         ELSE 'unchanged' END AS change_type
+  FROM base b FULL OUTER JOIN replica r ON b.k = r.k
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+    AS BIGINT) AS key_xor60
+FROM diff GROUP BY 1 ORDER BY 1
+""",
+    tags=("reconciliation", "snapshot-diff", "full-outer-join", "cdc"),
+)
+def rel_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level diff between two table snapshots — the drill-down
+    companion to rel_table_fingerprint: the fingerprint says IN 24 BYTES
+    whether two replicas agree; this query says WHICH keys were added,
+    removed, or changed, and proves it with an order-invariant xor
+    checksum of the key set per change class.  The replica is derived
+    deterministically from the base (md5-keyed drift: 1/16 of keys
+    deleted, 1/16 mutated by one cent, 1/16 duplicated under new keys),
+    so both engines diff identical snapshots.  Shape: ONE full outer
+    join on the snapshot key — both sides hash-partition by key, so at
+    100 TB the diff is co-partitioned, skew-free (unique keys), and
+    linear; bucketed/sorted snapshot layouts make it shuffle-free.  The
+    canonical row string uses the fingerprint's cross-engine rules
+    (fixed-point money, formatted dates, never raw doubles)."""
+    raw = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias("c1"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    )
+
+    def row_str(k, cents):
+        return F.concat_ws(
+            "|",
+            k.cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            cents.cast("string"),
+            F.col("day"),
+        )
+
+    base = raw.select("k", row_str(F.col("k"), F.col("cents")).alias("row_b"))
+    kept = raw.filter(F.col("c1") != "0").select(
+        "k",
+        row_str(
+            F.col("k"),
+            F.col("cents") + (F.col("c1") == "f").cast("bigint"),
+        ).alias("row_r"),
+    )
+    added = raw.filter(F.col("c1") == "a").select(
+        (F.col("k") + 100000000).alias("k"),
+        row_str(F.col("k") + 100000000, F.col("cents")).alias("row_r"),
+    )
+    replica = kept.unionAll(added)
+    diff = base.join(replica, "k", "full").select(
+        "k",
+        F.when(F.col("row_b").isNull(), "added")
+        .when(F.col("row_r").isNull(), "removed")
+        .when(F.col("row_b") != F.col("row_r"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    key_h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.bit_xor(key_h).cast("bigint").alias("key_xor60"),
+        )
+        .orderBy("change_type")
+    )

@@ -107,6 +107,18 @@ FLAGSHIPS = (
         "rel_table_fingerprint",
         "two scan-linear md5 passes collapsing to xor/sum partials; no shuffle beyond the final gather",
     ),
+    (
+        "rel_compaction_plan",
+        "file inventory = one orderkey hash agg; NFD packing rides the distributed cumsum (range partition + offsets), 1-row target broadcast",
+    ),
+    (
+        "rel_snapshot_diff",
+        "ONE key-co-partitioned SortMergeJoin FullOuter; both snapshot sides are scan-linear projections, classification and checksums post-join",
+    ),
+    (
+        "llm_quality_classifier",
+        "explode -> doc-keyed partial agg, weight lookup inlined as md5 arithmetic (no join), WholeStageCodegen end to end",
+    ),
 )
 
 

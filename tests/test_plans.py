@@ -272,6 +272,9 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_zorder_skipping",  # 1-row box-agg x 1-row total-count x 1-row bounds scalars
         "rel_bloom_join_prune",  # four 1-row count/sum scalars crossJoined into the report row
         "rel_table_fingerprint",  # 1-row min-key + 1-row dirty-checksum scalars crossJoined
+        "rel_compaction_plan",  # 1-row target-size scalar broadcast into the file inventory
+        "llm_leakage_safe_split",  # 1-row max-straddle proof scalar broadcast
+        "llm_random_projection",  # 1-row input-energy scalar broadcast into per-dim ratios
     }
     for name, qd in load().items():
         if name.startswith("stream_"):
@@ -456,6 +459,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "rel_window_ntile": "distributed ntile; offsets window over |partitions| rows",
     "rel_exact_quantiles_distributed": "distributed rank; offsets window over |partitions| rows",
     "rel_concurrency_sweep": "distributed cumsum; offsets window over |partitions| rows",
+    "rel_compaction_plan": "distributed cumsum; offsets window over |partitions| rows",
 }
 
 _WINDOW_BARRIERS = (
