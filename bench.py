@@ -125,6 +125,9 @@ HEADLINE = [
     "llm_quality_classifier",
     "llm_leakage_safe_split",
     "llm_random_projection",
+    "rel_dpp_join",
+    "rel_join_cardinality_sketch",
+    "llm_kneser_ney_lm",
 ]
 
 

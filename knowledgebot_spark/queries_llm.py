@@ -5596,3 +5596,185 @@ def llm_random_projection(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- Kneser-Ney language model scoring (round 7, wave 2) -----------------------
+
+_KN_D_NUM = 3  # discount D = 3/4, kept as an exact rational on both engines
+_KN_D_DEN = 4
+
+
+def _duck_kneser_ney_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train,
+    str_split(lower(text), ' ') AS t
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM (
+      SELECT unnest(t) AS w FROM toks WHERE is_train
+    ) WHERE w <> '' GROUP BY w
+  ) ORDER BY c DESC, w LIMIT {_LM_VOCAB}
+), vs AS (
+  SELECT list(w) AS vlist FROM vocab
+), mapped AS (
+  SELECT doc_id, is_train,
+    [CASE WHEN list_contains(vs.vlist, tok) THEN tok ELSE '<unk>' END
+     FOR tok IN t IF tok <> ''] AS mt
+  FROM toks CROSS JOIN vs
+), bigrams0 AS (
+  SELECT doc_id, is_train,
+    unnest([mt[i] || ' ' || mt[i + 1]
+            FOR i IN generate_series(1, len(mt) - 1)]) AS bg
+  FROM mapped WHERE len(mt) >= 2
+), bigrams AS (
+  SELECT doc_id, is_train, bg,
+    split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bigrams0
+), bg_counts AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM bigrams
+  WHERE is_train GROUP BY bg
+), ctx AS (
+  SELECT w1 AS w, CAST(count(*) AS BIGINT) AS ca,
+    CAST(count(DISTINCT bg) AS BIGINT) AS n1fwd
+  FROM bigrams WHERE is_train GROUP BY w1
+), bwd AS (
+  SELECT w2 AS w, CAST(count(DISTINCT bg) AS BIGINT) AS n1bwd
+  FROM bigrams WHERE is_train GROUP BY w2
+), tot AS (
+  SELECT CAST(count(DISTINCT bg) AS BIGINT) AS n1tot FROM bigrams
+  WHERE is_train
+), scored AS (
+  SELECT v.doc_id,
+    -avg(ln(
+      CASE WHEN coalesce(c.ca, 0) > 0 THEN
+        (greatest(coalesce(b.cab, 0) * {_KN_D_DEN} - {_KN_D_NUM}, 0)
+           * (tot.n1tot + {_LM_VOCAB} + 1)
+         + {_KN_D_NUM} * c.n1fwd * (coalesce(d.n1bwd, 0) + 1)) * 1.0
+          / ({_KN_D_DEN} * c.ca * (tot.n1tot + {_LM_VOCAB} + 1))
+      ELSE
+        (coalesce(d.n1bwd, 0) + 1) * 1.0 / (tot.n1tot + {_LM_VOCAB} + 1)
+      END)) AS nll
+  FROM bigrams v
+  LEFT JOIN bg_counts b ON v.bg = b.bg
+  LEFT JOIN ctx c ON v.w1 = c.w
+  LEFT JOIN bwd d ON v.w2 = d.w
+  CROSS JOIN tot
+  WHERE NOT v.is_train
+  GROUP BY v.doc_id
+)
+SELECT doc_id, round(nll, 6) AS nll
+FROM scored ORDER BY round(nll, 6) DESC, doc_id LIMIT {_LM_TOPK}
+"""
+
+
+@register(
+    "llm_kneser_ney_lm",
+    sql=_duck_kneser_ney_sql(),
+    tags=("quality", "kneser-ney", "language-model", "smoothing", "training-data"),
+)
+def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing that made
+    count-based LMs usable (Kneser & Ney 1995; Chen & Goodman 1999's
+    reference formulation) and the stronger sibling of
+    llm_lm_perplexity's add-1 model: probability mass is moved by
+    ABSOLUTE DISCOUNTING (D = {_KN_D_NUM}/{_KN_D_DEN} off every seen
+    bigram) and redistributed by the CONTINUATION distribution (how many
+    distinct contexts a word follows), which fixes add-1's
+    overestimation of frequent-but-rigid words.  Same train/score split
+    and vocabulary as the add-1 query, so the two models are directly
+    comparable per document.
+
+    p(w|v) = (max(c(v,w) - D, 0) + D * N1+(v,*) * p_cont(w)) / c(v),
+    p_cont(w) = (N1+(*,w) + 1) / (N1+(*,*) + V + 1) — the continuation
+    distribution carries an add-1 floor so held-out-only events score
+    finite (documented deviation from textbook KN, which is undefined
+    there).  Numerically: every ln() argument is the same rational on
+    both engines — the discount enters as the exact integer pair
+    {_KN_D_NUM}/{_KN_D_DEN} and the interpolated sum is stated over ONE
+    common integer denominator, so ln() receives a single division of
+    identical int64s on both engines — never a two-term float sum, whose
+    association order drifts at 1e-6 — and the mean rounds at
+    6dp before ranking (the llm_pmi_collocations rule).  Shape: three
+    broadcastable model tables (bigram counts; per-context totals +
+    distinct-continuation counts in ONE agg; per-word left-context
+    counts), one 1-row bigram-type-count scalar, three LEFT joins on the
+    held-out stream, one doc-keyed avg — model size tracks vocabulary
+    (bounded), corpus cost is the two train-stream aggregates."""
+    d = _t(spark, sf, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    toks = d.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("t"),
+    )
+    unigrams = toks.filter("is_train").select(F.explode("t").alias("w"))
+    vocab = (
+        unigrams.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_LM_VOCAB)
+        .select("w")
+    )
+    vset = vocab.agg(F.collect_list("w").alias("vs"))
+    mapped = (
+        toks.crossJoin(F.broadcast(vset))
+        .select(
+            "doc_id",
+            "is_train",
+            F.expr(
+                "transform(t, tok -> CASE WHEN array_contains(vs, tok) "
+                "THEN tok ELSE '<unk>' END)"
+            ).alias("mt"),
+        )
+        .filter(F.size("mt") >= 2)
+    )
+    bigrams = mapped.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(mt) - 1), "
+                "i -> struct(concat(mt[i - 1], ' ', mt[i]) AS bg, "
+                "mt[i - 1] AS w1, mt[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "is_train", "p.bg", "p.w1", "p.w2")
+    train = bigrams.filter("is_train")
+    bg_counts = train.groupBy("bg").agg(F.count("*").cast("bigint").alias("cab"))
+    ctx = train.groupBy(F.col("w1").alias("cw")).agg(
+        F.count("*").cast("bigint").alias("ca"),
+        F.countDistinct("bg").cast("bigint").alias("n1fwd"),
+    )
+    bwd = train.groupBy(F.col("w2").alias("bw")).agg(
+        F.countDistinct("bg").cast("bigint").alias("n1bwd")
+    )
+    tot = train.agg(F.countDistinct("bg").cast("bigint").alias("n1tot"))
+    held = bigrams.filter(~F.col("is_train"))
+    # the interpolated sum is stated over ONE common denominator so ln()
+    # sees a single division of identical exact integers on both engines —
+    # a two-term float sum associates differently and drifts at 1e-6
+    p_expr = F.expr(
+        f"""CASE WHEN coalesce(ca, 0) > 0 THEN
+              (greatest(coalesce(cab, 0) * {_KN_D_DEN} - {_KN_D_NUM}, 0)
+                 * (n1tot + {_LM_VOCAB} + 1)
+               + {_KN_D_NUM} * n1fwd * (coalesce(n1bwd, 0) + 1)) * 1.0
+                / ({_KN_D_DEN} * ca * (n1tot + {_LM_VOCAB} + 1))
+            ELSE (coalesce(n1bwd, 0) + 1) * 1.0 / (n1tot + {_LM_VOCAB} + 1)
+            END"""
+    )
+    scored = (
+        held.join(F.broadcast(bg_counts), "bg", "left")
+        .join(F.broadcast(ctx), held.w1 == F.col("cw"), "left")
+        .join(F.broadcast(bwd), held.w2 == F.col("bw"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log(p_expr))).alias("nll"))
+    )
+    return (
+        scored.select("doc_id", F.round("nll", 6).alias("nll"))
+        .orderBy(F.desc("nll"), F.asc("doc_id"))
+        .limit(_LM_TOPK)
+    )

@@ -4671,3 +4671,146 @@ def rel_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# --- dynamic partition pruning (round 7, wave 2) --------------------------------
+
+
+@register(
+    "rel_dpp_join",
+    sql="""
+SELECT strftime(o_orderdate, '%Y') AS order_year,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_e2
+FROM orders
+WHERE strftime(o_orderdate, '%Y') >= '1996'
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("scan", "partition-pruning", "dynamic", "join", "layout"),
+)
+def rel_dpp_join(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven sibling of
+    rel_partition_pruning's static case, and the bigger lever at 100 TB
+    because real dashboards filter the DIMENSION, not the fact's
+    partition column: the fact is the year-partitioned orders layout
+    (same staged dataset), the filter lives on a small dim relation, and
+    Catalyst inserts a runtime pruning subquery (``dynamicpruning#`` in
+    the scan's PartitionFilters, asserted by tests/test_round7_ops.py)
+    that reuses the broadcast to skip entire fact partitions BEFORE any
+    fact I/O happens.  Without DPP this plan reads every year and throws
+    most of it away at the join; with it, partition elimination tracks
+    dim selectivity at runtime — no query rewrite, no manual predicate
+    copying.  Values are oracled against the plain filtered aggregate;
+    revenue is exact integer cents (no rounded-double sums)."""
+    import os
+
+    base = (
+        f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}"
+        "/orders_by_year"
+    )
+    o = _t(spark, sf, "orders")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            o.withColumn("order_year", F.date_format("o_orderdate", "yyyy"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(base)
+        )
+    fact = spark.read.option("basePath", base).parquet(base)
+    dim = (
+        o.select(F.date_format("o_orderdate", "yyyy").alias("dim_year"))
+        .distinct()
+        .filter(F.col("dim_year") >= "1996")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.order_year == dim.dim_year)
+        .groupBy(F.col("order_year").cast("string").alias("order_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_e2"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# --- sketch-based join-size estimation (round 7, wave 2) ------------------------
+
+_AMS_D = 4    # sketch rows (independent hash functions)
+_AMS_W = 512  # cells per row
+
+
+@register(
+    "rel_join_cardinality_sketch",
+    sql=f"""
+WITH l AS (SELECT l_partkey AS k FROM lineitem),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs
+  FROM (SELECT count(*) AS c FROM l GROUP BY k)
+),
+cells AS (
+  SELECT j, ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '_'
+      || CAST(k AS VARCHAR)), 1, 4))::INT % {_AMS_W} AS cell
+  FROM l, generate_series(1, {_AMS_D}) AS t(j)
+),
+cm AS (
+  SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(min(e) AS BIGINT) AS est_pairs
+  FROM (SELECT j, sum(cnt * cnt) AS e FROM cm GROUP BY j)
+)
+SELECT exact_pairs, est_pairs,
+  CAST(est_pairs * 10000 // exact_pairs AS BIGINT) AS over_ratio_e4,
+  est_pairs >= exact_pairs AS est_ge_exact
+FROM exact CROSS JOIN est
+""",
+    tags=("sketch", "join-cardinality", "f2", "ams", "mergeable"),
+)
+def rel_join_cardinality_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-join size (the second frequency moment F2 = sum of squared
+    key frequencies) estimated from a Count-Min sketch inner product —
+    the statistic a cost-based planner needs BEFORE attempting a join on
+    a possibly-skewed key, answering 'how many pairs will this explode
+    into?' without running the join.  The sketch is {_AMS_D} rows x
+    {_AMS_W} md5-derived cells; est = min over rows of sum(cell^2),
+    which is >= the true F2 by construction (collisions only ADD mass —
+    the in-query est_ge_exact gate pins the guarantee) and close when
+    the heavy keys dominate, exactly the regime where the estimate
+    matters.  Shape: the sketch build is one (j, cell)-keyed hash agg
+    whose map-side partials collapse every task to <= {_AMS_D}*{_AMS_W}
+    rows — the shuffle is sketch-sized, not data-sized, and the sketch
+    merges BY ADDITION across shards/days like the other sketch ops.
+    The exact F2 (computed here as the oracle gate) costs a full
+    key-keyed shuffle — the thing the sketch exists to avoid.  All
+    exact int64; at 100x data the cells hold ~117k counts, squared sums
+    ~7e12, far inside int64."""
+    lkeys = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    exact = (
+        lkeys.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * c")).cast("bigint").alias("exact_pairs"))
+    )
+    cells = lkeys.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_AMS_D))).alias("j"), "k"
+    ).selectExpr(
+        "j",
+        "CAST(conv(substr(md5(concat('cm', CAST(j AS STRING), '_', "
+        f"CAST(k AS STRING))), 1, 4), 16, 10) AS INT) % {_AMS_W} AS cell",
+    )
+    cm = cells.groupBy("j", "cell").agg(F.count("*").alias("cnt"))
+    est = (
+        cm.groupBy("j")
+        .agg(F.sum(F.expr("cnt * cnt")).alias("e"))
+        .agg(F.min("e").cast("bigint").alias("est_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "est_pairs",
+        F.expr("CAST(est_pairs * 10000 div exact_pairs AS BIGINT)").alias(
+            "over_ratio_e4"
+        ),
+        (F.col("est_pairs") >= F.col("exact_pairs")).alias("est_ge_exact"),
+    )

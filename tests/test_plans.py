@@ -275,6 +275,8 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "rel_compaction_plan",  # 1-row target-size scalar broadcast into the file inventory
         "llm_leakage_safe_split",  # 1-row max-straddle proof scalar broadcast
         "llm_random_projection",  # 1-row input-energy scalar broadcast into per-dim ratios
+        "rel_join_cardinality_sketch",  # 1-row exact-F2 x 1-row sketch-estimate scalars crossJoined
+        "llm_kneser_ney_lm",  # 1-row vocab-list + 1-row bigram-type-count scalar broadcasts
     }
     for name, qd in load().items():
         if name.startswith("stream_"):

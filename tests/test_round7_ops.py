@@ -275,3 +275,78 @@ def test_random_projection_partition_invariant(spark, sf_dir, catalog):
         tables.read_table = orig
         qllm._t = qorig
     assert redo == base
+
+
+# --- wave 2: dynamic partition pruning -------------------------------------------
+
+
+def test_dpp_join_plans_dynamic_pruning_and_matches_flat(spark, sf_dir, catalog):
+    """The staged year-partitioned fact must carry a runtime pruning
+    subquery (dynamicpruning#N in the executed plan) — the join-driven
+    partition elimination the query exists to prove — and its values
+    must equal the flat filtered aggregate."""
+    df = catalog["rel_dpp_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    rows = {r.order_year: (r.n_orders, r.revenue_e2) for r in df.collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o["o_orderdate"].dt.year >= 1996]
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+    expect = {
+        str(y): (int((o["o_orderdate"].dt.year == y).sum()),
+                 int(cents[o["o_orderdate"].dt.year == y].sum()))
+        for y in sorted(o["o_orderdate"].dt.year.unique())
+    }
+    assert rows == expect
+
+
+# --- wave 2: sketch join-cardinality ----------------------------------------------
+
+
+def test_join_cardinality_sketch_bounds(spark, sf_dir, catalog):
+    r = catalog["rel_join_cardinality_sketch"].fn(spark, sf_dir).collect()[0]
+    l = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    exact = int((l.groupby("l_partkey").size() ** 2).sum())
+    assert r.exact_pairs == exact
+    # CM inner product NEVER underestimates (collisions only add mass)
+    assert r.est_ge_exact and r.est_pairs >= exact
+    assert r.over_ratio_e4 == r.est_pairs * 10000 // exact
+    # and with d=4 rows x w=512 cells the overestimate stays useful
+    # (loose engineering bound; at sf0.001 keys/cell is tiny)
+    assert r.est_pairs <= exact * 10
+
+
+def test_join_cardinality_sketch_replays_in_python(spark, sf_dir, catalog):
+    from knowledgebot_spark.queries_relational import _AMS_D, _AMS_W
+
+    r = catalog["rel_join_cardinality_sketch"].fn(spark, sf_dir).collect()[0]
+    l = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    best = None
+    for j in range(1, _AMS_D + 1):
+        cells = {}
+        for k in l["l_partkey"]:
+            c = int(hashlib.md5(f"cm{j}_{k}".encode()).hexdigest()[:4], 16) % _AMS_W
+            cells[c] = cells.get(c, 0) + 1
+        e = sum(v * v for v in cells.values())
+        best = e if best is None or e < best else best
+    assert r.est_pairs == best
+
+
+# --- wave 2: Kneser-Ney scoring ----------------------------------------------------
+
+
+def test_kneser_ney_differs_from_add1_but_same_contract(spark, sf_dir, catalog):
+    """KN and add-1 score the same held-out documents under the same
+    vocabulary; the rankings overlap heavily (both find the same junk)
+    but the scores must NOT be identical — otherwise the discounting/
+    continuation machinery isn't actually engaged."""
+    kn = catalog["llm_kneser_ney_lm"].fn(spark, sf_dir).collect()
+    add1 = catalog["llm_lm_perplexity"].fn(spark, sf_dir).collect()
+    assert len(kn) == len(add1) > 0
+    kn_scores = {r.doc_id: r.nll for r in kn}
+    a1_scores = {r.doc_id: r.nll for r in add1}
+    shared = set(kn_scores) & set(a1_scores)
+    assert shared, "the two models should flag overlapping documents"
+    assert any(kn_scores[d] != a1_scores[d] for d in shared)
+    # every nll is positive and finite (the continuation add-1 floor works)
+    assert all(np.isfinite(r.nll) and r.nll > 0 for r in kn)
