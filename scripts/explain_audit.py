@@ -117,7 +117,15 @@ FLAGSHIPS = (
     ),
     (
         "llm_quality_classifier",
-        "explode -> doc-keyed partial agg, weight lookup inlined as md5 arithmetic (no join), WholeStageCodegen end to end",
+        "explode -> codegen md5 per feature -> 256-row broadcast weight join -> doc-keyed partial agg; no token-stream shuffle",
+    ),
+    (
+        "rel_dpp_join",
+        "dynamicpruning# subquery in the fact scan's PartitionFilters — runtime partition elimination reusing the dim broadcast",
+    ),
+    (
+        "rel_join_cardinality_sketch",
+        "sketch build collapses each task to <= d*w rows via map-side partials; exact-F2 gate is the key shuffle the sketch avoids",
     ),
 )
 

@@ -45,6 +45,12 @@ AT_RISK = [
     "rel_cm_heavy_hitters",
     "llm_gram_matrix",  # zero-norm + 1e-30 vectors through the int matmul
     "llm_power_iteration",  # max|u| renormalizer against near-zero mass
+    # round 7
+    "llm_cc_alternating_star",  # near-dup edge set may be tiny or empty
+    "llm_quality_classifier",  # empty-text docs hash to the '' feature
+    "llm_leakage_safe_split",  # group keys collapse on repeated prefixes
+    "llm_random_projection",  # zero-norm + 1e-30 vectors through the matmul
+    "llm_kneser_ney_lm",  # near-empty train split, all-<unk> mapping
 ]
 
 

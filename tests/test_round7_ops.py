@@ -350,3 +350,15 @@ def test_kneser_ney_differs_from_add1_but_same_contract(spark, sf_dir, catalog):
     assert any(kn_scores[d] != a1_scores[d] for d in shared)
     # every nll is positive and finite (the continuation add-1 floor works)
     assert all(np.isfinite(r.nll) and r.nll > 0 for r in kn)
+
+
+def test_alternating_star_empty_and_selfloop_edges(spark):
+    """Degenerate inputs: an empty edge list converges immediately to an
+    empty labeling; self-loops are canonicalized away."""
+    from knowledgebot_spark.operators.dedup import alternating_star_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert alternating_star_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (9, 9), (3, 4)], "id_a long, id_b long")
+    out = sorted(tuple(r) for r in alternating_star_components(loops).collect())
+    assert out == [(3, 3), (4, 3)]
