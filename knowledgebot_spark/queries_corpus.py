@@ -408,6 +408,25 @@ CLUSTER_ITERS = 3  # >= max component diameter; near-dup clusters at
                    # a fixed count
 
 
+def _near_dup_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The MinHash-LSH near-dup edge list (Jaccard >= CLUSTER_JACCARD) both
+    cluster-resolution queries consume.  Shared on purpose: the two queries
+    are pinned to ONE oracle SQL, so their edge construction must stay
+    byte-identical — a tweak applied to only one would silently
+    desynchronize the 'two algorithms, one driver hash' parity claim."""
+    docs = _t(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    pairs = dd.candidate_pairs(
+        dd.lsh_bands(dd.with_minhash(hashed), "doc_id"), "doc_id"
+    )
+    verified = dd.jaccard_verify(pairs, dd.with_shingles(docs, "text"), "doc_id")
+    return verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "llm_dedup_clusters",
     sql=None,  # assigned below: embeds the llm_dedup_minhash oracle as a CTE
@@ -424,17 +443,7 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     cheap relative to the LSH scan; production would localCheckpoint per
     round to truncate lineage (the alternating-star variant of
     Kiveris et al. cuts rounds to O(log n) for pathological chains)."""
-    docs = _t(spark, sf, "documents")
-    hashed = docs.select(
-        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
-    )
-    pairs = dd.candidate_pairs(
-        dd.lsh_bands(dd.with_minhash(hashed), "doc_id"), "doc_id"
-    )
-    verified = dd.jaccard_verify(pairs, dd.with_shingles(docs, "text"), "doc_id")
-    near = verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
-        "id_a", "id_b"
-    )
+    near = _near_dup_edges(spark, sf)
     # symmetric edges WITH self-loops, cached: self-loops make one round
     # `labels(b) -> min per a` alone (labels referenced ONCE per round, so
     # the logical plan stays LINEAR in rounds — the textbook two-reference
@@ -929,17 +938,7 @@ def llm_cc_alternating_star(spark: SparkSession, sf: str) -> DataFrame:
     oracle as llm_dedup_clusters — the strongest possible parity statement
     for an iterative algorithm: two independent implementations, one
     driver hash."""
-    docs = _t(spark, sf, "documents")
-    hashed = docs.select(
-        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
-    )
-    pairs = dd.candidate_pairs(
-        dd.lsh_bands(dd.with_minhash(hashed), "doc_id"), "doc_id"
-    )
-    verified = dd.jaccard_verify(pairs, dd.with_shingles(docs, "text"), "doc_id")
-    near = verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
-        "id_a", "id_b"
-    )
+    near = _near_dup_edges(spark, sf)
     labels = dd.alternating_star_components(near)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(

@@ -5524,7 +5524,8 @@ x2 AS (SELECT CAST(sum(x * x) AS BIGINT) AS tot FROM q)
 SELECT CAST(k AS INTEGER) AS k,
   CAST(sum(y) AS BIGINT) AS sum_y_e4,
   CAST(sum(y * y) AS BIGINT) AS sum_y2_e8,
-  CAST(CAST(sum(y * y) AS BIGINT) * 10000 // x2.tot AS BIGINT) AS ratio_e4
+  CAST(CAST(sum(y * y) AS BIGINT) * 10000 // greatest(x2.tot, 1) AS BIGINT)
+    AS ratio_e4
 FROM y CROSS JOIN x2 GROUP BY k, x2.tot ORDER BY k
 """,
     tags=("embedding", "random-projection", "jl", "mergeable", "mapInPandas"),
@@ -5592,7 +5593,12 @@ def llm_random_projection(spark: SparkSession, sf: str) -> DataFrame:
             F.col("k").cast("int").alias("k"),
             F.col("sy").alias("sum_y_e4"),
             F.col("sy2").alias("sum_y2_e8"),
-            F.expr("CAST(sy2 * 10000 div tot_x2 AS BIGINT)").alias("ratio_e4"),
+            # greatest(,1): an all-zero-energy corpus (every vector quantizes
+            # to 0 at e4) must report ratio 0, not abort on ANSI div-by-zero —
+            # sy2 is necessarily 0 there, so the floor changes no real value
+            F.expr("CAST(sy2 * 10000 div greatest(tot_x2, 1) AS BIGINT)").alias(
+                "ratio_e4"
+            ),
         )
         .orderBy("k")
     )

@@ -3470,6 +3470,29 @@ def rel_concurrency_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- partition pruning (round 5) ----------------------------------------------
 
+def _stage_orders_by_year(spark: SparkSession, sf: str) -> str:
+    """Stage (once per sf dir) the year-partitioned orders layout shared by
+    rel_partition_pruning (static pruning) and rel_dpp_join (dynamic
+    pruning).  One helper on purpose: both queries must consume the SAME
+    path, partition column, and written shape — duplicated staging blocks
+    would let one silently read the other's stale layout after a change."""
+    import os
+
+    base = (
+        f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}"
+        "/orders_by_year"
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            _t(spark, sf, "orders")
+            .withColumn("order_year", F.date_format("o_orderdate", "yyyy"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(base)
+        )
+    return base
+
+
 @register(
     "rel_partition_pruning",
     sql="""
@@ -3497,18 +3520,7 @@ def rel_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     runs — idempotent, like the other format stages.  Values are
     identical to scanning the flat table: the oracle states the same
     aggregate from the unpartitioned file."""
-    import os
-
-    base = f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}/orders_by_year"
-    o = _t(spark, sf, "orders")
-    src = o.withColumn("order_year", F.date_format("o_orderdate", "yyyy"))
-    done = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(done):
-        (
-            src.write.mode("overwrite")
-            .partitionBy("order_year")
-            .parquet(base)
-        )
+    base = _stage_orders_by_year(spark, sf)
     back = (
         spark.read
         # partition values must come back as strings, not inferred ints —
@@ -4584,8 +4596,8 @@ replica AS (
     AS row_r
   FROM canon WHERE c1 <> '0'
   UNION ALL
-  SELECT k + 100000000,
-    concat_ws('|', CAST(k + 100000000 AS VARCHAR), CAST(o_custkey AS VARCHAR),
+  SELECT k + 1099511627776,
+    concat_ws('|', CAST(k + 1099511627776 AS VARCHAR), CAST(o_custkey AS VARCHAR),
     o_orderstatus, o_orderpriority, CAST(cents AS VARCHAR), day)
   FROM canon WHERE c1 = 'a'
 ),
@@ -4611,8 +4623,10 @@ def rel_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     removed, or changed, and proves it with an order-invariant xor
     checksum of the key set per change class.  The replica is derived
     deterministically from the base (md5-keyed drift: 1/16 of keys
-    deleted, 1/16 mutated by one cent, 1/16 duplicated under new keys),
-    so both engines diff identical snapshots.  Shape: ONE full outer
+    deleted, 1/16 mutated by one cent, 1/16 duplicated under new keys
+    offset by 2^40 — beyond any realistic orderkey range, so synthetic
+    'added' keys can never collide with live keys and the join side
+    stays unique at any SF), so both engines diff identical snapshots.  Shape: ONE full outer
     join on the snapshot key — both sides hash-partition by key, so at
     100 TB the diff is co-partitioned, skew-free (unique keys), and
     linear; bucketed/sorted snapshot layouts make it shuffle-free.  The
@@ -4648,8 +4662,8 @@ def rel_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("row_r"),
     )
     added = raw.filter(F.col("c1") == "a").select(
-        (F.col("k") + 100000000).alias("k"),
-        row_str(F.col("k") + 100000000, F.col("cents")).alias("row_r"),
+        (F.col("k") + (1 << 40)).alias("k"),
+        row_str(F.col("k") + (1 << 40), F.col("cents")).alias("row_r"),
     )
     replica = kept.unionAll(added)
     diff = base.join(replica, "k", "full").select(
@@ -4703,20 +4717,8 @@ def rel_dpp_join(spark: SparkSession, sf: str) -> DataFrame:
     dim selectivity at runtime — no query rewrite, no manual predicate
     copying.  Values are oracled against the plain filtered aggregate;
     revenue is exact integer cents (no rounded-double sums)."""
-    import os
-
-    base = (
-        f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}"
-        "/orders_by_year"
-    )
+    base = _stage_orders_by_year(spark, sf)
     o = _t(spark, sf, "orders")
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        (
-            o.withColumn("order_year", F.date_format("o_orderdate", "yyyy"))
-            .write.mode("overwrite")
-            .partitionBy("order_year")
-            .parquet(base)
-        )
     fact = spark.read.option("basePath", base).parquet(base)
     dim = (
         o.select(F.date_format("o_orderdate", "yyyy").alias("dim_year"))

@@ -161,7 +161,7 @@ def test_snapshot_diff_counts_match_pandas_replay(spark, sf_dir, catalog):
         return acc
 
     assert rows["removed"].key_xor60 == xor60(o["o_orderkey"][c1 == "0"])
-    assert rows["added"].key_xor60 == xor60(o["o_orderkey"][c1 == "a"] + 100000000)
+    assert rows["added"].key_xor60 == xor60(o["o_orderkey"][c1 == "a"] + (1 << 40))
 
 
 # --- hashed-feature quality classifier ------------------------------------------
@@ -362,3 +362,23 @@ def test_alternating_star_empty_and_selfloop_edges(spark):
     loops = spark.createDataFrame([(7, 7), (9, 9), (3, 4)], "id_a long, id_b long")
     out = sorted(tuple(r) for r in alternating_star_components(loops).collect())
     assert out == [(3, 3), (4, 3)]
+
+
+def test_random_projection_zero_energy_corpus_does_not_abort(spark, tmp_path):
+    """An embeddings table whose every vector quantizes to zero at e4
+    must report ratio_e4 = 0, not abort on ANSI divide-by-zero (the class
+    of latent abort the degenerate suite exists for — the shared fixture
+    masks this one because it also holds full-energy vectors)."""
+    from knowledgebot_spark.queries_llm import llm_random_projection
+
+    d = str(tmp_path / "zero")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(0, [0.0] * 64, 1), (1, [1e-30] * 64, 2), (2, [4.9e-5] * 64, 3)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    rows = llm_random_projection(spark, d).collect()
+    assert len(rows) == 16
+    assert all((r.sum_y_e4, r.sum_y2_e8, r.ratio_e4) == (0, 0, 0) for r in rows)
