@@ -128,6 +128,7 @@ HEADLINE = [
     "rel_dpp_join",
     "rel_join_cardinality_sketch",
     "llm_kneser_ney_lm",
+    "rel_schema_evolution",
 ]
 
 

@@ -4816,3 +4816,91 @@ def rel_join_cardinality_sketch(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.col("est_pairs") >= F.col("exact_pairs")).alias("est_ge_exact"),
     )
+
+
+# --- schema evolution: mergeSchema reads (round 7, wave 3) -----------------------
+
+
+@register(
+    "rel_schema_evolution",
+    sql="""
+WITH src AS (
+  SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    strftime(o_orderdate, '%Y') AS y
+  FROM orders
+),
+unioned AS (
+  SELECT o_orderkey, cents, NULL AS priority_rank, 'v1' AS file_gen
+  FROM src WHERE y < '1996'
+  UNION ALL
+  SELECT o_orderkey, cents, o_orderkey % 5 AS priority_rank, 'v2' AS file_gen
+  FROM src WHERE y >= '1996'
+)
+SELECT file_gen,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(priority_rank) AS BIGINT) AS n_with_new_col,
+  CAST(sum(coalesce(priority_rank, -1)) AS BIGINT) AS rank_sum,
+  CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM unioned GROUP BY 1 ORDER BY 1
+""",
+    tags=("scan", "schema-evolution", "mergeSchema", "layout"),
+)
+def rel_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Read-side schema evolution — the lakehouse reality that a 100 TB
+    table's old files were written BEFORE a column existed: generation v1
+    (orders before 1996) is staged without ``priority_rank``, generation
+    v2 (1996+) with it, and one ``mergeSchema`` read reconciles both —
+    v1 rows surface the new column as NULL (count(priority_rank) proves
+    exactly the v2 rows carry it), while every original column aggregates
+    across generations unchanged.  This is the contract that lets a
+    pipeline add columns WITHOUT rewriting history; writer-side evolution
+    is the keyed sink's generation semantics (kb_ddl_roundtrip).  Stage
+    writes once per sf dir (same idempotent guard as the other layout
+    stages); the oracle states the same result as a UNION of the two
+    generations' logical shapes."""
+    import os
+
+    base = (
+        f"/tmp/knowledgebot_spark/fmt/{os.path.basename(sf.rstrip('/'))}"
+        "/orders_two_gen"
+    )
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.date_format("o_orderdate", "yyyy").alias("y"),
+    )
+    if not os.path.exists(os.path.join(base, "_STAGED")):
+        (
+            o.filter(F.col("y") < "1996")
+            .select("o_orderkey", "cents", F.lit("v1").alias("file_gen"))
+            .write.mode("overwrite")
+            .parquet(f"{base}/gen=v1")
+        )
+        (
+            o.filter(F.col("y") >= "1996")
+            .select(
+                "o_orderkey",
+                "cents",
+                (F.col("o_orderkey") % 5).alias("priority_rank"),
+                F.lit("v2").alias("file_gen"),
+            )
+            .write.mode("append")
+            .parquet(f"{base}/gen=v2")
+        )
+        open(os.path.join(base, "_STAGED"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=v1", f"{base}/gen=v2"
+    )
+    return (
+        merged.groupBy("file_gen")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("priority_rank").cast("bigint").alias("n_with_new_col"),
+            F.sum(F.coalesce(F.col("priority_rank"), F.lit(-1)))
+            .cast("bigint")
+            .alias("rank_sum"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("file_gen")
+    )

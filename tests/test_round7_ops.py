@@ -382,3 +382,23 @@ def test_random_projection_zero_energy_corpus_does_not_abort(spark, tmp_path):
     rows = llm_random_projection(spark, d).collect()
     assert len(rows) == 16
     assert all((r.sum_y_e4, r.sum_y2_e8, r.ratio_e4) == (0, 0, 0) for r in rows)
+
+
+# --- wave 3: schema evolution -------------------------------------------------------
+
+
+def test_schema_evolution_null_backfill_and_column_isolation(spark, sf_dir, catalog):
+    rows = {r.file_gen: r for r in catalog["rel_schema_evolution"].fn(spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    y = o["o_orderdate"].dt.year
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+    assert rows["v1"].n_rows == int((y < 1996).sum())
+    assert rows["v2"].n_rows == int((y >= 1996).sum())
+    # the new column exists ONLY on v2 rows; v1 reads it back as NULL
+    assert rows["v1"].n_with_new_col == 0
+    assert rows["v2"].n_with_new_col == rows["v2"].n_rows
+    assert rows["v1"].rank_sum == -rows["v1"].n_rows  # all coalesced to -1
+    assert rows["v2"].rank_sum == int((o.loc[y >= 1996, "o_orderkey"] % 5).sum())
+    # original columns aggregate identically across generations
+    assert rows["v1"].cents_sum == int(cents[y < 1996].sum())
+    assert rows["v2"].cents_sum == int(cents[y >= 1996].sum())
