@@ -402,3 +402,18 @@ def test_schema_evolution_null_backfill_and_column_isolation(spark, sf_dir, cata
     # original columns aggregate identically across generations
     assert rows["v1"].cents_sum == int(cents[y < 1996].sum())
     assert rows["v2"].cents_sum == int(cents[y >= 1996].sum())
+
+
+def test_alternating_star_hub_graph(spark):
+    """A 2,000-leaf star stresses the hub-neighborhood path: the operator
+    is built from keyed min-aggregates + joins precisely so a hub's
+    neighborhood never has to materialize in one task (no collect_set);
+    the star must converge immediately with the hub as root."""
+    from knowledgebot_spark.operators.dedup import alternating_star_components
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 2001)], "id_a long, id_b long"
+    )
+    out = alternating_star_components(edges).collect()
+    assert len(out) == 2001
+    assert all(r.label == 0 for r in out)
