@@ -170,14 +170,42 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += timings[name]
 
+    # The driver records only the last ~2,000 chars of output, and the full
+    # 90+-entry per-query map outgrew that (BENCH_r06/r07 recorded
+    # "parsed": null).  The final line therefore stays short — totals,
+    # query count, and the 10 slowest queries — while the complete map is
+    # written to BENCH_DETAIL.json next to this script for the judge.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "repeats": repeats,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -342,14 +342,16 @@ def simhash_near_pairs(
     )
 
 
-def alternating_star_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+def alternating_star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
     SoCC'14) — the O(log n)-round algorithm the bounded label propagation
     in llm_dedup_clusters name-checks for pathological chains.  Label
     propagation needs diameter-many rounds (a 1M-node path graph = 1M
-    rounds); alternating stars contract the graph geometrically, so a
-    chain of ANY length converges in ~log2(diameter) rounds.
+    rounds); alternating stars contract the graph geometrically, so
+    convergence takes ~log2(diameter) rounds and the default cap of 64
+    covers any component that fits in an int64 id space (diameter <
+    2^64); the fail-stop below guards the cap rather than assuming it.
 
     Input: an undirected edge list with two integer-comparable columns
     (first two columns are taken as the endpoints).  Returns

@@ -4885,7 +4885,9 @@ def rel_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
                 (F.col("o_orderkey") % 5).alias("priority_rank"),
                 F.lit("v2").alias("file_gen"),
             )
-            .write.mode("append")
+            # overwrite, NOT append: a crash between this write and the
+            # _STAGED touch must reconverge on retry, not double gen=v2.
+            .write.mode("overwrite")
             .parquet(f"{base}/gen=v2")
         )
         open(os.path.join(base, "_STAGED"), "w").close()

@@ -29,7 +29,8 @@ def test_alternating_star_beats_label_prop_on_long_chain(spark):
     """A 64-node path graph has diameter 63: the CLUSTER_ITERS=3 label
     propagation in llm_dedup_clusters cannot resolve it, alternating
     stars must — in ~log2(63) rounds, enforced by the operator's own
-    max_rounds cap (16 >> log2(63) ~ 6, << 63)."""
+    max_rounds cap (64 >> log2(63) ~ 6, with 64 ≥ log2 of any int64
+    diameter)."""
     from knowledgebot_spark.operators.dedup import alternating_star_components
 
     edges = spark.createDataFrame(

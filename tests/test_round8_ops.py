@@ -1,0 +1,168 @@
+"""Round-8 hardening: staging retry idempotency (the crash-between-write-
+and-marker class of bug VERDICT r07 found in rel_schema_evolution), and
+degenerate-input coverage for the round-7 operators the shared fixtures
+don't stress."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+
+
+# --- staging retry idempotency ------------------------------------------------
+
+
+def test_schema_evolution_retry_from_half_staged_dir(spark, sf_dir, tmp_path):
+    """Simulate the exact crash window VERDICT r07 flagged: both generation
+    writes landed but the process died before the _STAGED touch.  The
+    retry re-runs the whole staging block; with overwrite semantics it
+    reconverges to the same layout (a mode("append") on gen=v2 would
+    permanently double its rows and flip every v2 aggregate)."""
+    from knowledgebot_spark.queries_relational import rel_schema_evolution
+
+    d = str(tmp_path / "retrysf")
+    os.makedirs(d)
+    os.symlink(
+        os.path.join(sf_dir, "orders.parquet"), os.path.join(d, "orders.parquet")
+    )
+    base = "/tmp/knowledgebot_spark/fmt/retrysf/orders_two_gen"
+    shutil.rmtree(base, ignore_errors=True)
+
+    first = {r.file_gen: r for r in rel_schema_evolution(spark, d).collect()}
+    assert os.path.exists(os.path.join(base, "_STAGED"))
+
+    # crash window: data written, marker lost -> next run must re-stage
+    os.remove(os.path.join(base, "_STAGED"))
+    retried = {r.file_gen: r for r in rel_schema_evolution(spark, d).collect()}
+
+    assert set(retried) == {"v1", "v2"}
+    for gen in ("v1", "v2"):
+        assert retried[gen].n_rows == first[gen].n_rows
+        assert retried[gen].n_with_new_col == first[gen].n_with_new_col
+        assert retried[gen].rank_sum == first[gen].rank_sum
+        assert retried[gen].cents_sum == first[gen].cents_sum
+    # and the values are right, not merely stable: pandas ground truth
+    o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    y = o["o_orderdate"].dt.year
+    assert retried["v2"].n_rows == int((y >= 1996).sum())
+    assert retried["v2"].rank_sum == int((o.loc[y >= 1996, "o_orderkey"] % 5).sum())
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_partition_pruning_stage_retry_reconverges(spark, sf_dir, tmp_path):
+    """Same crash class for the shared year-partitioned layout: kill the
+    _SUCCESS marker after a complete stage and re-run; overwrite staging
+    must reproduce identical partition contents (no doubled years)."""
+    from knowledgebot_spark.queries_relational import _stage_orders_by_year
+
+    d = str(tmp_path / "prunesf")
+    os.makedirs(d)
+    os.symlink(
+        os.path.join(sf_dir, "orders.parquet"), os.path.join(d, "orders.parquet")
+    )
+    stage_base = "/tmp/knowledgebot_spark/fmt/prunesf/orders_by_year"
+    shutil.rmtree(stage_base, ignore_errors=True)
+
+    base = _stage_orders_by_year(spark, d)
+    first = spark.read.parquet(base).groupBy("order_year").count()
+    first_rows = {r.order_year: r["count"] for r in first.collect()}
+
+    os.remove(os.path.join(base, "_SUCCESS"))
+    base2 = _stage_orders_by_year(spark, d)
+    again = spark.read.parquet(base2).groupBy("order_year").count()
+    assert {r.order_year: r["count"] for r in again.collect()} == first_rows
+    shutil.rmtree(stage_base, ignore_errors=True)
+
+
+# --- degenerate inputs for round-7 operators ----------------------------------
+
+
+def test_alternating_star_empty_and_self_loop_edges(spark):
+    """Empty edge lists and pure self-loops are both zero-information
+    inputs: the operator must return an empty frame, not iterate or
+    throw — the checksum fixpoint is immediate on an empty canonical
+    set."""
+    from knowledgebot_spark.operators.dedup import alternating_star_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert alternating_star_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "id_a long, id_b long")
+    assert alternating_star_components(loops).count() == 0
+
+
+def test_alternating_star_duplicate_and_reversed_edges(spark):
+    """The same undirected edge arriving in both orientations and
+    multiplicities must not change the labeling (canonicalization +
+    distinct happen before round 1)."""
+    from knowledgebot_spark.operators.dedup import alternating_star_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (10, 11)],
+        "id_a long, id_b long",
+    )
+    labels = {r.node: r.label for r in alternating_star_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def _write_documents(path: str, rows: list[tuple[int, str]]) -> None:
+    """Minimal documents table in the driver testdata schema
+    (doc_id, text, lang, source, n_chars)."""
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "text": pd.Series([r[1] for r in rows], dtype="object"),
+            "lang": ["en"] * len(rows),
+            "source": ["wiki"] * len(rows),
+            "n_chars": pd.Series([len(r[1]) for r in rows], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(path, "documents.parquet"))
+
+
+def test_leakage_safe_split_empty_documents(spark, tmp_path):
+    """Zero input documents: the split report must be empty (no
+    divide-by-zero in the share computation, no phantom splits)."""
+    from knowledgebot_spark.queries_llm import llm_leakage_safe_split
+
+    d = str(tmp_path / "nodocs")
+    _write_documents(d, [])
+    assert llm_leakage_safe_split(spark, d).count() == 0
+
+
+def test_kneser_ney_single_token_docs_yield_empty(spark, tmp_path):
+    """Documents with a single token contribute zero bigrams on either
+    side of the split: the model must return an empty scoring frame
+    (nothing to score), not NaN or a crash."""
+    from knowledgebot_spark.queries_llm import llm_kneser_ney_lm
+
+    d = str(tmp_path / "onetok")
+    # md5-prefix split: ids 1,2,4 train; 0,3,5 held — all single-token
+    _write_documents(
+        d, [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma"),
+            (4, "beta"), (5, "alpha")]
+    )
+    assert llm_kneser_ney_lm(spark, d).count() == 0
+
+
+def test_kneser_ney_empty_train_stream_scores_finite(spark, tmp_path):
+    """Held-out bigrams with an EMPTY training stream must score through
+    the continuation-probability add-1 floor — finite, non-null — the
+    regime textbook KN leaves undefined and the docstring documents as
+    a deliberate deviation."""
+    from knowledgebot_spark.queries_llm import llm_kneser_ney_lm
+
+    d = str(tmp_path / "notrain")
+    # ids 1,2,4 are train (single-token -> zero train bigrams);
+    # ids 0,3 are held-out WITH bigrams
+    _write_documents(
+        d, [(0, "alpha beta gamma"), (1, "beta"), (2, "alpha"),
+            (3, "gamma delta"), (4, "beta")]
+    )
+    rows = llm_kneser_ney_lm(spark, d).collect()
+    assert {r.doc_id for r in rows} == {0, 3}
+    import math
+
+    for r in rows:
+        assert r.nll is not None and math.isfinite(r.nll)
