@@ -129,6 +129,11 @@ HEADLINE = [
     "rel_join_cardinality_sketch",
     "llm_kneser_ney_lm",
     "rel_schema_evolution",
+    # round-8 additions
+    "kb_mention_graph",
+    "kb_thread_latency",
+    "kb_channel_mention_overlap",
+    "stream_neardup_gate",
 ]
 
 

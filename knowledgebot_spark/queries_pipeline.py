@@ -318,3 +318,225 @@ def kb_spine_full(spark: SparkSession, sf: str) -> DataFrame:
         ckpt_micros=CKPT,
         lookback_days=model.LOOKBACK_DAYS,
     )
+
+
+# --- Round-8 additions: graph/latency/overlap analytics over the model -------
+#
+# These consume the SAME deterministic Slack model as the extraction spine
+# and add the analytics a knowledge-pipeline operator actually runs over
+# the ingested corpus: who-mentions-whom (social graph), how fast threads
+# get answered (latency SLO), and how much channels share an author base
+# (community overlap).  Reference provenance: the mention/thread/member
+# machinery is KnowledgeBot.py:317-348 and :460-527; the analytics are the
+# engine's own scale additions (SURVEY.md §2.3 LLM-pipeline extras).
+
+
+@register(
+    "kb_mention_graph",
+    sql=model.MODEL_CTE
+    + """
+, ment AS (
+  SELECT m.user_id AS src_id, t.mid AS dst_id
+  FROM (SELECT user_id, regexp_extract_all(full_text, '<@([A-Z0-9]+)>', 1) AS ids
+        FROM messages) m,
+  LATERAL (SELECT unnest(m.ids) AS mid) t
+), edges AS (
+  SELECT us.real_name AS src, ud.real_name AS dst,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM ment
+  JOIN users_dim us ON us.user_id = ment.src_id
+  JOIN users_dim ud ON ud.user_id = ment.dst_id
+  GROUP BY 1, 2
+)
+SELECT e.src, e.dst, e.weight,
+       (r.src IS NOT NULL) AS reciprocal
+FROM edges e
+LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+ORDER BY e.weight DESC, e.src, e.dst
+""",
+    tags=("P3", "J2", "graph", "mention-graph"),
+)
+def kb_mention_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted directed mention graph with reciprocity — the who-cites-whom
+    network over the message corpus.  Both endpoints must resolve to KNOWN
+    users (inner broadcast joins against the users dim; unknown ``U9xxxx``
+    ids and NULL authors drop), edges aggregate to (src, dst, weight), and
+    a self-join on the reversed pair marks mutual edges.  Shape: one
+    explode of the codegen ``regexp_extract_all`` + two broadcast dim
+    joins + one keyed agg; the reciprocity probe joins the edge list
+    against its own reversal — at 100 TB the edge list is user-pair
+    bounded (dim-sized squared, not corpus-sized), so the self-join stays
+    a small-table join whatever the message volume."""
+    m = model.messages(spark, sf)
+    u = model.users_dim(spark, sf)
+    ment = m.select(
+        F.col("user_id").alias("src_id"),
+        F.explode(
+            F.expr("regexp_extract_all(full_text, '<@([A-Z0-9]+)>', 1)")
+        ).alias("dst_id"),
+    )
+    edges = (
+        ment.join(
+            F.broadcast(u.select(F.col("user_id").alias("src_id"),
+                                 F.col("real_name").alias("src"))),
+            "src_id",
+        )
+        .join(
+            F.broadcast(u.select(F.col("user_id").alias("dst_id"),
+                                 F.col("real_name").alias("dst"))),
+            "dst_id",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       F.lit(True).alias("reciprocal"))
+    return (
+        edges.join(F.broadcast(rev), ["src", "dst"], "left")
+        .select(
+            "src", "dst", "weight",
+            F.coalesce(F.col("reciprocal"), F.lit(False)).alias("reciprocal"),
+        )
+        .orderBy(F.desc("weight"), "src", "dst")
+    )
+
+
+@register(
+    "kb_thread_latency",
+    sql=model.MODEL_CTE
+    + """
+, lat AS (
+  SELECT strftime(make_timestamp(p.ts_micros), '%Y%m%d') AS parent_date,
+         r.ts_micros - p.ts_micros AS d_micros
+  FROM messages r
+  JOIN messages p ON r.thread_ts_micros = p.ts_micros
+                 AND r.channel_id = p.channel_id
+)
+SELECT parent_date,
+  CAST(count(*) AS BIGINT) AS n_replies,
+  CAST(min(d_micros) AS BIGINT) AS min_micros,
+  CAST(max(d_micros) AS BIGINT) AS max_micros,
+  CAST((2 * sum(d_micros) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_micros_half_up
+FROM lat
+GROUP BY parent_date
+ORDER BY parent_date
+""",
+    tags=("S3", "J5", "P4", "latency", "slo"),
+)
+def kb_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Thread response-latency SLO per parent DAY: every reply joins its
+    parent (the S3/J5 parent↔reply key), the parent day derives via the
+    P4 UTC formatting rule, and the reply lag aggregates as EXACT integer
+    microseconds — the mean is the established half-up rational
+    ``(2*sum + n) div (2*n)``, never a rounded double, so both engines
+    state the identical int64 (the rel_pareto_share rule).  Shape: one
+    key-co-partitioned self-join on (channel, parent ts) + one
+    day-bounded agg; at 100 TB the join shuffles reply-stream-sized rows
+    once and the agg key space is the calendar."""
+    m = model.messages(spark, sf)
+    replies = m.filter(F.col("thread_ts_micros").isNotNull()).select(
+        F.col("channel_id").alias("r_channel_id"),
+        F.col("thread_ts_micros").alias("parent_ts_micros"),
+        F.col("ts_micros").alias("r_ts_micros"),
+    )
+    parents = m.select("channel_id", "ts_micros")
+    lat = replies.join(
+        parents,
+        (replies.r_channel_id == parents.channel_id)
+        & (replies.parent_ts_micros == parents.ts_micros),
+        "inner",
+    ).select(
+        F.date_format(F.timestamp_micros(F.col("ts_micros")), "yyyyMMdd").alias(
+            "parent_date"
+        ),
+        (F.col("r_ts_micros") - F.col("ts_micros")).alias("d_micros"),
+    )
+    return (
+        lat.groupBy("parent_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n_replies"),
+            F.min("d_micros").cast("bigint").alias("min_micros"),
+            F.max("d_micros").cast("bigint").alias("max_micros"),
+            F.expr(
+                "CAST((2 * sum(d_micros) + count(*)) div (2 * count(*)) AS BIGINT)"
+            ).alias("avg_micros_half_up"),
+        )
+        .orderBy("parent_date")
+    )
+
+
+@register(
+    "kb_channel_mention_overlap",
+    sql=model.MODEL_CTE
+    + """
+, au AS (
+  SELECT DISTINCT m.channel_id, t.mid AS user_id
+  FROM (SELECT channel_id, regexp_extract_all(full_text, '<@([A-Z0-9]+)>', 1) AS ids
+        FROM messages) m,
+  LATERAL (SELECT unnest(m.ids) AS mid) t
+), sizes AS (
+  SELECT channel_id, CAST(count(*) AS BIGINT) AS n FROM au GROUP BY 1
+), shared AS (
+  SELECT a.channel_id AS ch_a, b.channel_id AS ch_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM au a JOIN au b ON a.user_id = b.user_id AND a.channel_id < b.channel_id
+  GROUP BY 1, 2
+)
+SELECT s.ch_a, s.ch_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+  CAST(floor(s.n_shared * 10000.0 / (sa.n + sb.n - s.n_shared)) AS BIGINT)
+    AS jaccard_e4
+FROM shared s
+JOIN sizes sa ON sa.channel_id = s.ch_a
+JOIN sizes sb ON sb.channel_id = s.ch_b
+ORDER BY s.ch_a, s.ch_b
+""",
+    tags=("P3", "A1", "set-similarity", "community"),
+)
+def kb_channel_mention_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Channel-pair MENTIONED-community Jaccard — how much two channels
+    talk about the same people.  Distinct (channel, mentioned-id) pairs
+    (P3 extraction; known AND unknown ids both count — the community is
+    who gets referenced, not who has an account) self-join on the mention
+    key — never an all-pairs channel cross: the equi-join only
+    materializes pairs that actually share a mention — sizes join back
+    per side, and the Jaccard lands as exact floor-e4 fixed point.
+    (Author-set overlap is the degenerate sibling here: the deterministic
+    model assigns authors to channels in disjoint residue classes, so its
+    Jaccard is identically zero — mentioned-user sets genuinely cross
+    channels.)  At 100 TB the distinct mention set is person-bounded and
+    the shared-pair key space is (channel × channel) — both tiny next to
+    the message stream that produced them."""
+    m = model.messages(spark, sf)
+    au = (
+        m.select(
+            "channel_id",
+            F.explode(
+                F.expr("regexp_extract_all(full_text, '<@([A-Z0-9]+)>', 1)")
+            ).alias("user_id"),
+        )
+        .distinct()
+    )
+    sizes = au.groupBy("channel_id").agg(F.count("*").cast("bigint").alias("n"))
+    b = au.select(F.col("channel_id").alias("ch_b"), "user_id")
+    shared = (
+        au.select(F.col("channel_id").alias("ch_a"), "user_id")
+        .join(b, "user_id")
+        .filter(F.col("ch_a") < F.col("ch_b"))
+        .groupBy("ch_a", "ch_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("channel_id").alias("ch_a"),
+                                     F.col("n").alias("n_a"))), "ch_a")
+        .join(
+            F.broadcast(sizes.select(F.col("channel_id").alias("ch_b"),
+                                     F.col("n").alias("n_b"))), "ch_b")
+        .select(
+            "ch_a", "ch_b", "n_shared", "n_a", "n_b",
+            F.expr(
+                "CAST(floor(n_shared * 10000.0 / (n_a + n_b - n_shared)) AS BIGINT)"
+            ).alias("jaccard_e4"),
+        )
+        .orderBy("ch_a", "ch_b")
+    )

@@ -166,3 +166,68 @@ def test_kneser_ney_empty_train_stream_scores_finite(spark, tmp_path):
 
     for r in rows:
         assert r.nll is not None and math.isfinite(r.nll)
+
+
+# --- round-8 pipeline analytics ----------------------------------------------
+
+
+def test_mention_graph_known_endpoints_and_reciprocity(spark, sf_dir):
+    """Every edge endpoint resolves to a KNOWN user (the inner dim joins
+    drop unknown U9xxxx ids and NULL authors), weights are positive, and
+    the reciprocal flag is exactly 'the reversed pair exists'."""
+    from knowledgebot_spark.queries_pipeline import kb_mention_graph
+
+    rows = kb_mention_graph(spark, sf_dir).collect()
+    assert rows, "model guarantees mention edges"
+    pairs = {(r.src, r.dst) for r in rows}
+    for r in rows:
+        assert r.weight >= 1
+        assert r.reciprocal == ((r.dst, r.src) in pairs)
+        # resolved names, never raw ids
+        assert not r.src.startswith("U0") and not r.dst.startswith("U9")
+
+
+def test_thread_latency_matches_model_arithmetic(spark, sf_dir):
+    """Replies are doc_id%5==4 answering doc_id-5 in the same channel, so
+    every lag is exactly 5*137 s plus the fractional-micros delta — a
+    pure-python replay over the documents table must reproduce the
+    grouped aggregates bit-for-bit."""
+    import collections
+
+    from knowledgebot_spark.queries_pipeline import kb_thread_latency
+
+    n_docs = len(pd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
+    per_day = collections.defaultdict(list)
+    for d in range(n_docs):
+        if d % 5 == 4 and d > 4:
+            p = d - 5
+            ts = lambda x: (1700000000 + x * 137) * 1_000_000 + x % 7
+            import datetime
+
+            day = datetime.datetime.fromtimestamp(
+                (1700000000 + p * 137), datetime.timezone.utc
+            ).strftime("%Y%m%d")
+            per_day[day].append(ts(d) - ts(p))
+    rows = {r.parent_date: r for r in kb_thread_latency(spark, sf_dir).collect()}
+    assert set(rows) == set(per_day)
+    for day, lags in per_day.items():
+        r = rows[day]
+        assert r.n_replies == len(lags)
+        assert r.min_micros == min(lags)
+        assert r.max_micros == max(lags)
+        assert r.avg_micros_half_up == (2 * sum(lags) + len(lags)) // (2 * len(lags))
+
+
+def test_channel_mention_overlap_bounds_and_symmetric_inputs(spark, sf_dir):
+    """Jaccard stays in [0, 10000], pairs are canonically ordered, and
+    n_shared <= min(n_a, n_b) — the set-algebra invariants the fixed-point
+    formula depends on."""
+    from knowledgebot_spark.queries_pipeline import kb_channel_mention_overlap
+
+    rows = kb_channel_mention_overlap(spark, sf_dir).collect()
+    assert rows, "the 90000+d%53 mention series guarantees cross-channel overlap"
+    for r in rows:
+        assert r.ch_a < r.ch_b
+        assert 0 <= r.n_shared <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_e4 <= 10000
+        assert r.jaccard_e4 == r.n_shared * 10000 // (r.n_a + r.n_b - r.n_shared)
