@@ -4414,6 +4414,11 @@ def llm_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .select("w")
     )
     vset = vocab.agg(F.collect_list("w").alias("vs"))
+    # array_contains over the broadcast vocab is O(V) interpreted work per
+    # token — fine at V=200 (ADVICE r07 adjudicated it harmless), but a
+    # grown vocabulary should switch to a token-keyed broadcast join
+    # (explode -> join vocab -> pos-ordered re-collect); a Spark map
+    # literal is NOT the fix (GetMapValue scans MapType entries linearly).
     mapped = (
         toks.crossJoin(F.broadcast(vset))
         .select(
@@ -5725,6 +5730,11 @@ def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
         .select("w")
     )
     vset = vocab.agg(F.collect_list("w").alias("vs"))
+    # array_contains over the broadcast vocab is O(V) interpreted work per
+    # token — fine at V=200 (ADVICE r07 adjudicated it harmless), but a
+    # grown vocabulary should switch to a token-keyed broadcast join
+    # (explode -> join vocab -> pos-ordered re-collect); a Spark map
+    # literal is NOT the fix (GetMapValue scans MapType entries linearly).
     mapped = (
         toks.crossJoin(F.broadcast(vset))
         .select(
