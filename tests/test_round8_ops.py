@@ -231,3 +231,87 @@ def test_channel_mention_overlap_bounds_and_symmetric_inputs(spark, sf_dir):
         assert 0 <= r.n_shared <= min(r.n_a, r.n_b)
         assert 0 <= r.jaccard_e4 <= 10000
         assert r.jaccard_e4 == r.n_shared * 10000 // (r.n_a + r.n_b - r.n_shared)
+
+
+# --- degenerate fact-table inputs for the layout/reconciliation family --------
+#
+# The shared degenerate fixture (test_degenerate_inputs.py) only builds
+# events/documents/embeddings; the round-6/7 layout, reconciliation, and
+# staging queries read orders/lineitem and had no legal-but-extreme
+# coverage: single-year date spans (zero-match pruning filters, one
+# staged partition, an EMPTY generation for schema evolution),
+# zero/negative money, and fully-degenerate z-order key ranges (every
+# key identical -> quantization bounds collapse).  Execute-only, the
+# same contract as the shared sweep: the plan must run, not abort.
+
+import pytest
+
+
+_LAYOUT_FAMILY = [
+    "rel_compaction_plan",
+    "rel_snapshot_diff",
+    "rel_table_fingerprint",
+    "rel_schema_evolution",
+    "rel_dpp_join",
+    "rel_partition_pruning",
+    "rel_zorder_skipping",
+    "rel_bloom_join_prune",
+    "rel_incremental_view_refresh",
+    "rel_join_cardinality_sketch",
+    # round-8 pipeline analytics on a dim-starved, mention-free corpus
+    "kb_mention_graph",
+    "kb_thread_latency",
+    "kb_channel_mention_overlap",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_fact_dir(spark, sf_dir, tmp_path_factory):
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("hostilefact"))
+    o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet")).head(7).copy()
+    # single-year span: the 1995/1996 pruning windows match NOTHING, the
+    # year-partitioned stage has exactly one partition, and schema
+    # evolution's gen=v2 (>=1996) is EMPTY
+    o["o_orderdate"] = pd.Timestamp("1993-03-01")
+    o["o_totalprice"] = [0.0, -12.5, 12.5, 0.01, -0.01, 99.99, 0.0]
+    o.to_parquet(os.path.join(d, "orders.parquet"))
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet")).head(10).copy()
+    # every z-order key identical -> pmax == smax == k, quantization
+    # collapses to one cell; zero/negative money through the e2 paths
+    li["l_partkey"] = 17
+    li["l_suppkey"] = 3
+    li["l_quantity"] = 0.0
+    li["l_extendedprice"] = [0.0, -1.0] + [float(i) for i in range(8)]
+    li.to_parquet(os.path.join(d, "lineitem.parquet"))
+    for t in ("region", "nation"):
+        pd.read_parquet(os.path.join(sf_dir, f"{t}.parquet")).to_parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    # dim-starved users: 3 customers -> almost every mention/author
+    # unresolvable, the mention graph may legitimately be empty
+    pd.read_parquet(os.path.join(sf_dir, "customer.parquet")).head(3).to_parquet(
+        os.path.join(d, "customer.parquet")
+    )
+    # mention-free, thread-free corpus: 6 docs (no doc_id%5==4 reply
+    # beyond doc 4's guard), empty/whitespace texts
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(6), dtype="int64"),
+            "text": ["", "   ", "a", "plain words here", "x y", "zz " * 30],
+            "lang": ["en"] * 6,
+            "source": ["wiki"] * 6,
+            "n_chars": pd.Series([0, 3, 1, 16, 3, 90], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    del np
+    return d
+
+
+@pytest.mark.parametrize("name", _LAYOUT_FAMILY)
+def test_layout_family_survives_hostile_facts(spark, hostile_fact_dir, name):
+    from knowledgebot_spark.registry import load
+
+    fn = load()[name].fn
+    fn(spark, hostile_fact_dir).write.format("noop").mode("overwrite").save()
