@@ -127,6 +127,10 @@ FLAGSHIPS = (
         "rel_join_cardinality_sketch",
         "sketch build collapses each task to <= d*w rows via map-side partials; exact-F2 gate is the key shuffle the sketch avoids",
     ),
+    (
+        "kb_mention_graph",
+        "explode -> two broadcast dim joins -> keyed agg; reciprocity probe joins the user-pair-bounded edge list against its own reversal, never the message stream",
+    ),
 )
 
 
