@@ -315,3 +315,58 @@ def test_layout_family_survives_hostile_facts(spark, hostile_fact_dir, name):
 
     fn = load()[name].fn
     fn(spark, hostile_fact_dir).write.format("noop").mode("overwrite").save()
+
+
+# --- randomized cross-check: alternating-star vs pure-python union-find -------
+
+
+def test_alternating_star_matches_union_find_on_random_graphs(spark):
+    """Deterministic pseudo-random edge lists (md5-derived, no RNG state)
+    across several densities, each checked against a pure-python
+    union-find: same components, same min-id labels.  This is the net
+    the shaped tests (chain, star, clique) can't provide — arbitrary
+    topology, including isolated pairs, bridges, and multi-hub merges."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    from knowledgebot_spark.operators.dedup import alternating_star_components
+
+    for trial, (n_nodes, n_edges) in enumerate(
+        [(12, 6), (30, 18), (50, 60), (40, 20), (25, 80)]
+    ):
+        edges = [
+            (h(f"t{trial}a{i}") % n_nodes, h(f"t{trial}b{i}") % n_nodes)
+            for i in range(n_edges)
+        ]
+        # union-find ground truth over nodes incident to >= 1 real edge
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            if a == b:
+                continue
+            touched.update((a, b))
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        want = {}
+        comp_min = {}
+        for x in touched:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        for x in touched:
+            want[x] = comp_min[find(x)]
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.label for r in alternating_star_components(df).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
