@@ -134,6 +134,7 @@ HEADLINE = [
     "kb_thread_latency",
     "kb_channel_mention_overlap",
     "stream_neardup_gate",
+    "llm_dedup_champion",
 ]
 
 

@@ -949,3 +949,90 @@ def llm_cc_alternating_star(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _REGISTRY["llm_cc_alternating_star"].sql = _REGISTRY["llm_dedup_clusters"].sql
+
+
+@register(
+    "llm_dedup_champion",
+    sql=None,  # assigned below: extends the shared closure oracle with the
+               # champion window
+    tags=("dedup", "champion", "keep-decision", "curation"),
+)
+def llm_dedup_champion(spark: SparkSession, sf: str) -> DataFrame:
+    """The KEEP decision the cluster queries stop short of: per near-dup
+    cluster (same MinHash-LSH edges, components via the O(log n)
+    alternating-star operator), elect ONE champion — the longest document
+    (n_chars DESC), doc_id ASC as the deterministic tie-break — and count
+    what gets dropped.  llm_dedup_clusters keeps min-doc_id, the arrival
+    heuristic; real curation keeps the best-quality member
+    (the "which copy survives" policy in every dedup paper's pipeline),
+    and this query pins that policy cross-engine.  Shape: cluster labels
+    join the documents dim once, then ONE label-partitioned window picks
+    rank 1 — cost tracks the near-dup node set (tiny vs corpus), never
+    the corpus itself.  At 100 TB the window partitions by cluster id, so
+    no skew beyond the largest duplicate cluster."""
+    from pyspark.sql import Window
+
+    near = _near_dup_edges(spark, sf)
+    labels = dd.alternating_star_components(near)
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    joined = labels.join(
+        docs, labels.node == docs.doc_id
+    ).select(F.col("label").alias("cluster_id"), "doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ws = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(ws).alias("cluster_size"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("champion_doc_id"),
+            F.col("n_chars").cast("bigint").alias("champion_n_chars"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_REGISTRY["llm_dedup_champion"].sql = f"""
+WITH RECURSIVE verified AS (
+{_REGISTRY["llm_dedup_minhash"].sql}
+),
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {CLUSTER_JACCARD}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+joined AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM lab l JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM joined
+)
+SELECT cluster_id,
+  doc_id AS champion_doc_id,
+  CAST(n_chars AS BIGINT) AS champion_n_chars,
+  CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""

@@ -370,3 +370,33 @@ def test_alternating_star_matches_union_find_on_random_graphs(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.node: r.label for r in alternating_star_components(df).collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+# --- dedup champion: the keep decision ---------------------------------------
+
+
+def test_dedup_champion_is_cluster_argmax(spark, sf_dir):
+    """Champion rows must agree with the cluster labeling: one champion
+    per cluster, it is the max-n_chars member (doc_id ASC tie-break),
+    cluster_size matches the labeling, and n_dropped = size - 1."""
+    from knowledgebot_spark.queries_corpus import (
+        llm_cc_alternating_star,
+        llm_dedup_champion,
+    )
+
+    clusters = llm_cc_alternating_star(spark, sf_dir).collect()
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet")).set_index(
+        "doc_id"
+    )["n_chars"]
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    champs = {r.cluster_id: r for r in llm_dedup_champion(spark, sf_dir).collect()}
+    assert set(champs) == set(by_cluster)
+    for cid, members in by_cluster.items():
+        want = min(members, key=lambda d: (-int(docs[d]), d))
+        r = champs[cid]
+        assert r.champion_doc_id == want
+        assert r.champion_n_chars == int(docs[want])
+        assert r.cluster_size == len(members)
+        assert r.n_dropped == len(members) - 1
