@@ -51,6 +51,8 @@ AT_RISK = [
     "llm_leakage_safe_split",  # group keys collapse on repeated prefixes
     "llm_random_projection",  # zero-norm + 1e-30 vectors through the matmul
     "llm_kneser_ney_lm",  # near-empty train split, all-<unk> mapping
+    # round 8
+    "llm_dedup_champion",  # empty/whitespace docs -> possibly zero clusters
 ]
 
 
