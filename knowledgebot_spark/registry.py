@@ -51,15 +51,17 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 
 # The driver's correctness harness hash-checks only the FIRST 50 entries of
 # queries(), in iteration order — so output ordering is evidence policy, not
-# cosmetics.  The rotation is DERIVED, not hand-planned: queries that have
-# ever earned a hash_match:true driver row (read from the repo's
-# CORRECTNESS_r*.json files at load time) sort LAST, so each round's 50-row
-# window automatically burns down the never-checked tail — including the
-# round AFTER a new CORRECTNESS file lands, with no regeneration step.
-# Among unchecked queries, modules surface in _OUTPUT_ORDER and
-# registration order within a module.  Rows-only results (err: no_oracle)
-# don't count as evidence — upgrading such a query to a real oracle puts
-# it back in the window.
+# cosmetics.  The rotation is DERIVED, not hand-planned, from the repo's
+# CORRECTNESS_r*.json files at load time:
+#   1. never-checked queries (no hash_match:true row in any round) sort
+#      FIRST — new work always enters the window immediately;
+#   2. checked queries sort by the round they were LAST hash-green,
+#      ascending — once coverage is closed, each round's 50-row window
+#      re-certifies the STALEST evidence (the re-certification rotation),
+#      so driver evidence never ages indefinitely;
+#   3. ties break by _OUTPUT_ORDER module rank, then registration order.
+# Rows-only results (err: no_oracle) don't count as evidence — upgrading
+# such a query to a real oracle puts it back in the window.
 _OUTPUT_ORDER = (
     "knowledgebot_spark.queries_events",
     "knowledgebot_spark.queries_corpus",
@@ -72,42 +74,54 @@ _OUTPUT_ORDER = (
 )
 
 
-_DRIVER_GREEN_CACHE: frozenset[str] | None = None
+_LAST_GREEN_CACHE: dict[str, int] | None = None
 
 
-def driver_green() -> frozenset[str]:
-    """Query names with a ``hash_match: true`` row in ANY round's driver
-    correctness file (repo-root ``CORRECTNESS_r*.json``).  Cached per
+def last_green_round() -> dict[str, int]:
+    """name -> round number of the LATEST ``hash_match: true`` row across
+    all driver correctness files (repo-root ``CORRECTNESS_r*.json``).
+    Names absent from the map have never been hash-green.  Cached per
     process; unreadable/absent files contribute nothing (first round, or
     a stripped deployment, degrades to plain module ordering)."""
-    global _DRIVER_GREEN_CACHE
-    if _DRIVER_GREEN_CACHE is None:
+    global _LAST_GREEN_CACHE
+    if _LAST_GREEN_CACHE is None:
         import json
+        import re
         from pathlib import Path
 
-        green: set[str] = set()
+        last: dict[str, int] = {}
         root = Path(__file__).resolve().parents[1]
         for path in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)", path.stem)
+            if not m:
+                continue
+            rnd = int(m.group(1))
             try:
                 data = json.loads(path.read_text())
             except Exception:
                 continue
             for name, row in data.items():
                 if isinstance(row, dict) and row.get("hash_match") is True:
-                    green.add(name)
-        _DRIVER_GREEN_CACHE = frozenset(green)
-    return _DRIVER_GREEN_CACHE
+                    last[name] = max(last.get(name, 0), rnd)
+        _LAST_GREEN_CACHE = last
+    return _LAST_GREEN_CACHE
+
+
+def driver_green() -> frozenset[str]:
+    """Query names with a ``hash_match: true`` row in ANY round's driver
+    correctness file."""
+    return frozenset(last_green_round())
 
 
 def load() -> dict[str, QueryDef]:
-    green = driver_green()
+    last = last_green_round()
     for mod in _MODULES:
         importlib.import_module(mod)
     rank = {mod: i for i, mod in enumerate(_OUTPUT_ORDER)}
     items = list(_REGISTRY.items())  # insertion order == registration order
     items.sort(
         key=lambda kv: (
-            kv[0] in green,
+            last.get(kv[0], 0),  # 0 = never checked → first; then stalest
             rank.get(kv[1].fn.__module__, len(rank)),
         )
     )

@@ -21,27 +21,34 @@ def test_catalog_loads_and_oracle_subset():
 
 def test_output_order_is_evidence_policy():
     """The driver hash-checks only the FIRST 50 queries() entries, so output
-    ordering is part of the correctness-evidence contract: queries that have
-    ever earned a hash_match:true driver row (driver_green(), derived from
-    the repo's CORRECTNESS_r*.json at load time) sort last; among the
-    never-checked rest, modules surface in _OUTPUT_ORDER with registration
-    order within a module."""
-    from knowledgebot_spark.registry import _OUTPUT_ORDER, driver_green, load
+    ordering is part of the correctness-evidence contract: never-checked
+    queries sort first (new work enters the window immediately); checked
+    queries sort by the round they were LAST hash-green, ascending — the
+    re-certification rotation that keeps driver evidence from aging once
+    coverage is closed.  Ties break by _OUTPUT_ORDER module rank, then
+    registration order."""
+    from knowledgebot_spark.registry import _OUTPUT_ORDER, last_green_round, load
 
-    DRIVER_GREEN = driver_green()
+    last = last_green_round()
     catalog = load()
     rank = {m: i for i, m in enumerate(_OUTPUT_ORDER)}
     keys = [
-        (n in DRIVER_GREEN, rank.get(qd.fn.__module__, len(rank)))
+        (last.get(n, 0), rank.get(qd.fn.__module__, len(rank)))
         for n, qd in catalog.items()
     ]
-    assert keys == sorted(keys), "catalog not ordered (unchecked-first, module rank)"
+    assert keys == sorted(keys), "catalog not ordered (staleness, module rank)"
     window = list(catalog)[:50]
-    # every window slot goes to a query with no prior driver evidence, as
-    # long as any remain
-    unchecked_total = sum(1 for n in catalog if n not in DRIVER_GREEN)
+    # every window slot goes to a query at least as stale as anything outside
+    # the window (never-checked = round 0 = stalest)
+    outside = list(catalog)[50:]
+    if outside:
+        max_in = max(last.get(n, 0) for n in window)
+        min_out = min(last.get(n, 0) for n in outside)
+        assert max_in <= min_out, "window skips a staler query"
+    # never-checked queries always claim window slots first
+    unchecked_total = sum(1 for n in catalog if n not in last)
     expected = min(50, unchecked_total)
-    assert sum(n not in DRIVER_GREEN for n in window) == expected
+    assert sum(n not in last for n in window) == expected
 
 
 def test_driver_evidence_derivation():
