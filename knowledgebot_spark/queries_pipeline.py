@@ -388,11 +388,20 @@ def kb_mention_graph(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("weight"))
+        # materialize ONCE: the reciprocity probe joins the edge list
+        # against its own reversal, and without a cut Catalyst re-expands
+        # both sides into two full extraction subtrees (two message scans,
+        # two explodes, two agg shuffles).  localCheckpoint truncates the
+        # lineage so the self-join reads the computed user-pair-bounded
+        # edge list twice instead of the corpus twice; AQE then sees its
+        # true (tiny) size and picks the broadcast side at runtime — no
+        # manual hint needed.
+        .localCheckpoint()
     )
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                        F.lit(True).alias("reciprocal"))
     return (
-        edges.join(F.broadcast(rev), ["src", "dst"], "left")
+        edges.join(rev, ["src", "dst"], "left")
         .select(
             "src", "dst", "weight",
             F.coalesce(F.col("reciprocal"), F.lit(False)).alias("reciprocal"),
@@ -457,8 +466,12 @@ def kb_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_replies"),
             F.min("d_micros").cast("bigint").alias("min_micros"),
             F.max("d_micros").cast("bigint").alias("max_micros"),
+            # widen the lag-sum to DECIMAL(38,0) BEFORE doubling: DuckDB's
+            # sum() is already HUGEINT, and at extreme per-day reply volumes
+            # 2 * int64-sum would silently wrap on the Spark side only
             F.expr(
-                "CAST((2 * sum(d_micros) + count(*)) div (2 * count(*)) AS BIGINT)"
+                "CAST((2 * CAST(sum(d_micros) AS DECIMAL(38,0)) + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
             ).alias("avg_micros_half_up"),
         )
         .orderBy("parent_date")
@@ -483,7 +496,7 @@ def kb_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
   GROUP BY 1, 2
 )
 SELECT s.ch_a, s.ch_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
-  CAST(floor(s.n_shared * 10000.0 / (sa.n + sb.n - s.n_shared)) AS BIGINT)
+  CAST(s.n_shared * 10000 // (sa.n + sb.n - s.n_shared) AS BIGINT)
     AS jaccard_e4
 FROM shared s
 JOIN sizes sa ON sa.channel_id = s.ch_a
@@ -535,7 +548,7 @@ def kb_channel_mention_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "ch_a", "ch_b", "n_shared", "n_a", "n_b",
             F.expr(
-                "CAST(floor(n_shared * 10000.0 / (n_a + n_b - n_shared)) AS BIGINT)"
+                "CAST(n_shared * 10000 div (n_a + n_b - n_shared) AS BIGINT)"
             ).alias("jaccard_e4"),
         )
         .orderBy("ch_a", "ch_b")

@@ -621,3 +621,24 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     if "PushedFilters: [" in plan:
         pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
         assert "order_year" not in pushed
+
+
+def test_mention_graph_single_extraction_subtree(spark, sf_dir):
+    """kb_mention_graph materializes the aggregated edge list ONCE
+    (localCheckpoint) before the reciprocity self-join — the plan must
+    show the checkpointed RDD scan on both join sides instead of two
+    full extraction subtrees (two message scans + two explodes + two
+    agg shuffles)."""
+    from knowledgebot_spark.queries_pipeline import kb_mention_graph
+
+    df = kb_mention_graph(spark, sf_dir)
+    plan = _plan(df)
+    # the extraction pipeline is cut: no parquet scan, no explode/generate,
+    # and no aggregate survives into the returned query's plan
+    assert "Scan parquet" not in plan
+    assert "Generate" not in plan
+    # formatted output prints each node in the tree AND the detail section:
+    # 2 ExistingRDD scans (edges + its reversal) -> 4 mentions, no more
+    assert plan.count("Scan ExistingRDD") == 4
+    rows = df.collect()
+    assert rows and all(r.weight >= 1 for r in rows)

@@ -6,6 +6,7 @@ don't stress."""
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pandas as pd
@@ -183,8 +184,10 @@ def test_mention_graph_known_endpoints_and_reciprocity(spark, sf_dir):
     for r in rows:
         assert r.weight >= 1
         assert r.reciprocal == ((r.dst, r.src) in pairs)
-        # resolved names, never raw ids
-        assert not r.src.startswith("U0") and not r.dst.startswith("U9")
+        # resolved names, never raw ids — check BOTH endpoints against the
+        # raw-id shape itself (U followed by digits), not one prefix each
+        assert re.match(r"U\d{6}", r.src) is None
+        assert re.match(r"U\d{6}", r.dst) is None
 
 
 def test_thread_latency_matches_model_arithmetic(spark, sf_dir):
@@ -267,8 +270,6 @@ _LAYOUT_FAMILY = [
 
 @pytest.fixture(scope="module")
 def hostile_fact_dir(spark, sf_dir, tmp_path_factory):
-    import numpy as np
-
     d = str(tmp_path_factory.mktemp("hostilefact"))
     o = pd.read_parquet(os.path.join(sf_dir, "orders.parquet")).head(7).copy()
     # single-year span: the 1995/1996 pruning windows match NOTHING, the
@@ -305,7 +306,6 @@ def hostile_fact_dir(spark, sf_dir, tmp_path_factory):
             "n_chars": pd.Series([0, 3, 1, 16, 3, 90], dtype="int64"),
         }
     ).to_parquet(os.path.join(d, "documents.parquet"))
-    del np
     return d
 
 
