@@ -4376,6 +4376,60 @@ FROM scored ORDER BY round(nll, 6) DESC, doc_id LIMIT {_LM_TOPK}
 """
 
 
+def _lm_vocab_mapped_tokens(toks: DataFrame, vocab: DataFrame) -> DataFrame:
+    """TOKEN-KEYED vocab mapping — the LM scale path: posexplode the token
+    arrays, broadcast-LEFT-join the vocabulary on the token itself (an O(1)
+    hash probe per token, vocabulary-size-independent), rewrite misses to
+    '<unk>', and re-collect per document ordered by position.  Replaces the
+    previous transform(array_contains(vs, tok)) scan, which was O(V)
+    interpreted work per token — harmless at V={_LM_VOCAB} but quadratic
+    debris at a realistic 50k-word vocabulary.  The price is one
+    doc_id-keyed shuffle of the token stream (collect_list); the win is
+    that mapping cost no longer scales with vocabulary.  Input columns
+    (doc_id, is_train, t: array<string>); output (doc_id, is_train,
+    mt: array<string>) with docs shorter than 2 tokens dropped, exactly
+    like the scan path (test_lm_vocab_mapping_paths_agree proves
+    bit-equality of the two full query results)."""
+    pos_tok = toks.select("doc_id", "is_train", F.posexplode("t").alias("pos", "tok"))
+    hit = vocab.select(F.col("w").alias("tok"), F.lit(True).alias("in_v"))
+    mapped_tok = pos_tok.join(F.broadcast(hit), "tok", "left").select(
+        "doc_id",
+        "is_train",
+        "pos",
+        F.when(F.col("in_v"), F.col("tok")).otherwise(F.lit("<unk>")).alias("mtok"),
+    )
+    return (
+        mapped_tok.groupBy("doc_id", "is_train")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mtok"))).alias("ps"))
+        .select(
+            "doc_id",
+            "is_train",
+            F.expr("transform(ps, x -> x.mtok)").alias("mt"),
+        )
+        .filter(F.size("mt") >= 2)
+    )
+
+
+def _lm_vocab_mapped_tokens_scan(toks: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The original array_contains mapping — O(V) per token, zero extra
+    shuffle.  Kept ONLY as the small-V reference implementation for
+    test_lm_vocab_mapping_paths_agree; the catalog queries use the
+    token-keyed join path above."""
+    vset = vocab.agg(F.collect_list("w").alias("vs"))
+    return (
+        toks.crossJoin(F.broadcast(vset))
+        .select(
+            "doc_id",
+            "is_train",
+            F.expr(
+                "transform(t, tok -> CASE WHEN array_contains(vs, tok) "
+                "THEN tok ELSE '<unk>' END)"
+            ).alias("mt"),
+        )
+        .filter(F.size("mt") >= 2)
+    )
+
+
 @register(
     "llm_lm_perplexity",
     sql=_duck_lm_perplexity_sql(),
@@ -4413,24 +4467,9 @@ def llm_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_LM_VOCAB)
         .select("w")
     )
-    vset = vocab.agg(F.collect_list("w").alias("vs"))
-    # array_contains over the broadcast vocab is O(V) interpreted work per
-    # token — fine at V=200 (ADVICE r07 adjudicated it harmless), but a
-    # grown vocabulary should switch to a token-keyed broadcast join
-    # (explode -> join vocab -> pos-ordered re-collect); a Spark map
-    # literal is NOT the fix (GetMapValue scans MapType entries linearly).
-    mapped = (
-        toks.crossJoin(F.broadcast(vset))
-        .select(
-            "doc_id",
-            "is_train",
-            F.expr(
-                "transform(t, tok -> CASE WHEN array_contains(vs, tok) "
-                "THEN tok ELSE '<unk>' END)"
-            ).alias("mt"),
-        )
-        .filter(F.size("mt") >= 2)
-    )
+    # token-keyed vocab mapping (O(1) hash probe per token) — see
+    # _lm_vocab_mapped_tokens for the scale rationale
+    mapped = _lm_vocab_mapped_tokens(toks, vocab)
     bigrams = mapped.select(
         "doc_id",
         "is_train",
@@ -5729,24 +5768,9 @@ def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_LM_VOCAB)
         .select("w")
     )
-    vset = vocab.agg(F.collect_list("w").alias("vs"))
-    # array_contains over the broadcast vocab is O(V) interpreted work per
-    # token — fine at V=200 (ADVICE r07 adjudicated it harmless), but a
-    # grown vocabulary should switch to a token-keyed broadcast join
-    # (explode -> join vocab -> pos-ordered re-collect); a Spark map
-    # literal is NOT the fix (GetMapValue scans MapType entries linearly).
-    mapped = (
-        toks.crossJoin(F.broadcast(vset))
-        .select(
-            "doc_id",
-            "is_train",
-            F.expr(
-                "transform(t, tok -> CASE WHEN array_contains(vs, tok) "
-                "THEN tok ELSE '<unk>' END)"
-            ).alias("mt"),
-        )
-        .filter(F.size("mt") >= 2)
-    )
+    # token-keyed vocab mapping (O(1) hash probe per token) — see
+    # _lm_vocab_mapped_tokens for the scale rationale
+    mapped = _lm_vocab_mapped_tokens(toks, vocab)
     bigrams = mapped.select(
         "doc_id",
         "is_train",
