@@ -789,3 +789,201 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_blocked"),
     )
+
+
+# --- incremental champion maintenance (round 9) --------------------------------
+
+_CHAMPION_SCHEMA = (
+    "cluster_id BIGINT, champion_doc_id BIGINT, champion_n_chars BIGINT, "
+    "cluster_size BIGINT, n_dropped BIGINT"
+)
+
+
+def _has_parquet(d: str) -> bool:
+    import os
+
+    return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+
+def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
+    """One micro-batch of incremental champion maintenance — module-level so
+    tests can drive batches (and re-deliveries) directly.
+
+    Ledgers under ``base`` (all append-only parquet, duplicate-insensitive):
+      bands/  (band, bv, doc_id)        — LSH bucket membership of every doc
+      docs/   (doc_id, shingles, n_chars) — verification features per doc
+      edges/  (id_a, id_b)              — VERIFIED near-dup pairs found so far
+    plus champions/ — the maintained keep-decision table, rewritten per
+    batch from the edge-bounded ledgers (K2 idempotent-overwrite
+    discipline, sinks/keyed_parquet.py:56: a replayed batch recomputes the
+    identical table from identical ledgers, so re-delivery cannot change
+    any decision).
+
+    Per batch only the BATCH is shingled/minhashed (LSH cost tracks the
+    increment, never the corpus); candidate pairs are bucket collisions
+    between the batch and everything seen (a band/bv-keyed equi-join
+    against the ledger — partition the ledger by band at scale); exact
+    Jaccard verification touches only the new candidates; and the
+    champion refresh (alternating-star CC + one cluster-keyed window) runs
+    over the accumulated EDGE ledger — near-dup-node bounded, tiny vs the
+    corpus a full recompute would re-scan."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.queries_corpus import CLUSTER_JACCARD
+
+    bands_dir, docs_dir = f"{base}/bands", f"{base}/docs"
+    edges_dir, champ_dir = f"{base}/edges", f"{base}/champions"
+    sp_sess = batch.sparkSession
+
+    hashed = batch.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id").persist()
+    batch_docs = (
+        dd.with_shingles(batch.select("doc_id", "text", "n_chars"), "text")
+        .select("doc_id", "shingles", "n_chars")
+        .persist()
+    )
+    seen_bands = bands
+    if _has_parquet(bands_dir):
+        seen_bands = sp_sess.read.parquet(bands_dir).unionByName(bands)
+    # candidates TOUCHING this batch: bucket collision between a batch doc
+    # and anything seen (incl. the batch itself).  Pairs among previously
+    # seen docs were discovered when their second member arrived, so the
+    # accumulated edge ledger converges to the full-corpus pair set.
+    cand = (
+        seen_bands.select("band", "bv", F.col("doc_id").alias("id_x"))
+        .join(bands.select("band", "bv", F.col("doc_id").alias("id_y")), ["band", "bv"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    seen_docs = batch_docs
+    if _has_parquet(docs_dir):
+        seen_docs = sp_sess.read.parquet(docs_dir).unionByName(batch_docs)
+    verified = dd.jaccard_verify(
+        cand, seen_docs.select("doc_id", "shingles"), "doc_id"
+    )
+    new_edges = verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
+        "id_a", "id_b"
+    )
+    # unconditional append: an all-empty batch writes 0-row part files,
+    # which the downstream .distinct() ignores — cheaper than probing
+    # emptiness first (the probe would run the verify pipeline twice)
+    new_edges.write.mode("append").parquet(edges_dir)
+    bands.write.mode("append").parquet(bands_dir)
+    batch_docs.write.mode("append").parquet(docs_dir)
+    bands.unpersist()
+    batch_docs.unpersist()
+
+    if not _has_parquet(edges_dir):
+        return
+    # champion refresh over the edge-bounded state only; .distinct() makes
+    # re-delivered (duplicate) ledger rows invisible to CC and the window
+    edges = sp_sess.read.parquet(edges_dir).distinct()
+    labels = dd.alternating_star_components(edges)
+    stats = (
+        sp_sess.read.parquet(docs_dir)
+        .select("doc_id", "n_chars")
+        .dropDuplicates(["doc_id"])
+    )
+    joined = labels.join(stats, labels.node == stats.doc_id).select(
+        F.col("label").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ws = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(ws).alias("cluster_size"),
+    )
+    (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("champion_doc_id"),
+            F.col("n_chars").cast("bigint").alias("champion_n_chars"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .write.mode("overwrite")
+        .parquet(champ_dir)
+    )
+
+
+@register(
+    "stream_champion_upsert",
+    sql=None,  # assigned below: identical oracle to llm_dedup_champion —
+               # incremental maintenance, same final answer
+    tags=("streaming", "dedup", "champion", "incremental", "foreachBatch"),
+)
+def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL champion maintenance — the composition VERDICT r08 #5
+    asks for: stream_neardup_gate's append-only signature ledger feeding
+    llm_dedup_champion's keep-decision, so a new micro-batch updates the
+    champion table WITHOUT recomputing LSH over the full corpus.  This is
+    the shape a 100 TB ingest runs nightly: shingle/minhash only the new
+    documents, probe the band ledger for collisions, exact-verify only the
+    new candidate pairs, then refresh connected components + champion
+    election over the accumulated (near-dup-node bounded) edge ledger —
+    per-batch cost tracks the increment plus the duplicate graph, never
+    the corpus.  Champion semantics are llm_dedup_champion's verbatim
+    (longest doc wins, doc_id ascending tie-break; cluster_id = min member
+    id from alternating-star CC), and the final table is provably
+    batch-boundary-independent: the accumulated edge set converges to the
+    one-shot full-corpus pair set whatever the arrival order (edges are
+    symmetric, bucket collision is monotone in the seen set), so ONE
+    DuckDB oracle — the same recursive-CTE closure + champion window as
+    llm_dedup_champion — hash-checks the streaming execution end-to-end.
+    Re-delivery safe by construction: ledger appends are duplicate-
+    insensitive (CC reads .distinct(), stats dropDuplicates), and the
+    champion table is an idempotent full rewrite from ledgers (the K2
+    upsert discipline, sinks/keyed_parquet.py:56) — proven by
+    tests/test_round9_ops.py::test_champion_upsert_redelivery_stable."""
+    import os
+    import shutil
+
+    base = (
+        "/tmp/knowledgebot_spark/stream_champion/"
+        f"{os.path.basename(sf.rstrip('/'))}"
+    )
+    ckpt = f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def _maintain(batch: DataFrame, batch_id: int) -> None:
+        _champion_maintain(base, batch, batch_id)
+
+    stream = sp.read_documents_stream(spark, sf)
+    q = (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    champ_dir = f"{base}/champions"
+    if not _has_parquet(champ_dir):
+        return spark.createDataFrame([], _CHAMPION_SCHEMA)
+    return spark.read.parquet(champ_dir).orderBy("cluster_id")
+
+
+def _assign_champion_oracle() -> None:
+    from knowledgebot_spark import registry as _reg
+
+    _reg._REGISTRY["stream_champion_upsert"].sql = _reg._REGISTRY[
+        "llm_dedup_champion"
+    ].sql
+
+
+_assign_champion_oracle()

@@ -68,3 +68,92 @@ def test_lm_perplexity_no_array_contains_in_plan(spark, sf_dir):
             df._jdf.queryExecution(), "formatted"
         )
         assert "array_contains" not in plan, name
+
+
+# --- incremental champion maintenance (VERDICT r08 #5) -------------------------
+
+
+def test_champion_upsert_incremental_matches_oneshot_and_redelivery_stable(
+    spark, sf_dir, tmp_path
+):
+    """Two-batch incremental maintenance must converge to the one-shot
+    llm_dedup_champion answer, and RE-DELIVERING the last batch must leave
+    the champion table bit-identical (ledger appends are duplicate-
+    insensitive; the champion rewrite is an idempotent function of the
+    ledgers)."""
+    from knowledgebot_spark.queries_corpus import llm_dedup_champion
+    from knowledgebot_spark.queries_streaming import _champion_maintain
+    from knowledgebot_spark.tables import read_table
+
+    base = str(tmp_path / "champ_state")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    _champion_maintain(base, b1, 0)
+    _champion_maintain(base, b2, 1)
+    incremental = {
+        tuple(r) for r in spark.read.parquet(f"{base}/champions").collect()
+    }
+    oneshot = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
+    assert incremental == oneshot
+    assert incremental, "model guarantees near-dup clusters"
+
+    # re-deliver batch 2 (foreachBatch replay after a partial failure)
+    _champion_maintain(base, b2, 1)
+    redelivered = {
+        tuple(r) for r in spark.read.parquet(f"{base}/champions").collect()
+    }
+    assert redelivered == incremental
+
+
+def test_stream_champion_upsert_matches_batch_champion(spark, sf_dir):
+    """The registered streaming query (availableNow, foreachBatch) lands on
+    the same final champion table as the batch query."""
+    from knowledgebot_spark.queries_corpus import llm_dedup_champion
+    from knowledgebot_spark.queries_streaming import stream_champion_upsert
+
+    streamed = {tuple(r) for r in stream_champion_upsert(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
+    assert streamed == batch
+
+
+# --- monster-cluster champion election (VERDICT r08 #4) ------------------------
+
+
+def test_champion_election_monster_cluster(spark, tmp_path):
+    """Champion-election skew pin: ONE duplicate cluster holding >50% of
+    the near-dup node set (a corpus that is mostly copies of one document)
+    must elect exactly one champion — the longest member, doc_id ascending
+    on ties — and the cluster-keyed window must complete with the monster
+    cluster as its partition bound (documented in SCALING.md)."""
+    from knowledgebot_spark.queries_corpus import llm_dedup_champion
+
+    base_words = " ".join(f"w{i}" for i in range(40))
+    rows = []
+    # 60 exact copies (jaccard 1.0 pairwise) ...
+    for i in range(60):
+        rows.append((i, base_words, "en", "wiki", len(base_words)))
+    # ... one elongated near-dup member: +5 words keeps jaccard ~0.89 >= 0.8
+    long_text = base_words + " " + " ".join(f"x{i}" for i in range(5))
+    rows.append((60, long_text, "en", "wiki", len(long_text)))
+    # unrelated singletons (no near-dup edges)
+    for i in range(61, 71):
+        t = " ".join(f"u{i}_{j}" for j in range(30))
+        rows.append((i, t, "en", "web", len(t)))
+    d = str(tmp_path / "monster")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    out = llm_dedup_champion(spark, d).collect()
+    assert len(out) == 1  # singletons form no clusters
+    champ = out[0]
+    assert champ.cluster_id == 0  # min member id labels the cluster
+    assert champ.cluster_size == 61
+    assert champ.n_dropped == 60
+    assert champ.champion_doc_id == 60  # the longest member wins, not min-id
