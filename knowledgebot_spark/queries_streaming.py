@@ -987,3 +987,106 @@ def _assign_champion_oracle() -> None:
 
 
 _assign_champion_oracle()
+
+
+# --- streaming thread-latency SLO (round 9) ------------------------------------
+
+
+@register(
+    "stream_thread_latency",
+    sql=None,  # assigned below: identical oracle to kb_thread_latency —
+               # one SLO, batch and streaming execution
+    tags=("streaming", "stream-stream-join", "watermark", "S3", "J5", "F2", "slo"),
+)
+def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """kb_thread_latency as a WATERMARKED STREAM-STREAM JOIN — reply
+    stream x parent stream on the S3/J5 parent<->reply key, 7-day
+    watermark on both sides (the F2 lookback rule as a streaming state
+    bound: join state for a parent is evictable once the reply watermark
+    passes parent + 7 days, so a reply lagging beyond the lookback horizon
+    drops exactly like F2's batch filter would drop it; the deterministic
+    model's replies lag ~11 minutes, so nothing drops on this fixture and
+    the batch query's numbers reproduce exactly).  Inner stream-stream
+    join rows emit as they match (no watermark finalization wait), land in
+    an append memory sink, and the day-keyed SLO aggregate — the SAME
+    exact-integer half-up mean as the batch query — runs over the sink.
+    Exercises the one streaming shape the catalog's stream-stream row
+    previously covered only generically (event interval join); this is
+    the keyed-equality + range-bound composite with a derived event-time
+    column on each side.  At 100 TB the state store holds <= 7 days of
+    parent keys per partition — watermark-bounded, never stream-bounded."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import model
+
+    base = (
+        "/tmp/knowledgebot_spark/stream_thread_latency/"
+        f"{os.path.basename(sf.rstrip('/'))}"
+    )
+    src = f"{base}/messages"
+    shutil.rmtree(base, ignore_errors=True)
+
+    msgs = model.messages(spark, sf)
+    msgs.write.parquet(src)
+
+    replies = (
+        spark.readStream.schema(msgs.schema)
+        .parquet(src)
+        .filter(F.col("thread_ts_micros").isNotNull())
+        .select(
+            F.col("channel_id").alias("r_channel_id"),
+            F.col("thread_ts_micros").alias("parent_ts_micros"),
+            F.col("ts_micros").alias("r_ts_micros"),
+            F.timestamp_micros(F.col("ts_micros")).alias("r_evt"),
+        )
+        .withWatermark("r_evt", "7 days")
+    )
+    parents = (
+        spark.readStream.schema(msgs.schema)
+        .parquet(src)
+        .select(
+            "channel_id",
+            "ts_micros",
+            F.timestamp_micros(F.col("ts_micros")).alias("p_evt"),
+        )
+        .withWatermark("p_evt", "7 days")
+    )
+    joined = replies.join(
+        parents,
+        (F.col("r_channel_id") == F.col("channel_id"))
+        & (F.col("parent_ts_micros") == F.col("ts_micros"))
+        & (F.col("r_evt") >= F.col("p_evt"))
+        & (F.col("r_evt") <= F.col("p_evt") + F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).select(
+        F.date_format("p_evt", "yyyyMMdd").alias("parent_date"),
+        (F.col("r_ts_micros") - F.col("ts_micros")).alias("d_micros"),
+    )
+    lat = sp.run_to_memory(joined, "append")
+    return (
+        lat.groupBy("parent_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n_replies"),
+            F.min("d_micros").cast("bigint").alias("min_micros"),
+            F.max("d_micros").cast("bigint").alias("max_micros"),
+            F.expr(
+                "CAST((2 * CAST(sum(d_micros) AS DECIMAL(38,0)) + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).alias("avg_micros_half_up"),
+        )
+        .orderBy("parent_date")
+    )
+
+
+def _assign_thread_latency_oracle() -> None:
+    from knowledgebot_spark import registry as _r
+
+    _r._REGISTRY["stream_thread_latency"].sql = _r._REGISTRY[
+        "kb_thread_latency"
+    ].sql
+
+
+_assign_thread_latency_oracle()

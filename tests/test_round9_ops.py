@@ -157,3 +157,19 @@ def test_champion_election_monster_cluster(spark, tmp_path):
     assert champ.cluster_size == 61
     assert champ.n_dropped == 60
     assert champ.champion_doc_id == 60  # the longest member wins, not min-id
+
+
+# --- streaming thread-latency SLO (VERDICT r08 #6) -----------------------------
+
+
+def test_stream_thread_latency_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream join must reproduce the batch
+    kb_thread_latency numbers exactly on the same fixture (the model's
+    replies lag ~11 min, far inside the 7-day watermark, so no drops)."""
+    from knowledgebot_spark.queries_pipeline import kb_thread_latency
+    from knowledgebot_spark.queries_streaming import stream_thread_latency
+
+    streamed = [tuple(r) for r in stream_thread_latency(spark, sf_dir).collect()]
+    batch = [tuple(r) for r in kb_thread_latency(spark, sf_dir).collect()]
+    assert streamed == batch
+    assert streamed, "model guarantees thread replies"
