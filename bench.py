@@ -135,6 +135,12 @@ HEADLINE = [
     "kb_channel_mention_overlap",
     "stream_neardup_gate",
     "llm_dedup_champion",
+    # round-9 additions (plus llm_lm_perplexity: its vocab mapping switched
+    # to the token-keyed join path this round — keep it on the measured
+    # surface alongside its kneser-ney sibling)
+    "stream_champion_upsert",
+    "stream_thread_latency",
+    "llm_lm_perplexity",
 ]
 
 
@@ -185,6 +191,23 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Regression self-report (VERDICT r08 #7): diff this run against the
+    # PREVIOUS round's committed detail map before overwriting it.  A query
+    # is flagged when it got both materially (>1 s) and proportionally
+    # (>1.5x) slower — min-of-N already filters host noise, so a flagged
+    # entry is a plan change worth reading, not jitter.
+    regressions: dict[str, list[float]] = {}
+    dropped: list[str] = []
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh).get("queries", {})
+    except Exception:
+        prev = {}
+    for name, sec in prev.items():
+        if name not in timings:
+            dropped.append(name)
+        elif timings[name] > max(1.5 * sec, sec + 1.0):
+            regressions[name] = [sec, timings[name]]
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -199,6 +222,13 @@ def main() -> None:
             indent=1,
         )
         fh.write("\n")
+    if regressions or dropped:
+        print(
+            "BENCH DIFF vs previous detail: "
+            + json.dumps({"regressions": regressions, "dropped": dropped})
+        )
+    else:
+        print(f"BENCH DIFF vs previous detail: none ({len(prev)} prior entries)")
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
