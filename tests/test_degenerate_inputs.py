@@ -53,6 +53,9 @@ AT_RISK = [
     "llm_kneser_ney_lm",  # near-empty train split, all-<unk> mapping
     # round 8
     "llm_dedup_champion",  # empty/whitespace docs -> possibly zero clusters
+    # round 9
+    "llm_lm_perplexity",  # token-keyed mapping: empty arrays posexplode to nothing
+    "stream_champion_upsert",  # ledgers may end a run with zero edges
 ]
 
 
