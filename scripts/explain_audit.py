@@ -129,7 +129,11 @@ FLAGSHIPS = (
     ),
     (
         "kb_mention_graph",
-        "explode -> two broadcast dim joins -> keyed agg; reciprocity probe joins the user-pair-bounded edge list against its own reversal, never the message stream",
+        "edge list localCheckpointed ONCE (round 9): the reciprocity self-join reads two ExistingRDD scans of the user-pair-bounded table — no parquet scan, no Generate, no agg shuffle survives into the final plan",
+    ),
+    (
+        "llm_lm_perplexity",
+        "token-keyed vocab mapping (round 9): posexplode -> broadcast vocab hash join (O(1)/token, vocabulary-size-independent) -> pos-ordered re-collect; array_contains gone",
     ),
 )
 
