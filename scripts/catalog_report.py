@@ -23,8 +23,10 @@ def main() -> None:
     print(f"{len(catalog)} queries; {sum(1 for q in catalog.values() if q.sql)} "
           f"with DuckDB oracles; {len(green)} with cumulative driver hash-green "
           "evidence (CORRECTNESS_r*.json).  Order below is the driver's "
-          "evidence-rotation order: never-checked queries first — the first "
-          "50 rows are the next round's correctness window.")
+          "evidence-rotation order: never-checked queries first, then checked "
+          "queries by the round they were LAST hash-green (stalest first) — "
+          "the first 50 rows are the next round's correctness window, so once "
+          "coverage closed (r08) each window re-certifies the oldest evidence.")
     never = sum(1 for name in catalog if name not in green)
     if 0 < never <= 100:
         tail = max(0, never - 50)
