@@ -979,6 +979,11 @@ def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _assign_champion_oracle() -> None:
+    # import for the registration side effect: a DIRECT import of this
+    # module (tests, tooling) must not depend on registry.load()'s module
+    # order having run first
+    import knowledgebot_spark.queries_corpus  # noqa: F401
+
     from knowledgebot_spark import registry as _reg
 
     _reg._REGISTRY["stream_champion_upsert"].sql = _reg._REGISTRY[
@@ -1032,9 +1037,18 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
     msgs = model.messages(spark, sf)
     msgs.write.parquet(src)
 
+    def _reader():
+        # KB_STREAM_MAX_FILES forces multi-batch replays in tests (same knob
+        # as read_events_stream): join state must carry parents across batch
+        # boundaries until the reply watermark passes parent + 7 days
+        r = spark.readStream.schema(msgs.schema)
+        max_files = os.environ.get("KB_STREAM_MAX_FILES")
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return r.parquet(src)
+
     replies = (
-        spark.readStream.schema(msgs.schema)
-        .parquet(src)
+        _reader()
         .filter(F.col("thread_ts_micros").isNotNull())
         .select(
             F.col("channel_id").alias("r_channel_id"),
@@ -1045,8 +1059,7 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
         .withWatermark("r_evt", "7 days")
     )
     parents = (
-        spark.readStream.schema(msgs.schema)
-        .parquet(src)
+        _reader()
         .select(
             "channel_id",
             "ts_micros",
@@ -1082,6 +1095,8 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _assign_thread_latency_oracle() -> None:
+    import knowledgebot_spark.queries_pipeline  # noqa: F401  (registration)
+
     from knowledgebot_spark import registry as _r
 
     _r._REGISTRY["stream_thread_latency"].sql = _r._REGISTRY[

@@ -173,3 +173,47 @@ def test_stream_thread_latency_matches_batch(spark, sf_dir):
     batch = [tuple(r) for r in kb_thread_latency(spark, sf_dir).collect()]
     assert streamed == batch
     assert streamed, "model guarantees thread replies"
+
+
+def test_stream_thread_latency_multi_batch_replay(spark, sf_dir):
+    """Batch boundaries are a harness artifact: replaying the message
+    stream one file per micro-batch (KB_STREAM_MAX_FILES=1) must produce
+    the SAME SLO table as the single-batch run — join state carries
+    parents across batch boundaries until the reply watermark passes
+    parent + 7 days."""
+    from knowledgebot_spark.queries_pipeline import kb_thread_latency
+    from knowledgebot_spark.queries_streaming import stream_thread_latency
+
+    os.environ["KB_STREAM_MAX_FILES"] = "1"
+    try:
+        streamed = [
+            tuple(r) for r in stream_thread_latency(spark, sf_dir).collect()
+        ]
+    finally:
+        del os.environ["KB_STREAM_MAX_FILES"]
+    batch = [tuple(r) for r in kb_thread_latency(spark, sf_dir).collect()]
+    assert streamed == batch
+
+
+def test_champion_maintain_out_of_order_batches(spark, sf_dir, tmp_path):
+    """Arrival order must not matter: delivering the HIGH-doc_id half
+    first still converges to the one-shot champion table (edges are
+    symmetric and bucket collision is monotone in the seen set — unlike
+    stream_neardup_gate, champion maintenance carries no id-order
+    precondition)."""
+    from knowledgebot_spark.queries_corpus import llm_dedup_champion
+    from knowledgebot_spark.queries_streaming import _champion_maintain
+    from knowledgebot_spark.tables import read_table
+
+    base = str(tmp_path / "champ_ooo")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    _champion_maintain(base, docs.filter(F.col("doc_id") > mid), 0)
+    _champion_maintain(base, docs.filter(F.col("doc_id") <= mid), 1)
+    incremental = {
+        tuple(r) for r in spark.read.parquet(f"{base}/champions").collect()
+    }
+    oneshot = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
+    assert incremental == oneshot
