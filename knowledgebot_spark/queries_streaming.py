@@ -947,8 +947,13 @@ def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
     Re-delivery safe by construction: ledger appends are duplicate-
     insensitive (CC reads .distinct(), stats dropDuplicates), and the
     champion table is an idempotent full rewrite from ledgers (the K2
-    upsert discipline, sinks/keyed_parquet.py:56) — proven by
-    tests/test_round9_ops.py::test_champion_upsert_redelivery_stable."""
+    upsert discipline, sinks/keyed_parquet.py:56) — proven by the
+    re-delivery and out-of-order tests in tests/test_round9_ops.py.
+    Reference provenance: the incremental-ingest loop is the reference's
+    checkpointed scan (KnowledgeBot.py:460-527, S2/F1/F2) and the K2
+    delete-by-prefix idempotent upsert (KnowledgeBot.py, the chunk-file
+    reprocess path); the dedup/champion semantics are the engine's own
+    scale additions (SURVEY.md §2.3 LLM-pipeline extras)."""
     import os
     import shutil
 
@@ -1019,7 +1024,11 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
     previously covered only generically (event interval join); this is
     the keyed-equality + range-bound composite with a derived event-time
     column on each side.  At 100 TB the state store holds <= 7 days of
-    parent keys per partition — watermark-bounded, never stream-bounded."""
+    parent keys per partition — watermark-bounded, never stream-bounded.
+    Reference provenance: thread parent<->reply resolution is
+    KnowledgeBot.py:317-348 (S3/J5); the 7-day lookback is the reference's
+    checkpoint window (F2, KnowledgeBot.py:460-527); the SLO aggregate is
+    the engine's scale addition over the same keys."""
     import os
     import shutil
 
