@@ -906,6 +906,11 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(ws).alias("cluster_size"),
     )
+    # plain overwrite: a crash mid-rewrite leaves a partial champions dir,
+    # but the NEXT delivery (or the replay of this one) rewrites the whole
+    # table from ledgers, so the steady state is always correct; a reader
+    # that must never observe the rewrite window would stage + atomic-rename
+    # (the checkpoint sink's discipline, sinks/checkpoint.py:49)
     (
         ranked.filter(F.col("rn") == 1)
         .select(
