@@ -141,6 +141,7 @@ HEADLINE = [
     "stream_champion_upsert",
     "stream_thread_latency",
     "llm_lm_perplexity",
+    "llm_epoch_mixture",
 ]
 
 

@@ -5818,3 +5818,197 @@ def llm_kneser_ney_lm(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("nll"), F.asc("doc_id"))
         .limit(_LM_TOPK)
     )
+
+
+# --- epoch-capped source mixing (round 9) --------------------------------------
+#
+# The mixture-planning step every LLM pretraining run performs (the
+# DoReMi / LLaMA-style data recipe): given per-source target weights and a
+# token budget, decide how many FULL epochs of each source to take (capped —
+# repeating a small source beyond a few epochs hurts), plus a deterministic
+# partial-epoch tail to land the budget exactly.  Everything is exact
+# integer arithmetic so both engines state identical plans.
+
+_EPOCH_CAP = 4           # max full repeats of any source (common practice)
+_MIX_WEIGHT_MOD = 997    # md5-derived raw weight range, pre-apportionment
+
+
+def _duck_epoch_mixture_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+    md5(CAST(doc_id AS VARCHAR) || ':epoch') AS h
+  FROM documents
+), stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), raw AS (
+  SELECT *, ('0x' || substr(md5(source || ':w'), 1, 6))::BIGINT
+              % {_MIX_WEIGHT_MOD} + 1 AS raw_w
+  FROM stats
+), appo AS (
+  SELECT *, raw_w * 10000 AS num, (SELECT sum(raw_w) FROM raw) AS den FROM raw
+), fl AS (
+  SELECT *, num // den AS base, num % den AS rem FROM appo
+), lr AS (
+  SELECT *, CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                   <= 10000 - (SELECT sum(base) FROM fl) THEN 1 ELSE 0 END
+            AS BIGINT) AS weight_e4
+  FROM fl
+), plan AS (
+  SELECT source, n_docs, n_tokens, weight_e4,
+    (SELECT 2 * sum(n_tokens) FROM stats) * weight_e4 // 10000 AS target_tokens
+  FROM lr
+), plan3 AS (
+  SELECT *, least(target_tokens, {_EPOCH_CAP} * n_tokens) // n_tokens AS full_epochs,
+         least(target_tokens, {_EPOCH_CAP} * n_tokens) % n_tokens AS residual
+  FROM plan
+), ws AS (
+  SELECT t.*, sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ws_cum
+  FROM tok t
+), tail AS (
+  SELECT w.source, CAST(count(*) AS BIGINT) AS n_tail_docs,
+         CAST(max(w.ws_cum) AS BIGINT) AS tail_tokens
+  FROM ws w JOIN plan3 p USING (source)
+  WHERE w.ws_cum - w.n_toks < p.residual
+  GROUP BY w.source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.weight_e4,
+  CAST(p.target_tokens AS BIGINT) AS target_tokens,
+  CAST(p.full_epochs AS BIGINT) AS full_epochs,
+  CAST(coalesce(t.n_tail_docs, 0) AS BIGINT) AS n_tail_docs,
+  CAST(coalesce(t.tail_tokens, 0) AS BIGINT) AS tail_tokens,
+  CAST(p.full_epochs * p.n_tokens + coalesce(t.tail_tokens, 0) AS BIGINT)
+    AS achieved_tokens,
+  p.target_tokens > {_EPOCH_CAP} * p.n_tokens AS epoch_cap_hit
+FROM plan3 p LEFT JOIN tail t USING (source)
+ORDER BY p.source
+"""
+
+
+@register(
+    "llm_epoch_mixture",
+    sql=_duck_epoch_mixture_sql(),
+    tags=("training-data", "mixture", "epochs", "apportionment", "sampling"),
+)
+def llm_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-capped source-mixture plan — the data-recipe step between
+    weighting and sampling: per-source target weights (largest-remainder
+    apportionment of 10000 exact e4 units over md5-derived raw weights —
+    the only integer-exact way to make proportions sum to exactly 1),
+    a corpus-relative token budget (2x total tokens, so minority sources
+    need upsampling), and per source the decision a pretraining run
+    executes: how many FULL epochs (capped at {_EPOCH_CAP} — the
+    repeat-data practice bound), plus a deterministic partial-epoch tail
+    (docs in md5 order, greedy prefix until the residual is covered;
+    overshoot < the last doc, the rel_compaction_plan capacity
+    discipline), and an epoch_cap_hit flag marking sources whose target
+    is unreachable under the cap.  Every output is an exact integer, so
+    the driver hash pins the whole recipe cross-engine.
+
+    Shape: one token-count scan + source-keyed agg (stats are
+    source-cardinality); the apportionment windows rank the tiny stats
+    relation (agg-barriered, bounded by |sources|); the tail selection
+    rides the DISTRIBUTED cumsum (operators/ranking.py — range partition
+    + per-partition offsets) ordered by (source, md5, doc_id), so no
+    per-source window ever holds a corpus-scale partition: the 100 TB
+    failure mode of the naive PARTITION BY source formulation (one
+    source = 60% of the corpus on one task) cannot occur.  Per-source
+    offsets and residuals join back as source-cardinality broadcasts."""
+    from knowledgebot_spark.operators import ranking as rk
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_toks"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch"))).alias("h"),
+    )
+    stats = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    raw = stats.withColumn(
+        "raw_w",
+        F.expr(
+            "CAST(conv(substring(md5(concat(source, ':w')), 1, 6), 16, 10) AS BIGINT)"
+            f" % {_MIX_WEIGHT_MOD} + 1"
+        ),
+    )
+    den = raw.agg(F.sum("raw_w").cast("long").alias("den"))
+    appo = (
+        raw.crossJoin(F.broadcast(den))
+        .withColumn("num", F.col("raw_w") * 10000)
+        .withColumn("base", F.expr("num div den"))
+        .withColumn("rem", F.col("num") % F.col("den"))
+    )
+    base_sum = appo.agg(F.sum("base").cast("long").alias("base_sum"))
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    lr = (
+        appo.crossJoin(F.broadcast(base_sum))
+        .withColumn("rw", F.row_number().over(w_rem))
+        .withColumn(
+            "weight_e4",
+            (
+                F.col("base")
+                + F.when(F.col("rw") <= 10000 - F.col("base_sum"), 1).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    budget = stats.agg((F.lit(2) * F.sum("n_tokens")).cast("long").alias("budget"))
+    plan = (
+        lr.crossJoin(F.broadcast(budget))
+        .withColumn("target_tokens", F.expr("budget * weight_e4 div 10000"))
+        .withColumn(
+            "capped",
+            F.least(F.col("target_tokens"), F.lit(_EPOCH_CAP) * F.col("n_tokens")),
+        )
+        .withColumn("full_epochs", F.expr("capped div n_tokens"))
+        .withColumn("residual", F.col("capped") % F.col("n_tokens"))
+    )
+    cum = rk.with_global_cumsum(
+        tok, [F.col("source"), F.col("h"), F.col("doc_id")], F.col("n_toks"), out="cum"
+    )
+    offs = (
+        cum.withColumn("pre", F.col("cum") - F.col("n_toks"))
+        .groupBy("source")
+        .agg(F.min("pre").alias("src_off"))
+    )
+    ws = (
+        cum.join(F.broadcast(offs), "source")
+        .withColumn("ws_cum", F.col("cum") - F.col("src_off"))
+        .withColumn("ws_prev", F.col("ws_cum") - F.col("n_toks"))
+    )
+    tail = (
+        ws.join(F.broadcast(plan.select("source", "residual")), "source")
+        .filter(F.col("ws_prev") < F.col("residual"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tail_docs"),
+            F.max("ws_cum").cast("long").alias("tail_tokens"),
+        )
+    )
+    return (
+        plan.join(tail, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_e4",
+            F.col("target_tokens").cast("long").alias("target_tokens"),
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            F.coalesce(F.col("n_tail_docs"), F.lit(0)).cast("long").alias("n_tail_docs"),
+            F.coalesce(F.col("tail_tokens"), F.lit(0)).cast("long").alias("tail_tokens"),
+            (
+                F.col("full_epochs") * F.col("n_tokens")
+                + F.coalesce(F.col("tail_tokens"), F.lit(0))
+            ).cast("long").alias("achieved_tokens"),
+            (F.col("target_tokens") > F.lit(_EPOCH_CAP) * F.col("n_tokens")).alias(
+                "epoch_cap_hit"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -462,6 +462,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "rel_exact_quantiles_distributed": "distributed rank; offsets window over |partitions| rows",
     "rel_concurrency_sweep": "distributed cumsum; offsets window over |partitions| rows",
     "rel_compaction_plan": "distributed cumsum; offsets window over |partitions| rows",
+    "llm_epoch_mixture": "apportionment rank over |sources| post-agg rows; distributed cumsum offsets window over |partitions| rows",
 }
 
 _WINDOW_BARRIERS = (

@@ -217,3 +217,63 @@ def test_champion_maintain_out_of_order_batches(spark, sf_dir, tmp_path):
     }
     oneshot = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
     assert incremental == oneshot
+
+
+# --- epoch-capped source mixing (round 9) --------------------------------------
+
+
+def test_epoch_mixture_recipe_invariants(spark, sf_dir):
+    """The mixture plan's exact-integer contract: weights apportion to
+    EXACTLY 10000 e4 units (largest remainder), full_epochs respects the
+    cap, the tail covers the residual with overshoot < one document, and
+    achieved tokens land between the capped target and target + last-doc
+    overshoot."""
+    from knowledgebot_spark.queries_llm import _EPOCH_CAP, llm_epoch_mixture
+
+    rows = llm_epoch_mixture(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.weight_e4 for r in rows) == 10000
+    for r in rows:
+        assert 0 <= r.full_epochs <= _EPOCH_CAP
+        capped = min(r.target_tokens, _EPOCH_CAP * r.n_tokens)
+        residual = capped % r.n_tokens
+        if residual == 0:
+            assert r.n_tail_docs == 0 and r.tail_tokens == 0
+        else:
+            # greedy prefix: covers the residual, overshoot < one doc
+            assert r.tail_tokens >= residual
+            assert r.n_tail_docs >= 1
+        assert r.achieved_tokens == r.full_epochs * r.n_tokens + r.tail_tokens
+        assert r.epoch_cap_hit == (r.target_tokens > _EPOCH_CAP * r.n_tokens)
+        if r.epoch_cap_hit:
+            # cap binding: exactly the cap's worth of full epochs, no tail
+            assert r.full_epochs == _EPOCH_CAP
+            assert r.n_tail_docs == 0 and r.tail_tokens == 0
+
+
+def test_epoch_mixture_tail_matches_pandas_replay(spark, sf_dir):
+    """Pure-pandas replay of one source's tail selection: the docs chosen
+    for the partial epoch are exactly the md5-order greedy prefix."""
+    import hashlib
+
+    from knowledgebot_spark.queries_llm import _EPOCH_CAP, llm_epoch_mixture
+
+    plan = {r.source: r for r in llm_epoch_mixture(spark, sf_dir).collect()}
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs["n_toks"] = docs["text"].str.lower().str.split(" ").str.len()
+    docs["h"] = docs["doc_id"].map(
+        lambda i: hashlib.md5(f"{i}:epoch".encode()).hexdigest()
+    )
+    src = sorted(plan)[0]
+    sub = docs[docs["source"] == src].sort_values(["h", "doc_id"])
+    r = plan[src]
+    capped = min(r.target_tokens, _EPOCH_CAP * r.n_tokens)
+    residual = capped % r.n_tokens
+    cum_prev, n_sel, tok_sel = 0, 0, 0
+    for t in sub["n_toks"]:
+        if cum_prev >= residual:
+            break
+        n_sel += 1
+        tok_sel = cum_prev + t
+        cum_prev += t
+    assert (r.n_tail_docs, r.tail_tokens) == (n_sel, tok_sel)
