@@ -237,6 +237,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_sim_lsh",
         "llm_sim_ivf",
         "llm_tfidf_topterm",
+        "llm_epoch_mixture",  # 1-row scalars (weight denom, base sum, budget) crossJoined
         "llm_boilerplate_ngrams",
         "llm_source_mixing",  # 1-row total + 1-row norm broadcast scalars
         "rel_hll_sketch",  # 1-row merged-sketch x 1-row exact-total scalars
