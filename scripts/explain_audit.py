@@ -135,6 +135,10 @@ FLAGSHIPS = (
         "llm_lm_perplexity",
         "token-keyed vocab mapping (round 9): posexplode -> broadcast vocab hash join (O(1)/token, vocabulary-size-independent) -> pos-ordered re-collect; array_contains gone",
     ),
+    (
+        "llm_epoch_mixture",
+        "mixture recipe (round 9): source-keyed agg + apportionment windows over |sources| rows; tail selection on the distributed cumsum — no per-source corpus-scale window; scalars as 1-row broadcasts",
+    ),
 )
 
 
