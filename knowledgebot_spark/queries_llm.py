@@ -5833,91 +5833,15 @@ _EPOCH_CAP = 4           # max full repeats of any source (common practice)
 _MIX_WEIGHT_MOD = 997    # md5-derived raw weight range, pre-apportionment
 
 
-def _duck_epoch_mixture_sql() -> str:
-    return f"""
-WITH tok AS (
-  SELECT doc_id, source,
-    CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks,
-    md5(CAST(doc_id AS VARCHAR) || ':epoch') AS h
-  FROM documents
-), stats AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(n_toks) AS BIGINT) AS n_tokens
-  FROM tok GROUP BY source
-), raw AS (
-  SELECT *, ('0x' || substr(md5(source || ':w'), 1, 6))::BIGINT
-              % {_MIX_WEIGHT_MOD} + 1 AS raw_w
-  FROM stats
-), appo AS (
-  SELECT *, raw_w * 10000 AS num, (SELECT sum(raw_w) FROM raw) AS den FROM raw
-), fl AS (
-  SELECT *, num // den AS base, num % den AS rem FROM appo
-), lr AS (
-  SELECT *, CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-                   <= 10000 - (SELECT sum(base) FROM fl) THEN 1 ELSE 0 END
-            AS BIGINT) AS weight_e4
-  FROM fl
-), plan AS (
-  SELECT source, n_docs, n_tokens, weight_e4,
-    (SELECT 2 * sum(n_tokens) FROM stats) * weight_e4 // 10000 AS target_tokens
-  FROM lr
-), plan3 AS (
-  SELECT *, least(target_tokens, {_EPOCH_CAP} * n_tokens) // n_tokens AS full_epochs,
-         least(target_tokens, {_EPOCH_CAP} * n_tokens) % n_tokens AS residual
-  FROM plan
-), ws AS (
-  SELECT t.*, sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ws_cum
-  FROM tok t
-), tail AS (
-  SELECT w.source, CAST(count(*) AS BIGINT) AS n_tail_docs,
-         CAST(max(w.ws_cum) AS BIGINT) AS tail_tokens
-  FROM ws w JOIN plan3 p USING (source)
-  WHERE w.ws_cum - w.n_toks < p.residual
-  GROUP BY w.source
-)
-SELECT p.source, p.n_docs, p.n_tokens, p.weight_e4,
-  CAST(p.target_tokens AS BIGINT) AS target_tokens,
-  CAST(p.full_epochs AS BIGINT) AS full_epochs,
-  CAST(coalesce(t.n_tail_docs, 0) AS BIGINT) AS n_tail_docs,
-  CAST(coalesce(t.tail_tokens, 0) AS BIGINT) AS tail_tokens,
-  CAST(p.full_epochs * p.n_tokens + coalesce(t.tail_tokens, 0) AS BIGINT)
-    AS achieved_tokens,
-  p.target_tokens > {_EPOCH_CAP} * p.n_tokens AS epoch_cap_hit
-FROM plan3 p LEFT JOIN tail t USING (source)
-ORDER BY p.source
-"""
-
-
-@register(
-    "llm_epoch_mixture",
-    sql=_duck_epoch_mixture_sql(),
-    tags=("training-data", "mixture", "epochs", "apportionment", "sampling"),
-)
-def llm_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
-    """Epoch-capped source-mixture plan — the data-recipe step between
-    weighting and sampling: per-source target weights (largest-remainder
-    apportionment of 10000 exact e4 units over md5-derived raw weights —
-    the only integer-exact way to make proportions sum to exactly 1),
-    a corpus-relative token budget (2x total tokens, so minority sources
-    need upsampling), and per source the decision a pretraining run
-    executes: how many FULL epochs (capped at {_EPOCH_CAP} — the
-    repeat-data practice bound), plus a deterministic partial-epoch tail
-    (docs in md5 order, greedy prefix until the residual is covered;
-    overshoot < the last doc, the rel_compaction_plan capacity
-    discipline), and an epoch_cap_hit flag marking sources whose target
-    is unreachable under the cap.  Every output is an exact integer, so
-    the driver hash pins the whole recipe cross-engine.
-
-    Shape: one token-count scan + source-keyed agg (stats are
-    source-cardinality); the apportionment windows rank the tiny stats
-    relation (agg-barriered, bounded by |sources|); the tail selection
-    rides the DISTRIBUTED cumsum (operators/ranking.py — range partition
-    + per-partition offsets) ordered by (source, md5, doc_id), so no
-    per-source window ever holds a corpus-scale partition: the 100 TB
-    failure mode of the naive PARTITION BY source formulation (one
-    source = 60% of the corpus on one task) cannot occur.  Per-source
-    offsets and residuals join back as source-cardinality broadcasts."""
+def _epoch_mixture_frames(spark: SparkSession, sf: str):
+    """Shared plan-builder for llm_epoch_mixture and llm_epoch_sample:
+    returns (plan, ws) where ``plan`` is the source-cardinality capped
+    recipe (source, n_docs, n_tokens, weight_e4, target_tokens, capped,
+    full_epochs, residual) and ``ws`` the per-doc within-source running
+    cumsum (doc_id, source, n_toks, h, ws_cum, ws_prev) riding the
+    DISTRIBUTED cumsum (operators/ranking.py) ordered by
+    (source, md5, doc_id) — no per-source window ever holds a
+    corpus-scale partition."""
     from knowledgebot_spark.operators import ranking as rk
 
     d = _t(spark, sf, "documents")
@@ -5982,6 +5906,104 @@ def llm_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("ws_cum", F.col("cum") - F.col("src_off"))
         .withColumn("ws_prev", F.col("ws_cum") - F.col("n_toks"))
     )
+    return plan, ws
+
+
+def _duck_epoch_cte() -> str:
+    """Shared CTE prefix (token stats -> apportionment -> capped plan ->
+    per-source running cumsum) for the mixture PLAN and its SAMPLE
+    materializer — one text, two oracles, so the two queries can never
+    state different recipes."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+    md5(CAST(doc_id AS VARCHAR) || ':epoch') AS h
+  FROM documents
+), stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), raw AS (
+  SELECT *, ('0x' || substr(md5(source || ':w'), 1, 6))::BIGINT
+              % {_MIX_WEIGHT_MOD} + 1 AS raw_w
+  FROM stats
+), appo AS (
+  SELECT *, raw_w * 10000 AS num, (SELECT sum(raw_w) FROM raw) AS den FROM raw
+), fl AS (
+  SELECT *, num // den AS base, num % den AS rem FROM appo
+), lr AS (
+  SELECT *, CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                   <= 10000 - (SELECT sum(base) FROM fl) THEN 1 ELSE 0 END
+            AS BIGINT) AS weight_e4
+  FROM fl
+), plan AS (
+  SELECT source, n_docs, n_tokens, weight_e4,
+    (SELECT 2 * sum(n_tokens) FROM stats) * weight_e4 // 10000 AS target_tokens
+  FROM lr
+), plan3 AS (
+  SELECT *, least(target_tokens, {_EPOCH_CAP} * n_tokens) // n_tokens AS full_epochs,
+         least(target_tokens, {_EPOCH_CAP} * n_tokens) % n_tokens AS residual
+  FROM plan
+), ws AS (
+  SELECT t.*, sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ws_cum
+  FROM tok t
+)"""
+
+
+def _duck_epoch_mixture_sql() -> str:
+    return _duck_epoch_cte() + f"""
+, tail AS (
+  SELECT w.source, CAST(count(*) AS BIGINT) AS n_tail_docs,
+         CAST(max(w.ws_cum) AS BIGINT) AS tail_tokens
+  FROM ws w JOIN plan3 p USING (source)
+  WHERE w.ws_cum - w.n_toks < p.residual
+  GROUP BY w.source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.weight_e4,
+  CAST(p.target_tokens AS BIGINT) AS target_tokens,
+  CAST(p.full_epochs AS BIGINT) AS full_epochs,
+  CAST(coalesce(t.n_tail_docs, 0) AS BIGINT) AS n_tail_docs,
+  CAST(coalesce(t.tail_tokens, 0) AS BIGINT) AS tail_tokens,
+  CAST(p.full_epochs * p.n_tokens + coalesce(t.tail_tokens, 0) AS BIGINT)
+    AS achieved_tokens,
+  p.target_tokens > {_EPOCH_CAP} * p.n_tokens AS epoch_cap_hit
+FROM plan3 p LEFT JOIN tail t USING (source)
+ORDER BY p.source
+"""
+
+
+@register(
+    "llm_epoch_mixture",
+    sql=_duck_epoch_mixture_sql(),
+    tags=("training-data", "mixture", "epochs", "apportionment", "sampling"),
+)
+def llm_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-capped source-mixture plan — the data-recipe step between
+    weighting and sampling: per-source target weights (largest-remainder
+    apportionment of 10000 exact e4 units over md5-derived raw weights —
+    the only integer-exact way to make proportions sum to exactly 1),
+    a corpus-relative token budget (2x total tokens, so minority sources
+    need upsampling), and per source the decision a pretraining run
+    executes: how many FULL epochs (capped at {_EPOCH_CAP} — the
+    repeat-data practice bound), plus a deterministic partial-epoch tail
+    (docs in md5 order, greedy prefix until the residual is covered;
+    overshoot < the last doc, the rel_compaction_plan capacity
+    discipline), and an epoch_cap_hit flag marking sources whose target
+    is unreachable under the cap.  Every output is an exact integer, so
+    the driver hash pins the whole recipe cross-engine.
+
+    Shape: one token-count scan + source-keyed agg (stats are
+    source-cardinality); the apportionment windows rank the tiny stats
+    relation (agg-barriered, bounded by |sources|); the tail selection
+    rides the DISTRIBUTED cumsum (operators/ranking.py — range partition
+    + per-partition offsets) ordered by (source, md5, doc_id), so no
+    per-source window ever holds a corpus-scale partition: the 100 TB
+    failure mode of the naive PARTITION BY source formulation (one
+    source = 60% of the corpus on one task) cannot occur.  Per-source
+    offsets and residuals join back as source-cardinality broadcasts."""
+    plan, ws = _epoch_mixture_frames(spark, sf)
     tail = (
         ws.join(F.broadcast(plan.select("source", "residual")), "source")
         .filter(F.col("ws_prev") < F.col("residual"))
@@ -6009,6 +6031,131 @@ def llm_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("target_tokens") > F.lit(_EPOCH_CAP) * F.col("n_tokens")).alias(
                 "epoch_cap_hit"
             ),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_epoch_sample_sql() -> str:
+    return _duck_epoch_cte() + """
+, per_doc AS (
+  SELECT w.source, w.doc_id, w.n_toks,
+    p.full_epochs
+      + CASE WHEN w.ws_cum - w.n_toks < p.residual THEN 1 ELSE 0 END AS n_copies
+  FROM ws w JOIN plan3 p USING (source)
+), sample AS (
+  SELECT d.source, d.doc_id, d.n_toks, g.epoch
+  FROM per_doc d,
+  LATERAL (SELECT unnest(generate_series(1, CAST(d.n_copies AS BIGINT))) AS epoch) g
+), agg AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_sample_rows,
+    CAST(sum(n_toks) AS BIGINT) AS sample_tokens,
+    CAST(sum(doc_id * epoch) AS BIGINT) AS sample_checksum
+  FROM sample GROUP BY source
+)
+SELECT p.source,
+  coalesce(a.n_sample_rows, 0) AS n_sample_rows,
+  coalesce(a.sample_tokens, 0) AS sample_tokens,
+  coalesce(a.sample_checksum, 0) AS sample_checksum,
+  CAST(p.full_epochs * p.n_tokens
+       + coalesce((SELECT CAST(max(w.ws_cum) AS BIGINT) FROM ws w
+                   WHERE w.source = p.source
+                     AND w.ws_cum - w.n_toks < p.residual), 0)
+    AS BIGINT) AS achieved_tokens,
+  coalesce(a.sample_tokens, 0) = CAST(p.full_epochs * p.n_tokens
+       + coalesce((SELECT CAST(max(w.ws_cum) AS BIGINT) FROM ws w
+                   WHERE w.source = p.source
+                     AND w.ws_cum - w.n_toks < p.residual), 0)
+    AS BIGINT) AS matches_plan
+FROM plan3 p LEFT JOIN agg a USING (source)
+ORDER BY p.source
+"""
+
+
+@register(
+    "llm_epoch_sample",
+    sql=_duck_epoch_sample_sql(),
+    tags=("training-data", "mixture", "sampling", "materialization"),
+)
+def llm_epoch_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXECUTES the mixture recipe (VERDICT r09 #6): where
+    llm_epoch_mixture emits the per-source plan (epochs + tail), this
+    query MATERIALIZES the training multiset a pretraining data job runs
+    next — every document replicated once per full epoch, the
+    deterministic md5-order greedy-prefix tail docs once more — and then
+    PROVES the materialization row-for-row against the plan: per source,
+    the sample's token mass must equal the plan's achieved_tokens exactly
+    (``matches_plan``), and an order-insensitive multiset checksum
+    (sum of doc_id x epoch) pins WHICH docs got WHICH replica count
+    cross-engine, so a sampler that picked the right token mass from the
+    wrong docs still hash-fails.
+
+    Shape: the per-doc replica count is a source-keyed broadcast join of
+    the (tiny) plan onto the distributed cumsum frame; replication is one
+    explode(sequence(1, n_copies)) — output-size-bound, the only honest
+    cost of epoch replication — and the verification agg is a
+    source-keyed partial agg.  Nothing new shuffles at corpus scale
+    beyond the cumsum's range partition; at 100 TB the sample would
+    stream straight to the packing stage (llm_pack_sequences) instead of
+    an agg, with the same per-doc n_copies plan.
+    Like llm_epoch_mixture, every output is an exact integer, so the
+    driver hash pins the executed sample — not just the recipe —
+    cross-engine."""
+    plan, ws = _epoch_mixture_frames(spark, sf)
+    per_doc = ws.join(
+        F.broadcast(plan.select("source", "full_epochs", "residual")), "source"
+    ).select(
+        "source",
+        "doc_id",
+        "n_toks",
+        (
+            F.col("full_epochs")
+            + F.when(F.col("ws_prev") < F.col("residual"), 1).otherwise(0)
+        ).cast("long").alias("n_copies"),
+    )
+    sample = per_doc.filter(F.col("n_copies") >= 1).select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("epoch"),
+    )
+    agg = sample.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sample_rows"),
+        F.sum("n_toks").cast("long").alias("sample_tokens"),
+        F.sum(F.col("doc_id") * F.col("epoch")).cast("long").alias("sample_checksum"),
+    )
+    # the plan's achieved_tokens, restated independently of the sample
+    # (the tail aggregate llm_epoch_mixture uses) — the comparison target
+    tail = (
+        ws.join(F.broadcast(plan.select("source", "residual")), "source")
+        .filter(F.col("ws_prev") < F.col("residual"))
+        .groupBy("source")
+        .agg(F.max("ws_cum").cast("long").alias("tail_tokens"))
+    )
+    return (
+        plan.join(agg, "source", "left")
+        .join(tail, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_sample_rows"), F.lit(0)).cast("long").alias(
+                "n_sample_rows"
+            ),
+            F.coalesce(F.col("sample_tokens"), F.lit(0)).cast("long").alias(
+                "sample_tokens"
+            ),
+            F.coalesce(F.col("sample_checksum"), F.lit(0)).cast("long").alias(
+                "sample_checksum"
+            ),
+            (
+                F.col("full_epochs") * F.col("n_tokens")
+                + F.coalesce(F.col("tail_tokens"), F.lit(0))
+            ).cast("long").alias("achieved_tokens"),
+            (
+                F.coalesce(F.col("sample_tokens"), F.lit(0))
+                == F.col("full_epochs") * F.col("n_tokens")
+                + F.coalesce(F.col("tail_tokens"), F.lit(0))
+            ).alias("matches_plan"),
         )
         .orderBy("source")
     )

@@ -366,7 +366,16 @@ def kb_mention_graph(spark: SparkSession, sf: str) -> DataFrame:
     joins + one keyed agg; the reciprocity probe joins the edge list
     against its own reversal — at 100 TB the edge list is user-pair
     bounded (dim-sized squared, not corpus-sized), so the self-join stays
-    a small-table join whatever the message volume."""
+    a small-table join whatever the message volume.
+
+    localCheckpoint is EAGER: constructing this DataFrame executes the
+    extraction pipeline up to the edge agg, and the checkpointed blocks
+    are non-reliable under executor loss (fail-stop, the
+    operators/ranking.py trade).  Acceptable here — the cut exists to
+    stop Catalyst re-expanding the extraction subtree into both self-join
+    sides; if plan-build-time execution or executor-loss recovery ever
+    matters, switch to a reliable checkpoint or persist+count (ADVICE
+    r09)."""
     m = model.messages(spark, sf)
     u = model.users_dim(spark, sf)
     ment = m.select(

@@ -791,7 +791,7 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- incremental champion maintenance (round 9) --------------------------------
+# --- incremental champion maintenance (round 9; delta-CC round 10) -------------
 
 _CHAMPION_SCHEMA = (
     "cluster_id BIGINT, champion_doc_id BIGINT, champion_n_chars BIGINT, "
@@ -805,30 +805,159 @@ def _has_parquet(d: str) -> bool:
     return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
 
+def _has_parquet_partitioned(d: str) -> bool:
+    """True when a partitionBy-written dir holds at least one parquet file
+    one level down (``band=N/part-*.parquet``)."""
+    import os
+
+    if not os.path.isdir(d):
+        return False
+    for sub in os.listdir(d):
+        p = os.path.join(d, sub)
+        if os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p)):
+            return True
+    return False
+
+
+def _run_base(name: str, sf: str) -> str:
+    """Collision-free per-run state root (ADVICE r09): keyed by a hash of
+    the ABSOLUTE sf path — two sf dirs sharing a basename can never share
+    state — plus a per-run uuid, so two concurrent runs (parallel test
+    workers, a driver check racing a bench) never clobber each other's
+    ledgers or checkpoints mid-run.  Prior runs' state is pruned by AGE
+    (2 h — far beyond any single run here) instead of rmtree-ing a shared
+    fixed path at startup, which is exactly the clobber the old
+    basename(sf) scheme allowed.  The older streaming queries in this
+    module still use the fixed-path scheme; migrate them here if they are
+    ever run concurrently."""
+    import hashlib
+    import os
+    import shutil
+    import time
+    import uuid
+
+    key = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:12]
+    parent = f"/tmp/knowledgebot_spark/{name}/{key}"
+    os.makedirs(parent, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(parent):
+        p = os.path.join(parent, d)
+        try:
+            if now - os.path.getmtime(p) > 7200:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    base = os.path.join(parent, uuid.uuid4().hex[:8])
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _snapshot_current(table_dir: str) -> str | None:
+    """Path of the committed snapshot version, or None before the first
+    commit (or mid-crash: a partially written version dir that CURRENT
+    never flipped to is invisible here by construction)."""
+    import os
+
+    try:
+        with open(os.path.join(table_dir, "CURRENT"), encoding="utf-8") as fh:
+            v = fh.read().strip()
+    except OSError:
+        return None
+    p = os.path.join(table_dir, v)
+    return p if os.path.isdir(p) else None
+
+
+def _snapshot_commit(df: DataFrame, table_dir: str) -> None:
+    """Stage + atomic pointer flip for a maintained table (VERDICT r09 #3
+    nit — the checkpoint sink's write-new-then-rename discipline,
+    sinks/checkpoint.py:49, applied to a directory-shaped table): every
+    commit writes the NEXT generation dir ``vNNN`` in full — never over a
+    dir a reader (including the commit's own input lineage) may be on —
+    and only then does the one-line CURRENT pointer os.replace() over the
+    old one.  A crash at ANY point leaves readers on the previous
+    committed version: there is no window in which a partial table is
+    observable, and no read-your-own-overwrite race (the stream_cdc
+    versioning discipline).  A replayed batch commits a new generation
+    with IDENTICAL content (idempotent in data, monotone in version).
+    The immediately previous version is kept one generation for reader
+    grace; older versions are pruned."""
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(table_dir, exist_ok=True)
+    prev = None
+    try:
+        with open(os.path.join(table_dir, "CURRENT"), encoding="utf-8") as fh:
+            prev = fh.read().strip()
+    except OSError:
+        pass
+    gen = int(prev[1:]) + 1 if prev else 1
+    vname = f"v{gen:09d}"
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, vname))
+    fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(vname)
+        os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    for d in os.listdir(table_dir):
+        if d.startswith("v") and d not in (vname, prev):
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+
+
+def _snapshot_read(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    p = _snapshot_current(table_dir)
+    return spark.read.parquet(p) if p else None
+
+
 def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     """One micro-batch of incremental champion maintenance — module-level so
     tests can drive batches (and re-deliveries) directly.
 
-    Ledgers under ``base`` (all append-only parquet, duplicate-insensitive):
-      bands/  (band, bv, doc_id)        — LSH bucket membership of every doc
-      docs/   (doc_id, shingles, n_chars) — verification features per doc
-      edges/  (id_a, id_b)              — VERIFIED near-dup pairs found so far
-    plus champions/ — the maintained keep-decision table, rewritten per
-    batch from the edge-bounded ledgers (K2 idempotent-overwrite
-    discipline, sinks/keyed_parquet.py:56: a replayed batch recomputes the
-    identical table from identical ledgers, so re-delivery cannot change
-    any decision).
+    State under ``base``:
+      bands/  (bv, doc_id) PARTITIONED BY band — append-only LSH bucket
+              membership; the per-batch collision probe is a band/bv-keyed
+              equi-join, and band partitioning keeps each probe task's
+              ledger read band-local.
+      docs/   (doc_id, shingles, n_chars) — append-only verification
+              features.  The ONLY corpus-scale state a batch touches, and
+              it is read exclusively through a candidate-id semi join
+              (below) — the full shingle set never enters any join.
+      edges/  (id_a, id_b) — append-only VERIFIED near-dup pairs: the
+              durable ground truth (a full rebuild or audit replays CC
+              over it), never read on the per-batch path.
+      stats/  (doc_id, n_chars) — append-only, NEW-EDGE ENDPOINTS only,
+              so it is edge-bounded (VERDICT r09 #1: the champion refresh
+              reads this, never the docs ledger).
+      labels/ and champions/ — maintained snapshot tables, committed via
+              stage + atomic CURRENT-pointer flip (_snapshot_commit; no
+              partial-table window, idempotent under replay).
 
-    Per batch only the BATCH is shingled/minhashed (LSH cost tracks the
-    increment, never the corpus); candidate pairs are bucket collisions
-    between the batch and everything seen (a band/bv-keyed equi-join
-    against the ledger — partition the ledger by band at scale); exact
-    Jaccard verification touches only the new candidates; and the
-    champion refresh (alternating-star CC + one cluster-keyed window) runs
-    over the accumulated EDGE ledger — near-dup-node bounded, tiny vs the
-    corpus a full recompute would re-scan."""
-    import os
+    Per batch: only the BATCH is shingled/minhashed; candidate pairs are
+    bucket collisions between the batch and the band ledger; exact Jaccard
+    verification reads only candidate docs (semi join); and the refresh is
+    DELTA-CC (VERDICT r09 #2 / SCALING.md's named next step): previous
+    components are star-contracted to their (node, label) rows, only
+    components touched by a new edge re-enter connected components
+    together with the new edges, untouched components and their champion
+    rows carry over verbatim.  Per-batch refresh cost is therefore
+    bounded by |new edges| + |touched components|, not by the corpus and
+    not by the accumulated duplicate graph.
 
+    Re-delivery safe end-to-end: ledger appends are duplicate-insensitive
+    (everything downstream reads .distinct()/dropDuplicates), a replayed
+    batch recomputes the identical new-edge set, finds its endpoints'
+    components already merged, and the delta merge + snapshot commits are
+    fixpoints (proven by the re-delivery and out-of-order tests in
+    tests/test_round9_ops.py, and the delta-vs-full equality test in
+    tests/test_round10_ops.py).
+    Reference provenance: the incremental-ingest loop is the reference's
+    checkpointed scan (KnowledgeBot.py:460-527, S2/F1/F2); the keyed
+    idempotent rewrite is the K2 upsert discipline
+    (sinks/keyed_parquet.py:56)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -836,7 +965,8 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     from knowledgebot_spark.queries_corpus import CLUSTER_JACCARD
 
     bands_dir, docs_dir = f"{base}/bands", f"{base}/docs"
-    edges_dir, champ_dir = f"{base}/edges", f"{base}/champions"
+    edges_dir, stats_dir = f"{base}/edges", f"{base}/stats"
+    labels_dir, champ_dir = f"{base}/labels", f"{base}/champions"
     sp_sess = batch.sparkSession
 
     hashed = batch.select(
@@ -849,8 +979,15 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
         .persist()
     )
     seen_bands = bands
-    if _has_parquet(bands_dir):
-        seen_bands = sp_sess.read.parquet(bands_dir).unionByName(bands)
+    if _has_parquet_partitioned(bands_dir):
+        # partition column comes back as STRING (type inference is pinned
+        # off engine-wide) — restore the int band the equi-join keys on
+        seen_bands = (
+            sp_sess.read.parquet(bands_dir)
+            .withColumn("band", F.col("band").cast("int"))
+            .select("band", "bv", "doc_id")
+            .unionByName(bands)
+        )
     # candidates TOUCHING this batch: bucket collision between a batch doc
     # and anything seen (incl. the batch itself).  Pairs among previously
     # seen docs were discovered when their second member arrived, so the
@@ -865,64 +1002,144 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
         )
         .distinct()
     )
-    seen_docs = batch_docs
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # verify probe, candidate-pruned BEFORE any shingle enters a join
+    # (VERDICT r09 #1): ledger rows survive only through the semi join on
+    # candidate ids, so join width tracks candidates, not the corpus.  (The
+    # physical scan of the ledger's doc_id spine is the inherent cost of a
+    # keyed lookup into parquet without an index; at 100 TB this ledger is
+    # the thing to bucket by doc_id or back with a key-value store.)
+    probe = batch_docs
     if _has_parquet(docs_dir):
-        seen_docs = sp_sess.read.parquet(docs_dir).unionByName(batch_docs)
-    verified = dd.jaccard_verify(
-        cand, seen_docs.select("doc_id", "shingles"), "doc_id"
+        probe = (
+            sp_sess.read.parquet(docs_dir)
+            .join(cand_ids, "doc_id", "left_semi")
+            .unionByName(batch_docs)
+        )
+    probe = probe.dropDuplicates(["doc_id"]).persist()
+    verified = dd.jaccard_verify(cand, probe.select("doc_id", "shingles"), "doc_id")
+    new_edges = (
+        verified.filter(F.col("jaccard") >= CLUSTER_JACCARD)
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
     )
-    new_edges = verified.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
-        "id_a", "id_b"
-    )
-    # unconditional append: an all-empty batch writes 0-row part files,
-    # which the downstream .distinct() ignores — cheaper than probing
-    # emptiness first (the probe would run the verify pipeline twice)
     new_edges.write.mode("append").parquet(edges_dir)
-    bands.write.mode("append").parquet(bands_dir)
+    # stats ledger: endpoints of new edges only — edge-bounded by
+    # construction, and their n_chars ride along from the verify probe
+    # (no extra corpus read)
+    ends = (
+        new_edges.select(F.col("id_a").alias("doc_id"))
+        .union(new_edges.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    probe.select("doc_id", "n_chars").join(ends, "doc_id", "left_semi").write.mode(
+        "append"
+    ).parquet(stats_dir)
+    bands.write.partitionBy("band").mode("append").parquet(bands_dir)
     batch_docs.write.mode("append").parquet(docs_dir)
     bands.unpersist()
     batch_docs.unpersist()
 
-    if not _has_parquet(edges_dir):
+    has_new = bool(new_edges.take(1))
+    if not has_new:
+        # nothing can have changed: labels and champions carry over as-is
+        new_edges.unpersist()
+        probe.unpersist()
         return
-    # champion refresh over the edge-bounded state only; .distinct() makes
-    # re-delivered (duplicate) ledger rows invisible to CC and the window
-    edges = sp_sess.read.parquet(edges_dir).distinct()
-    labels = dd.alternating_star_components(edges)
+
+    # --- delta-CC refresh: merge only components touched by new edges ----
+    prev_labels = _snapshot_read(sp_sess, labels_dir)
+    if prev_labels is None:
+        subgraph = new_edges
+        untouched = None
+        aff = None
+    else:
+        prev_labels = prev_labels.persist()
+        touched_nodes = ends.withColumnRenamed("doc_id", "node")
+        aff = (
+            prev_labels.join(touched_nodes, "node", "left_semi")
+            .select("label")
+            .distinct()
+            .persist()
+        )
+        touched_rows = prev_labels.join(F.broadcast(aff), "label", "left_semi")
+        untouched = prev_labels.join(F.broadcast(aff), "label", "left_anti")
+        # star-contract touched components: their (node, label) rows ARE a
+        # spanning star forest with the same connectivity and the same
+        # min-id, so CC over (stars ∪ new edges) = CC over the full edge
+        # set restricted to touched ∪ new — at a fraction of the edges and
+        # in ~1-2 alternating rounds
+        subgraph = new_edges.unionByName(
+            touched_rows.filter(F.col("node") != F.col("label")).select(
+                F.col("node").alias("id_a"), F.col("label").alias("id_b")
+            )
+        )
+    merged = dd.alternating_star_components(subgraph)
+    new_labels = merged if untouched is None else untouched.unionByName(merged)
+    _snapshot_commit(new_labels, labels_dir)
+
+    # --- champion election over MERGED clusters only ----------------------
     stats = (
-        sp_sess.read.parquet(docs_dir)
-        .select("doc_id", "n_chars")
+        sp_sess.read.parquet(stats_dir)
         .dropDuplicates(["doc_id"])
+        .join(merged.select(F.col("node").alias("doc_id")), "doc_id", "left_semi")
     )
-    joined = labels.join(stats, labels.node == stats.doc_id).select(
+    joined = merged.join(stats, merged.node == stats.doc_id).select(
         F.col("label").alias("cluster_id"), "doc_id", "n_chars"
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ws = Window.partitionBy("cluster_id")
+    wsz = Window.partitionBy("cluster_id")
     ranked = joined.select(
         "cluster_id",
         "doc_id",
         "n_chars",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(ws).alias("cluster_size"),
+        F.count("*").over(wsz).alias("cluster_size"),
     )
-    # plain overwrite: a crash mid-rewrite leaves a partial champions dir,
-    # but the NEXT delivery (or the replay of this one) rewrites the whole
-    # table from ledgers, so the steady state is always correct; a reader
-    # that must never observe the rewrite window would stage + atomic-rename
-    # (the checkpoint sink's discipline, sinks/checkpoint.py:49)
-    (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("champion_doc_id"),
-            F.col("n_chars").cast("bigint").alias("champion_n_chars"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+    new_champ_rows = ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("doc_id").cast("bigint").alias("champion_doc_id"),
+        F.col("n_chars").cast("bigint").alias("champion_n_chars"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+    )
+    old_champs = _snapshot_read(sp_sess, champ_dir)
+    if old_champs is None:
+        champs = new_champ_rows
+    else:
+        # merged components absorb their old cluster ids: drop every
+        # champion row whose cluster was touched, keep the rest verbatim;
+        # the closing semi join against the committed label set removes
+        # rows for labels a merge erased in a crashed-then-replayed batch
+        # (replay recomputes aff from the ALREADY-merged labels, so the
+        # erased loser labels are no longer in aff — without the guard a
+        # stale row for them would survive the anti join)
+        drop = (
+            aff.withColumnRenamed("label", "cluster_id")
+            if aff is not None
+            else new_champ_rows.select("cluster_id")
         )
-        .write.mode("overwrite")
-        .parquet(champ_dir)
-    )
+        champs = (
+            old_champs.join(F.broadcast(drop), "cluster_id", "left_anti")
+            .unionByName(new_champ_rows)
+            .join(
+                new_labels.select(F.col("label").alias("cluster_id")).distinct(),
+                "cluster_id",
+                "left_semi",
+            )
+        )
+    _snapshot_commit(champs, champ_dir)
+    if prev_labels is not None:
+        prev_labels.unpersist()
+    if aff is not None:
+        aff.unpersist()
+    new_edges.unpersist()
+    probe.unpersist()
 
 
 @register(
@@ -959,16 +1176,8 @@ def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
     delete-by-prefix idempotent upsert (KnowledgeBot.py, the chunk-file
     reprocess path); the dedup/champion semantics are the engine's own
     scale additions (SURVEY.md §2.3 LLM-pipeline extras)."""
-    import os
-    import shutil
-
-    base = (
-        "/tmp/knowledgebot_spark/stream_champion/"
-        f"{os.path.basename(sf.rstrip('/'))}"
-    )
+    base = _run_base("stream_champion", sf)
     ckpt = f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
 
     def _maintain(batch: DataFrame, batch_id: int) -> None:
         _champion_maintain(base, batch, batch_id)
@@ -981,11 +1190,16 @@ def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return _champion_table(spark, base).orderBy("cluster_id")
 
-    champ_dir = f"{base}/champions"
-    if not _has_parquet(champ_dir):
+
+def _champion_table(spark: SparkSession, base: str) -> DataFrame:
+    """The maintained champion table at its committed CURRENT version (an
+    empty typed frame before the first commit)."""
+    df = _snapshot_read(spark, f"{base}/champions")
+    if df is None:
         return spark.createDataFrame([], _CHAMPION_SCHEMA)
-    return spark.read.parquet(champ_dir).orderBy("cluster_id")
+    return df
 
 
 def _assign_champion_oracle() -> None:
@@ -1006,11 +1220,42 @@ _assign_champion_oracle()
 
 # --- streaming thread-latency SLO (round 9) ------------------------------------
 
+def _thread_latency_f2_sql() -> str:
+    """kb_thread_latency's oracle WITH the F2 lag bound stated explicitly
+    (0 <= reply lag <= 7 days) — the streaming join enforces that bound as
+    its state-eviction rule, so the oracle must carry it too or parity
+    would hold only on data whose replies never lag past the horizon
+    (ADVICE r09: a dedicated oracle makes the equivalence
+    data-independent, not fixture-lucky)."""
+    from knowledgebot_spark import model
+
+    return (
+        model.MODEL_CTE
+        + """
+, lat AS (
+  SELECT strftime(make_timestamp(p.ts_micros), '%Y%m%d') AS parent_date,
+         r.ts_micros - p.ts_micros AS d_micros
+  FROM messages r
+  JOIN messages p ON r.thread_ts_micros = p.ts_micros
+                 AND r.channel_id = p.channel_id
+                 AND r.ts_micros >= p.ts_micros
+                 AND r.ts_micros <= p.ts_micros + 604800000000::BIGINT
+)
+SELECT parent_date,
+  CAST(count(*) AS BIGINT) AS n_replies,
+  CAST(min(d_micros) AS BIGINT) AS min_micros,
+  CAST(max(d_micros) AS BIGINT) AS max_micros,
+  CAST((2 * sum(d_micros) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_micros_half_up
+FROM lat
+GROUP BY parent_date
+ORDER BY parent_date
+"""
+    )
+
 
 @register(
     "stream_thread_latency",
-    sql=None,  # assigned below: identical oracle to kb_thread_latency —
-               # one SLO, batch and streaming execution
+    sql=_thread_latency_f2_sql(),
     tags=("streaming", "stream-stream-join", "watermark", "S3", "J5", "F2", "slo"),
 )
 def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
@@ -1019,34 +1264,37 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
     watermark on both sides (the F2 lookback rule as a streaming state
     bound: join state for a parent is evictable once the reply watermark
     passes parent + 7 days, so a reply lagging beyond the lookback horizon
-    drops exactly like F2's batch filter would drop it; the deterministic
-    model's replies lag ~11 minutes, so nothing drops on this fixture and
-    the batch query's numbers reproduce exactly).  Inner stream-stream
-    join rows emit as they match (no watermark finalization wait), land in
-    an append memory sink, and the day-keyed SLO aggregate — the SAME
-    exact-integer half-up mean as the batch query — runs over the sink.
-    Exercises the one streaming shape the catalog's stream-stream row
-    previously covered only generically (event interval join); this is
-    the keyed-equality + range-bound composite with a derived event-time
-    column on each side.  At 100 TB the state store holds <= 7 days of
-    parent keys per partition — watermark-bounded, never stream-bounded.
+    drops exactly like F2's batch filter would drop it; the oracle states
+    the same 0..7-day bound, so the equivalence is data-independent — on
+    this fixture, whose replies lag ~11 minutes, the unbounded batch
+    query's numbers also reproduce exactly).  Inner stream-stream join
+    rows emit as they match (no watermark finalization wait) into a
+    foreachBatch PARQUET sink — the production shape (VERDICT r09 #2):
+    joined rows land executor-side, per-batch idempotent, never in driver
+    memory — and the day-keyed SLO aggregate (the SAME exact-integer
+    half-up mean as the batch query) runs as a batch read over the sink,
+    exactly the stream_champion_upsert discipline.  (A fully stream-side
+    alternative is a chained-watermark day-keyed aggregate after the
+    join; under availableNow its append-mode results wait on watermark
+    finalization, so the sink-then-aggregate shape is also what keeps the
+    oracle comparable.)  Exercises the one streaming shape the catalog's
+    stream-stream row previously covered only generically (event interval
+    join); this is the keyed-equality + range-bound composite with a
+    derived event-time column on each side.  At 100 TB the state store
+    holds <= 7 days of parent keys per partition — watermark-bounded,
+    never stream-bounded.
     Reference provenance: thread parent<->reply resolution is
     KnowledgeBot.py:317-348 (S3/J5); the 7-day lookback is the reference's
     checkpoint window (F2, KnowledgeBot.py:460-527); the SLO aggregate is
     the engine's scale addition over the same keys."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from knowledgebot_spark import model
 
-    base = (
-        "/tmp/knowledgebot_spark/stream_thread_latency/"
-        f"{os.path.basename(sf.rstrip('/'))}"
-    )
+    base = _run_base("stream_thread_latency", sf)
     src = f"{base}/messages"
-    shutil.rmtree(base, ignore_errors=True)
 
     msgs = model.messages(spark, sf)
     msgs.write.parquet(src)
@@ -1092,7 +1340,7 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("p_evt", "yyyyMMdd").alias("parent_date"),
         (F.col("r_ts_micros") - F.col("ts_micros")).alias("d_micros"),
     )
-    lat = sp.run_to_memory(joined, "append")
+    lat = sp.run_to_parquet(joined, f"{base}/joined", f"{base}/ckpt")
     return (
         lat.groupBy("parent_date")
         .agg(
@@ -1108,14 +1356,3 @@ def stream_thread_latency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _assign_thread_latency_oracle() -> None:
-    import knowledgebot_spark.queries_pipeline  # noqa: F401  (registration)
-
-    from knowledgebot_spark import registry as _r
-
-    _r._REGISTRY["stream_thread_latency"].sql = _r._REGISTRY[
-        "kb_thread_latency"
-    ].sql
-
-
-_assign_thread_latency_oracle()

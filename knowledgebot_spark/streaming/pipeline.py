@@ -174,6 +174,49 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_parquet(stream: DataFrame, out_dir: str, ckpt_dir: str) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into a
+    foreachBatch parquet sink; returns the landed rows as a batch
+    DataFrame.  The production shape for stream output that must never
+    accumulate in driver memory (VERDICT r09 #4): each micro-batch writes
+    its own ``batch_id=N`` partition with overwrite, so a replayed batch
+    rewrites exactly its own data (the K2 idempotent-rewrite discipline,
+    sinks/keyed_parquet.py:56) and never double-counts, and the sink
+    scales with executor-side parquet throughput instead of driver heap.
+    Same KB_STREAM_PARTITIONS state-store scoping as run_to_memory."""
+    spark = stream.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("KB_STREAM_PARTITIONS", "8"),
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    if not (
+        os.path.isdir(out_dir)
+        and any(
+            f.endswith(".parquet")
+            for d in os.listdir(out_dir)
+            for f in os.listdir(os.path.join(out_dir, d))
+            if os.path.isdir(os.path.join(out_dir, d))
+        )
+    ):
+        return spark.createDataFrame([], stream.schema)
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Same output shape as the batch rel_events_tumbling query, so the two
     share one oracle."""

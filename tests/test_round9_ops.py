@@ -82,7 +82,10 @@ def test_champion_upsert_incremental_matches_oneshot_and_redelivery_stable(
     insensitive; the champion rewrite is an idempotent function of the
     ledgers)."""
     from knowledgebot_spark.queries_corpus import llm_dedup_champion
-    from knowledgebot_spark.queries_streaming import _champion_maintain
+    from knowledgebot_spark.queries_streaming import (
+        _champion_maintain,
+        _champion_table,
+    )
     from knowledgebot_spark.tables import read_table
 
     base = str(tmp_path / "champ_state")
@@ -95,18 +98,14 @@ def test_champion_upsert_incremental_matches_oneshot_and_redelivery_stable(
 
     _champion_maintain(base, b1, 0)
     _champion_maintain(base, b2, 1)
-    incremental = {
-        tuple(r) for r in spark.read.parquet(f"{base}/champions").collect()
-    }
+    incremental = {tuple(r) for r in _champion_table(spark, base).collect()}
     oneshot = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
     assert incremental == oneshot
     assert incremental, "model guarantees near-dup clusters"
 
     # re-deliver batch 2 (foreachBatch replay after a partial failure)
     _champion_maintain(base, b2, 1)
-    redelivered = {
-        tuple(r) for r in spark.read.parquet(f"{base}/champions").collect()
-    }
+    redelivered = {tuple(r) for r in _champion_table(spark, base).collect()}
     assert redelivered == incremental
 
 
@@ -202,7 +201,10 @@ def test_champion_maintain_out_of_order_batches(spark, sf_dir, tmp_path):
     stream_neardup_gate, champion maintenance carries no id-order
     precondition)."""
     from knowledgebot_spark.queries_corpus import llm_dedup_champion
-    from knowledgebot_spark.queries_streaming import _champion_maintain
+    from knowledgebot_spark.queries_streaming import (
+        _champion_maintain,
+        _champion_table,
+    )
     from knowledgebot_spark.tables import read_table
 
     base = str(tmp_path / "champ_ooo")
@@ -212,9 +214,7 @@ def test_champion_maintain_out_of_order_batches(spark, sf_dir, tmp_path):
     mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
     _champion_maintain(base, docs.filter(F.col("doc_id") > mid), 0)
     _champion_maintain(base, docs.filter(F.col("doc_id") <= mid), 1)
-    incremental = {
-        tuple(r) for r in spark.read.parquet(f"{base}/champions").collect()
-    }
+    incremental = {tuple(r) for r in _champion_table(spark, base).collect()}
     oneshot = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
     assert incremental == oneshot
 
