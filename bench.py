@@ -142,6 +142,7 @@ HEADLINE = [
     "stream_thread_latency",
     "llm_lm_perplexity",
     "llm_epoch_mixture",
+    "llm_epoch_sample",
 ]
 
 
