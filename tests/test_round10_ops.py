@@ -21,7 +21,7 @@ def test_delta_cc_labels_equal_full_cc(spark, sf_dir, tmp_path):
     from knowledgebot_spark.operators.dedup import alternating_star_components
     from knowledgebot_spark.queries_streaming import (
         _champion_maintain,
-        _snapshot_read,
+        _labels_table,
     )
     from knowledgebot_spark.tables import read_table
 
@@ -35,7 +35,7 @@ def test_delta_cc_labels_equal_full_cc(spark, sf_dir, tmp_path):
 
     delta = {
         (r.node, r.label)
-        for r in _snapshot_read(spark, f"{base}/labels").collect()
+        for r in _labels_table(spark, base).collect()
     }
     edges = spark.read.parquet(f"{base}/edges").distinct()
     full = {
@@ -138,6 +138,134 @@ def test_champion_maintain_three_batches_still_converges(spark, sf_dir, tmp_path
     incremental = {tuple(r) for r in _champion_table(spark, base).collect()}
     oneshot = {tuple(r) for r in llm_dedup_champion(spark, sf_dir).collect()}
     assert incremental == oneshot
+
+
+# --- sharded manifest snapshots (round 10) ---------------------------------------
+
+
+def test_manifest_untouched_shards_not_rewritten(spark, sf_dir, tmp_path):
+    """The point of sharding: a second batch must NOT rewrite label/champion
+    shards none of whose labels it touched — their manifest entries (and so
+    their on-disk generation dirs) carry over verbatim."""
+    from knowledgebot_spark.queries_streaming import (
+        _champion_maintain,
+        _manifest_load,
+    )
+    from knowledgebot_spark.tables import read_table
+
+    base = str(tmp_path / "shards")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    _champion_maintain(base, docs, 0)
+    man0 = _manifest_load(f"{base}/snap")
+    # increment: 3 EXACT duplicates of existing docs under new ids —
+    # guaranteed new edges, each touching exactly one existing component
+    inc = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    _champion_maintain(base, inc, 1)
+    man1 = _manifest_load(f"{base}/snap")
+
+    assert man1["gen"] > man0["gen"]
+    lab0, lab1 = man0["tables"]["labels"], man1["tables"]["labels"]
+    carried = [s for s in lab0 if lab1.get(s) == lab0[s]]
+    rewritten = [s for s in lab1 if lab1[s] != lab0.get(s)]
+    assert rewritten, "the increment must touch at least one shard"
+    assert carried, (
+        "a ~3% increment must leave at least one shard untouched — if every "
+        "shard was rewritten the delta write bound is broken"
+    )
+    # champions share the touched set
+    ch0, ch1 = man0["tables"]["champions"], man1["tables"]["champions"]
+    assert sorted(s for s in ch1 if ch1[s] != ch0.get(s)) == sorted(rewritten)
+
+
+def test_manifest_crash_before_flip_is_invisible_and_replayable(spark, tmp_path):
+    """Kill-mid-commit at the manifest level: a crash AFTER staging (even
+    after some shard renames) but BEFORE the single os.replace leaves
+    readers on the previous manifest for BOTH tables; the replayed commit
+    lands cleanly."""
+    import pytest
+
+    from knowledgebot_spark import queries_streaming as qs
+
+    root = str(tmp_path / "snap")
+    n = qs._snap_n_shards()
+
+    def upd(vals, key):
+        df = spark.createDataFrame(
+            [(v, v * 10) for v in vals], f"{key} long, x long"
+        ).withColumn("_shard", F.pmod(F.col(key), F.lit(n)).cast("int"))
+        return (df, {v % n for v in vals})
+
+    qs._manifest_commit(root, {"labels": upd([1, 2], "node"),
+                               "champions": upd([1, 2], "cluster_id")}, n)
+    before = qs._manifest_load(root)
+
+    real_replace = os.replace
+
+    def boom(src, dst, *a, **k):
+        if dst.endswith("CURRENT"):
+            raise OSError("simulated crash before the manifest flip")
+        return real_replace(src, dst, *a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.replace", side_effect=boom):
+        with pytest.raises(OSError, match="simulated crash"):
+            qs._manifest_commit(
+                root,
+                {"labels": upd([1, 2, 3], "node"),
+                 "champions": upd([3], "cluster_id")},
+                n,
+            )
+
+    # both tables still read at the OLD committed state
+    assert qs._manifest_load(root) == before
+    lab = qs._manifest_table_read(spark, root, "labels")
+    ch = qs._manifest_table_read(spark, root, "champions")
+    assert {r.node for r in lab.collect()} == {1, 2}
+    assert {r.cluster_id for r in ch.collect()} == {1, 2}
+
+    # the replayed commit (same content, same recomputed gen) lands whole
+    qs._manifest_commit(
+        root,
+        {"labels": upd([1, 2, 3], "node"), "champions": upd([3], "cluster_id")},
+        n,
+    )
+    lab = qs._manifest_table_read(spark, root, "labels")
+    assert {r.node for r in lab.collect()} == {1, 2, 3}
+
+
+def test_labels_and_champions_never_out_of_step(spark, sf_dir, tmp_path):
+    """The r09 two-pointer scheme could commit labels and leave champions
+    stale across a crash (the replayed batch contracts to an all-internal
+    edge set and early-returns).  With the single manifest both tables
+    flip together: after every batch, champion rows exist exactly for the
+    committed label set's clusters, one per cluster."""
+    from knowledgebot_spark.queries_streaming import (
+        _champion_maintain,
+        _champion_table,
+        _labels_table,
+    )
+    from knowledgebot_spark.tables import read_table
+
+    base = str(tmp_path / "lockstep")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    for i in range(2):
+        _champion_maintain(base, docs.filter(F.col("doc_id") % 2 == i), i)
+        labels = _labels_table(spark, base).collect()
+        champs = _champion_table(spark, base).collect()
+        assert {r.label for r in labels} == {r.cluster_id for r in champs}
+        assert len(champs) == len({r.cluster_id for r in champs})
 
 
 # --- parquet-sink streaming (VERDICT r09 #4) ------------------------------------
