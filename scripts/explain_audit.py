@@ -139,6 +139,10 @@ FLAGSHIPS = (
         "llm_epoch_mixture",
         "mixture recipe (round 9): source-keyed agg + apportionment windows over |sources| rows; tail selection on the distributed cumsum — no per-source corpus-scale window; scalars as 1-row broadcasts",
     ),
+    (
+        "llm_epoch_sample",
+        "sample materializer (round 10): per-doc replica counts from a source-keyed broadcast of the plan onto the distributed cumsum; ONE explode(sequence) bounded by output size; source-keyed partial agg proves token mass — no corpus-scale window, no new shuffle beyond the cumsum's range partition",
+    ),
 )
 
 

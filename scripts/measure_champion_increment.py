@@ -75,6 +75,33 @@ def main() -> None:
     ones = {tuple(r) for r in full.collect()}
     print(f"tables equal: {incr == ones}  (clusters={len(ones)})")
 
+    # --- sparse increment (round 10): the shape the sharded manifest is
+    # FOR — a tiny batch touching a handful of components (3 exact dups of
+    # existing docs) against the full accumulated ledgers.  The dense ~1%
+    # batch above touches ~every shard (inflation maximizes the dup
+    # graph); nightly ingest on a realistic corpus looks like THIS.
+    from knowledgebot_spark.queries_streaming import _manifest_load
+
+    sparse = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    man_before = _manifest_load(f"{base}/snap")
+    t0 = time.time()
+    _champion_maintain(base, sparse, 2)
+    t_sparse = time.time() - t0
+    man_after = _manifest_load(f"{base}/snap")
+    lab_b, lab_a = man_before["tables"]["labels"], man_after["tables"]["labels"]
+    rewritten = sorted(s for s in lab_a if lab_a[s] != lab_b.get(s))
+    print(
+        f"sparse increment (3 dup docs): {t_sparse:.2f}s  "
+        f"shards rewritten: {len(rewritten)}/{man_after['n_shards']}"
+    )
+
 
 if __name__ == "__main__":
     main()
