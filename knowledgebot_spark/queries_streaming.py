@@ -953,11 +953,25 @@ def _snapshot_read(spark: SparkSession, table_dir: str) -> DataFrame | None:
 _SNAP_SHARDS_ENV = "KB_SNAPSHOT_SHARDS"
 _SNAP_SHARDS_DEFAULT = 16
 
+# doc_id-keyed partitioning of the docs (verification-features) ledger:
+# the per-batch verify probe reads only partitions that can hold a
+# candidate id, so the probe's SCAN — not just its join width — tracks
+# the candidate set (file-level pruning; at 100 TB raise the count so a
+# partition is a few GB).
+_DOCS_PARTS_ENV = "KB_DOCS_PARTITIONS"
+_DOCS_PARTS_DEFAULT = 16
+
 
 def _snap_n_shards() -> int:
     import os
 
     return int(os.environ.get(_SNAP_SHARDS_ENV, str(_SNAP_SHARDS_DEFAULT)))
+
+
+def _docs_n_parts() -> int:
+    import os
+
+    return int(os.environ.get(_DOCS_PARTS_ENV, str(_DOCS_PARTS_DEFAULT)))
 
 
 def _manifest_load(root: str) -> dict | None:
@@ -1086,10 +1100,14 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
               membership; the per-batch collision probe is a band/bv-keyed
               equi-join, and band partitioning keeps each probe task's
               ledger read band-local.
-      docs/   (doc_id, shingles, n_chars) — append-only verification
-              features.  The ONLY corpus-scale state a batch touches, and
-              it is read exclusively through a candidate-id semi join
-              (below) — the full shingle set never enters any join.
+      docs/   (doc_id, shingles, n_chars) PARTITIONED BY
+              pmod(doc_id, KB_DOCS_PARTITIONS) — append-only verification
+              features.  The ONLY corpus-scale state a batch touches; the
+              partition-key filter prunes the probe's SCAN to partitions
+              that can hold a candidate, and rows enter joins only
+              through the candidate-id semi join (below) — the full
+              shingle set never enters any join, and a sparse batch never
+              reads the full doc_id spine.
       edges/  (id_a, id_b) — append-only VERIFIED near-dup pairs: the
               durable ground truth (a full rebuild or audit replays CC
               over it), never read on the per-batch path.
@@ -1209,14 +1227,27 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     )
     # verify probe, candidate-pruned BEFORE any shingle enters a join
     # (VERDICT r09 #1): ledger rows survive only through the semi join on
-    # candidate ids, so join width tracks candidates, not the corpus.  (The
-    # physical scan of the ledger's doc_id spine is the inherent cost of a
-    # keyed lookup into parquet without an index; at 100 TB this ledger is
-    # the thing to bucket by doc_id or back with a key-value store.)
+    # candidate ids, so join width tracks candidates, not the corpus; and
+    # because the ledger is PARTITIONED BY pmod(doc_id, KB_DOCS_PARTITIONS)
+    # (round 10), the partition-key isin filter prunes the SCAN to
+    # partitions that can hold a candidate — a sparse batch reads a few
+    # files, not the doc_id spine.  (At 100 TB, raise the partition count;
+    # past that, a key-value store is the next step.)
     probe = batch_docs
-    if _has_parquet(docs_dir):
+    if _has_parquet_partitioned(docs_dir):
+        n_dp = _docs_n_parts()
+        dps = [
+            str(r[0])
+            for r in cand_ids.select(
+                F.pmod("doc_id", F.lit(n_dp)).cast("int").alias("dp")
+            )
+            .distinct()
+            .collect()
+        ]
         probe = (
             sp_sess.read.parquet(docs_dir)
+            .filter(F.col("dp").isin(dps))  # file-level partition pruning
+            .drop("dp")
             .join(cand_ids, "doc_id", "left_semi")
             .unionByName(batch_docs)
         )
@@ -1260,7 +1291,12 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     bands.repartition("band").write.partitionBy("band").mode("append").parquet(
         bands_dir
     )
-    batch_docs.write.mode("append").parquet(docs_dir)
+    # the docs ledger is doc_id-partitioned so the verify probe above can
+    # prune its scan; one file per partition per batch (the bands
+    # repartition discipline)
+    batch_docs.withColumn(
+        "dp", F.pmod("doc_id", F.lit(_docs_n_parts())).cast("int")
+    ).repartition("dp").write.partitionBy("dp").mode("append").parquet(docs_dir)
     _mark("bands+docs append")
     bands.unpersist()
     batch_docs.unpersist()
