@@ -145,15 +145,13 @@ def stream_extraction_spine(spark: SparkSession, sf: str) -> DataFrame:
     result is hash-identical to the batch spine regardless of micro-batch
     boundaries because the sink MERGEs on msg_key."""
     import os
-    import shutil
 
     from knowledgebot_spark import model
     from knowledgebot_spark.operators import extraction as ex
     from knowledgebot_spark.sinks.keyed_parquet import upsert_chunks
 
-    base = f"/tmp/knowledgebot_spark/stream_e2e/{os.path.basename(sf.rstrip('/'))}"
+    base = _run_base("stream_e2e", sf)  # per-run unique dir (ADVICE r09)
     src, out, ckpt = f"{base}/messages", f"{base}/chunks", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
 
     msgs = model.messages(spark, sf)
     msgs.write.parquet(src)
@@ -619,14 +617,12 @@ def stream_cdc_materialize(spark: SparkSession, sf: str) -> DataFrame:
     commit pattern in miniature.  Snapshot size is |users|, so the merge
     cost is key-cardinality-bound regardless of log volume."""
     import os
-    import shutil
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    base = f"/tmp/knowledgebot_spark/stream_cdc/{os.path.basename(sf.rstrip('/'))}"
+    base = _run_base("stream_cdc", sf)  # per-run unique dir (ADVICE r09)
     out, ckpt = f"{base}/snapshots", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     w = Window.partitionBy("user_id").orderBy(
@@ -734,15 +730,13 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     (duplicate signature appends cannot change any decision).
     Per-source admission report: seen / kept / blocked."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from knowledgebot_spark.operators import dedup as dd
 
-    base = f"/tmp/knowledgebot_spark/stream_neardup/{os.path.basename(sf.rstrip('/'))}"
+    base = _run_base("stream_neardup", sf)  # per-run unique dir (ADVICE r09)
     ledger, decisions, ckpt = f"{base}/ledger", f"{base}/decisions", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(ledger, exist_ok=True)
     os.makedirs(decisions, exist_ok=True)
 
@@ -827,9 +821,9 @@ def _run_base(name: str, sf: str) -> str:
     ledgers or checkpoints mid-run.  Prior runs' state is pruned by AGE
     (2 h — far beyond any single run here) instead of rmtree-ing a shared
     fixed path at startup, which is exactly the clobber the old
-    basename(sf) scheme allowed.  The older streaming queries in this
-    module still use the fixed-path scheme; migrate them here if they are
-    ever run concurrently."""
+    basename(sf) scheme allowed.  Every stateful streaming query in this
+    module (stream_e2e, stream_cdc, stream_neardup, stream_champion,
+    stream_thread_latency) now allocates its state here."""
     import hashlib
     import os
     import shutil
