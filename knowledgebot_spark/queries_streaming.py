@@ -819,9 +819,10 @@ def _run_base(name: str, sf: str) -> str:
     state — plus a per-run uuid, so two concurrent runs (parallel test
     workers, a driver check racing a bench) never clobber each other's
     ledgers or checkpoints mid-run.  Prior runs' state is pruned by AGE
-    (2 h — far beyond any single run here) instead of rmtree-ing a shared
-    fixed path at startup, which is exactly the clobber the old
-    basename(sf) scheme allowed.  Every stateful streaming query in this
+    (2 h of inactivity anywhere under the run dir — far beyond any
+    single run's batch gap here) instead of rmtree-ing a shared fixed
+    path at startup, which is exactly the clobber the old basename(sf)
+    scheme allowed.  Every stateful streaming query in this
     module (stream_e2e, stream_cdc, stream_neardup, stream_champion,
     stream_thread_latency) now allocates its state here."""
     import hashlib
@@ -834,10 +835,37 @@ def _run_base(name: str, sf: str) -> str:
     parent = f"/tmp/knowledgebot_spark/{name}/{key}"
     os.makedirs(parent, exist_ok=True)
     now = time.time()
+
+    # Age = NEWEST mtime found anywhere under the candidate run dir, not
+    # the base dir's own mtime: writes land in subdirectories (snap/,
+    # ckpt/, ledgers) that never refresh the base dir, so a base-mtime
+    # prune could rmtree a still-active >2h run out from under itself
+    # (ADVICE r10 #3).  The walk short-circuits at the first fresh entry.
+    def _newest_mtime(top: str) -> float:
+        try:
+            newest = os.path.getmtime(top)
+        except OSError:
+            newest = 0.0
+        for dirpath, _dirnames, filenames in os.walk(top):
+            for e in filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, e))
+                    )
+                except OSError:
+                    pass
+            try:
+                newest = max(newest, os.path.getmtime(dirpath))
+            except OSError:
+                pass
+            if now - newest <= 7200:  # provably fresh: stop walking
+                return newest
+        return newest
+
     for d in os.listdir(parent):
         p = os.path.join(parent, d)
         try:
-            if now - os.path.getmtime(p) > 7200:
+            if now - _newest_mtime(p) > 7200:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
@@ -984,8 +1012,12 @@ def _manifest_shard_paths(
     root: str, man: dict | None, table: str, shards: set[int] | None = None
 ) -> list[str]:
     """Data dirs serving ``table`` (optionally only ``shards``) under the
-    committed manifest.  A shard whose committed generation holds no
-    parquet files is an explicitly EMPTIED shard and contributes nothing."""
+    committed manifest.  A shard whose committed generation dir EXISTS but
+    holds no parquet files is an explicitly EMPTIED shard and contributes
+    nothing; a committed generation dir that is MISSING is corruption
+    (errant prune, partial restore) and raises instead of silently
+    reading the shard as empty — downstream delta-CC would otherwise
+    treat every node in it as brand-new (ADVICE r10 #1)."""
     import os
 
     if not man:
@@ -995,7 +1027,13 @@ def _manifest_shard_paths(
         if shards is not None and int(s) not in shards:
             continue
         p = os.path.join(root, table, f"shard={s}", f"g{gen:09d}")
-        if os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p)):
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"snapshot manifest at {root} references {table} shard {s} "
+                f"generation {gen}, but {p} does not exist — committed state "
+                "was lost outside the commit protocol; rebuild the snapshot"
+            )
+        if any(f.endswith(".parquet") for f in os.listdir(p)):
             out.append(p)
     return out
 
@@ -1230,8 +1268,11 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     probe = batch_docs
     if _has_parquet_partitioned(docs_dir):
         n_dp = _docs_n_parts()
+        # int literals, matching the int partition column exactly, so the
+        # file-level pruning never depends on cast-through-IN coercion
+        # (ADVICE r10 #2: that coercion is Spark-version-sensitive)
         dps = [
-            str(r[0])
+            int(r[0])
             for r in cand_ids.select(
                 F.pmod("doc_id", F.lit(n_dp)).cast("int").alias("dp")
             )

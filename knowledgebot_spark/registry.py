@@ -52,14 +52,20 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's correctness harness hash-checks only the FIRST 50 entries of
 # queries(), in iteration order — so output ordering is evidence policy, not
 # cosmetics.  The rotation is DERIVED, not hand-planned, from the repo's
-# CORRECTNESS_r*.json files at load time:
+# CORRECTNESS_r*.json files (+ QUERY_STAMPS.json) at load time:
 #   1. never-checked queries (no hash_match:true row in any round) sort
 #      FIRST — new work always enters the window immediately;
-#   2. checked queries sort by the round they were LAST hash-green,
-#      ascending — once coverage is closed, each round's 50-row window
-#      re-certifies the STALEST evidence (the re-certification rotation),
-#      so driver evidence never ages indefinitely;
-#   3. ties break by _OUTPUT_ORDER module rank, then registration order.
+#   2. then queries whose implementation CHANGED since their last green
+#      stamp (stamps.changed_since_stamp: the closure hash of the query
+#      function + its same-module helpers differs from the source the
+#      driver actually checked — VERDICT r10 #1: evidence must follow
+#      code churn, not just age), stalest first;
+#   3. remaining checked queries sort by the round they were LAST
+#      hash-green, ascending — once coverage is closed, each round's
+#      50-row window re-certifies the STALEST evidence (the
+#      re-certification rotation), so driver evidence never ages
+#      indefinitely;
+#   4. ties break by _OUTPUT_ORDER module rank, then registration order.
 # Rows-only results (err: no_oracle) don't count as evidence — upgrading
 # such a query to a real oracle puts it back in the window.
 _OUTPUT_ORDER = (
@@ -117,11 +123,16 @@ def load() -> dict[str, QueryDef]:
     last = last_green_round()
     for mod in _MODULES:
         importlib.import_module(mod)
+    from knowledgebot_spark import stamps
+
+    changed = stamps.changed_since_stamp(last)
     rank = {mod: i for i, mod in enumerate(_OUTPUT_ORDER)}
     items = list(_REGISTRY.items())  # insertion order == registration order
     items.sort(
         key=lambda kv: (
-            last.get(kv[0], 0),  # 0 = never checked → first; then stalest
+            # never-checked (0) < changed-since-stamp (1) < merely stale (2)
+            0 if kv[0] not in last else (1 if kv[0] in changed else 2),
+            last.get(kv[0], 0),  # within a class: stalest evidence first
             rank.get(kv[1].fn.__module__, len(rank)),
         )
     )

@@ -22,33 +22,44 @@ def test_catalog_loads_and_oracle_subset():
 def test_output_order_is_evidence_policy():
     """The driver hash-checks only the FIRST 50 queries() entries, so output
     ordering is part of the correctness-evidence contract: never-checked
-    queries sort first (new work enters the window immediately); checked
-    queries sort by the round they were LAST hash-green, ascending — the
-    re-certification rotation that keeps driver evidence from aging once
-    coverage is closed.  Ties break by _OUTPUT_ORDER module rank, then
-    registration order."""
+    queries sort first (new work enters the window immediately); then
+    queries whose implementation CHANGED since their last green stamp
+    (round 11: evidence must follow code churn, not just age); then
+    checked queries by the round they were LAST hash-green, ascending —
+    the re-certification rotation that keeps driver evidence from aging
+    once coverage is closed.  Ties break by _OUTPUT_ORDER module rank,
+    then registration order."""
+    from knowledgebot_spark import stamps
     from knowledgebot_spark.registry import _OUTPUT_ORDER, last_green_round, load
 
     last = last_green_round()
     catalog = load()
+    changed = stamps.changed_since_stamp(last)
     rank = {m: i for i, m in enumerate(_OUTPUT_ORDER)}
+
+    def cls(n: str) -> int:
+        return 0 if n not in last else (1 if n in changed else 2)
+
     keys = [
-        (last.get(n, 0), rank.get(qd.fn.__module__, len(rank)))
+        (cls(n), last.get(n, 0), rank.get(qd.fn.__module__, len(rank)))
         for n, qd in catalog.items()
     ]
-    assert keys == sorted(keys), "catalog not ordered (staleness, module rank)"
+    assert keys == sorted(keys), "catalog not ordered (class, staleness, rank)"
     window = list(catalog)[:50]
-    # every window slot goes to a query at least as stale as anything outside
-    # the window (never-checked = round 0 = stalest)
+    # every window slot outranks anything outside it under the same key
     outside = list(catalog)[50:]
     if outside:
-        max_in = max(last.get(n, 0) for n in window)
-        min_out = min(last.get(n, 0) for n in outside)
-        assert max_in <= min_out, "window skips a staler query"
+        max_in = max((cls(n), last.get(n, 0)) for n in window)
+        min_out = min((cls(n), last.get(n, 0)) for n in outside)
+        assert max_in <= min_out, "window skips a higher-priority query"
     # never-checked queries always claim window slots first
     unchecked_total = sum(1 for n in catalog if n not in last)
     expected = min(50, unchecked_total)
     assert sum(n not in last for n in window) == expected
+    # changed-since-stamp queries claim the next slots
+    assert sum(n in changed for n in window) == min(
+        50 - expected, len([n for n in changed if n in last])
+    )
 
 
 def test_driver_evidence_derivation():

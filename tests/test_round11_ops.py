@@ -1,0 +1,181 @@
+"""Round-11 additions: changed-since-stamp driver-window rotation, the
+manifest corruption guard, inactivity-based run-state pruning, the
+node-keyed label index, ledger compaction, and the epoch-sample ->
+pack composition."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+
+# --- changed-since-stamp rotation (VERDICT r10 #1) -------------------------------
+
+
+def test_closure_hash_tracks_helper_changes():
+    """The hash must change when the query fn OR a transitively-referenced
+    same-module helper changes, and must NOT change when an unrelated
+    function does."""
+    from knowledgebot_spark.stamps import closure_hash
+
+    base = (
+        "LIMIT = 7\n"
+        "def _helper(x):\n    return x + LIMIT\n"
+        "def _other(x):\n    return x - 1\n"
+        "def query(spark, sf):\n    return _helper(1)\n"
+    )
+    h0 = closure_hash(base, "query")
+    assert h0 is not None
+    # unrelated fn edited: hash unchanged
+    h1 = closure_hash(base.replace("return x - 1", "return x - 2"), "query")
+    assert h1 == h0
+    # referenced helper edited: hash changes
+    h2 = closure_hash(base.replace("return x + LIMIT", "return x + 1"), "query")
+    assert h2 != h0
+    # referenced module constant edited: hash changes
+    h3 = closure_hash(base.replace("LIMIT = 7", "LIMIT = 8"), "query")
+    assert h3 != h0
+    # the query fn itself edited: hash changes
+    h4 = closure_hash(base.replace("_helper(1)", "_helper(2)"), "query")
+    assert h4 != h0
+    # unknown function: None
+    assert closure_hash(base, "missing") is None
+
+
+def test_changed_queries_enter_driver_window():
+    """VERDICT r10 #1 done-condition: the r11 window (first 50 of
+    queries(), the driver's hash-check slice) must contain the four named
+    queries — the three rewritten in round 10 on r09 stamps plus the last
+    r04-stamped name — and changed-since-stamp queries must sort before
+    merely-stale ones."""
+    from knowledgebot_spark import registry
+
+    names = list(registry.load().keys())
+    window = set(names[:50])
+    for q in (
+        "stream_champion_upsert",
+        "stream_thread_latency",
+        "llm_epoch_mixture",
+        "stream_cdc_materialize",
+    ):
+        assert q in window, f"{q} missed the driver window"
+
+
+def test_changed_since_stamp_ignores_lagging_stamp(monkeypatch):
+    """A stamp file older than the latest green round must NOT flag the
+    query (its evidence already caught up; the stamp merely lags a
+    regeneration) — otherwise a freshly re-greened query would pin
+    itself in the window forever."""
+    from knowledgebot_spark import registry, stamps
+
+    registry.load()
+    name = "stream_champion_upsert"
+    real = stamps.load_stamps()[name]
+    last = registry.last_green_round()
+    assert real["round"] == last[name]
+    lagging = {name: {"round": last[name] - 1, "hash": "deadbeef"}}
+    monkeypatch.setattr(stamps, "load_stamps", lambda: lagging)
+    assert name not in stamps.changed_since_stamp(last)
+    # and a matching round with a differing hash DOES flag
+    current = {name: {"round": last[name], "hash": "deadbeef"}}
+    monkeypatch.setattr(stamps, "load_stamps", lambda: current)
+    assert name in stamps.changed_since_stamp(last)
+
+
+def test_query_stamps_file_is_fresh():
+    """Every green query has a stamp row at its latest green round with a
+    resolved hash — i.e. scripts/update_query_stamps.py was re-run after
+    the last CORRECTNESS file landed (the per-round maintenance step the
+    rotation depends on)."""
+    from knowledgebot_spark import registry, stamps
+
+    registry.load()
+    st = stamps.load_stamps()
+    last = registry.last_green_round()
+    missing = {n for n in last if n not in st}
+    stale = {n for n in last if n in st and st[n]["round"] != last[n]}
+    assert not missing, f"unstamped green queries: {sorted(missing)[:5]}"
+    assert not stale, f"stamps behind evidence: {sorted(stale)[:5]}"
+
+
+# --- manifest corruption guard (ADVICE r10 #1) -----------------------------------
+
+
+def test_manifest_missing_generation_raises(spark, tmp_path):
+    """A manifest referencing a generation dir that does NOT exist is
+    corruption and must raise — silently reading the shard as empty would
+    make delta-CC treat its nodes as brand-new.  An existing-but-empty
+    generation dir stays the legitimate emptied-shard encoding."""
+    import shutil
+
+    from knowledgebot_spark.queries_streaming import (
+        _manifest_commit,
+        _manifest_load,
+        _manifest_shard_paths,
+        _manifest_table_read,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(1, 1, 1 % 4), (2, 1, 1 % 4), (7, 7, 7 % 4)],
+        "node BIGINT, label BIGINT, _shard INT",
+    )
+    _manifest_commit(root, {"labels": (df, {1, 3})}, 4)
+    man = _manifest_load(root)
+
+    # emptied shard: commit shard 2 with no rows -> exists, empty, skipped
+    empty = spark.createDataFrame([], "node BIGINT, label BIGINT, _shard INT")
+    _manifest_commit(root, {"labels": (empty, {2})}, 4)
+    man = _manifest_load(root)
+    paths = _manifest_shard_paths(root, man, "labels")
+    assert all("shard=2" not in p for p in paths) and paths
+
+    # lost generation dir: must raise, not read-as-empty
+    gen1 = man["tables"]["labels"]["1"]
+    shutil.rmtree(os.path.join(root, "labels", "shard=1", f"g{gen1:09d}"))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        _manifest_table_read(spark, root, "labels")
+
+
+# --- inactivity-based run-state pruning (ADVICE r10 #3) --------------------------
+
+
+def test_run_base_prune_spares_active_deep_writers(tmp_path, monkeypatch):
+    """A sibling run dir whose base mtime is >2h old but whose SUBTREE has
+    fresh writes (snap/ckpt/ledger activity never touches the base dir's
+    mtime) must survive the prune; a run with no activity anywhere for
+    >2h is removed."""
+    from knowledgebot_spark.queries_streaming import _run_base
+
+    sf = str(tmp_path / "sfX")
+    os.makedirs(sf)
+    base = _run_base("prune_test", sf)
+    parent = os.path.dirname(base)
+
+    old = time.time() - 3 * 3600
+    active = os.path.join(parent, "activerun")
+    os.makedirs(os.path.join(active, "snap", "labels"))
+    fresh_file = os.path.join(active, "snap", "labels", "part-0.parquet")
+    with open(fresh_file, "w") as fh:
+        fh.write("x")
+    # base + intermediate dirs look abandoned; only the deep file is fresh
+    os.utime(os.path.join(active, "snap", "labels"), (old, old))
+    os.utime(os.path.join(active, "snap"), (old, old))
+    os.utime(active, (old, old))
+
+    dead = os.path.join(parent, "deadrun")
+    os.makedirs(os.path.join(dead, "ckpt"))
+    with open(os.path.join(dead, "ckpt", "offsets"), "w") as fh:
+        fh.write("x")
+    for p in (
+        os.path.join(dead, "ckpt", "offsets"),
+        os.path.join(dead, "ckpt"),
+        dead,
+    ):
+        os.utime(p, (old, old))
+
+    _run_base("prune_test", sf)  # triggers the prune pass
+    assert os.path.exists(fresh_file), "active run was pruned (ADVICE r10 #3)"
+    assert not os.path.exists(dead), "abandoned run survived the age prune"
