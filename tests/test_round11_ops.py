@@ -139,6 +139,94 @@ def test_manifest_missing_generation_raises(spark, tmp_path):
         _manifest_table_read(spark, root, "labels")
 
 
+# --- node-keyed label index (VERDICT r10 #2) -------------------------------------
+
+
+def test_nodes_index_mirrors_labels_table(spark, sf_dir, tmp_path):
+    """The node-sharded ``nodes`` index must hold exactly the labels
+    table's (node, label) rows after every batch — same rows, different
+    sharding — or the contraction join would resolve endpoints against a
+    stale mapping."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.queries_streaming import (
+        _champion_maintain,
+        _manifest_table_read,
+    )
+    from knowledgebot_spark.tables import read_table
+
+    base = str(tmp_path / "nodes_mirror")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    for i in range(2):
+        _champion_maintain(base, docs.filter(F.col("doc_id") % 2 == i), i)
+        labels = {
+            (r.node, r.label)
+            for r in _manifest_table_read(
+                spark, f"{base}/snap", "labels"
+            ).collect()
+        }
+        nodes = {
+            (r.node, r.label)
+            for r in _manifest_table_read(
+                spark, f"{base}/snap", "nodes"
+            ).collect()
+        }
+        assert labels and nodes == labels
+
+
+def test_delta_path_never_reads_full_manifest_tables(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r10 #2 done-condition: after bootstrap, a sparse batch's
+    refresh must pass an explicit shard set to EVERY manifest-table read —
+    the contraction join included (previously its endpoint lookup read the
+    full label-sharded table, un-prunable by node) — and the endpoint
+    lookup's shard set must be exactly the batch endpoints' node shards."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.tables import read_table
+
+    base = str(tmp_path / "nodes_prune")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    qs._champion_maintain(base, docs.filter(F.col("doc_id") % 50 != 0), 0)
+    man0 = qs._manifest_load(f"{base}/snap")
+    assert man0 is not None, "bootstrap must commit a snapshot"
+
+    calls: list[tuple[str, set | None]] = []
+    real = qs._manifest_table_read
+
+    def spy(spark_, root, table, shards=None):
+        calls.append((table, None if shards is None else set(shards)))
+        return real(spark_, root, table, shards)
+
+    monkeypatch.setattr(qs, "_manifest_table_read", spy)
+    qs._champion_maintain(base, docs.filter(F.col("doc_id") % 50 == 0), 1)
+    man1 = qs._manifest_load(f"{base}/snap")
+    assert man1["gen"] > man0["gen"], (
+        "the sparse batch found no new edges — fixture drifted, test vacuous"
+    )
+    assert calls, "refresh ran without any manifest read"
+    full_reads = [t for t, s in calls if s is None]
+    assert not full_reads, f"full-table manifest reads on delta path: {full_reads}"
+    # the endpoint lookup (first nodes read) is bounded by the batch's
+    # own endpoint node shards
+    n = qs._snap_n_shards()
+    edges = spark.read.parquet(f"{base}/edges").distinct()
+    ep_shards = {
+        int(r[0])
+        for r in edges.select(F.pmod("id_a", F.lit(n)).cast("int"))
+        .union(edges.select(F.pmod("id_b", F.lit(n)).cast("int")))
+        .distinct()
+        .collect()
+    }  # superset: accumulated-ledger endpoints cover the batch's
+    first_nodes = next(s for t, s in calls if t == "nodes")
+    assert first_nodes <= ep_shards
+    assert len(first_nodes) < n, "sparse batch touched every node shard"
+
+
 # --- inactivity-based run-state pruning (ADVICE r10 #3) --------------------------
 
 
