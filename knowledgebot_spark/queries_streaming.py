@@ -1173,6 +1173,81 @@ def _manifest_commit(
                     shutil.rmtree(os.path.join(d, e), ignore_errors=True)
 
 
+# how often _champion_maintain folds the append-only ledgers' accumulated
+# per-batch files back down (VERDICT r10 #3: appends are one file per
+# partition per batch, so a nightly job otherwise grows file counts
+# linearly forever); 0 disables the automatic pass (tests drive it
+# directly)
+_LEDGER_COMPACT_EVERY_ENV = "KB_LEDGER_COMPACT_EVERY"
+_LEDGER_COMPACT_EVERY_DEFAULT = 16
+
+
+def _compact_flat_ledger(
+    spark: SparkSession, d: str, max_files: int = 4
+) -> int:
+    """Compact a FLAT append-only ledger dir (edges/, stats/) holding more
+    than ``max_files`` parquet files: stage the listed files' rows as
+    size-targeted compacted files, move them in (unique names, each an
+    atomic rename), then delete exactly the listed originals.  A crash
+    between move-in and delete leaves duplicate ROWS, never lost ones —
+    benign here by the same argument as batch replay (every consumer of
+    these ledgers dedups: edges feeds CC through .distinct(), stats is
+    read dropDuplicates) — and the next pass folds them away.  Returns
+    the number of files retired."""
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(d):
+        return 0
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    if len(files) <= max_files:
+        return 0
+    paths = [os.path.join(d, f) for f in files]
+    total = sum(os.path.getsize(p) for p in paths)
+    n_out = max(1, -(-total // (128 << 20)))  # ~128 MB target files
+    stage = f"{d}.compact_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(*paths).coalesce(n_out).write.mode("overwrite").parquet(
+        stage
+    )
+    tag = uuid.uuid4().hex[:8]
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(d, f"compact-{tag}-{i:05d}.parquet"),
+            )
+    for p in paths:
+        os.unlink(p)
+    shutil.rmtree(stage, ignore_errors=True)
+    return len(files)
+
+
+def champion_ledger_compact(spark: SparkSession, base: str) -> dict[str, int]:
+    """Fold the champion pipeline's append-only ledgers back to O(1) files
+    per partition (VERDICT r10 #3: without this, bands/ and docs/ gain one
+    file per partition per batch and edges/stats one file per batch —
+    unbounded listing/footer cost for a nightly job).  The partitioned
+    ledgers reuse the keyed sink's compaction discipline
+    (sinks/compaction.py: candidates from directory METADATA, dynamic
+    partition overwrite rewrites only fragmented partitions, one shuffle
+    keyed on the partition column -> one file each); the flat ledgers go
+    through the staged move-in/delete pass above.  Runs at a batch
+    boundary (foreachBatch serializes batches, so no append races it);
+    contents are row-identical before and after, so any downstream query
+    is unchanged."""
+    from knowledgebot_spark.sinks.compaction import compact_keyed_table
+
+    out = {"bands": 0, "docs": 0, "edges": 0, "stats": 0}
+    if _has_parquet_partitioned(f"{base}/bands"):
+        out["bands"] = compact_keyed_table(spark, f"{base}/bands", ("band",))
+    if _has_parquet_partitioned(f"{base}/docs"):
+        out["docs"] = compact_keyed_table(spark, f"{base}/docs", ("dp",))
+    out["edges"] = _compact_flat_ledger(spark, f"{base}/edges")
+    out["stats"] = _compact_flat_ledger(spark, f"{base}/stats")
+    return out
+
+
 def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     """One micro-batch of incremental champion maintenance — module-level so
     tests can drive batches (and re-deliveries) directly.
@@ -1390,10 +1465,22 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     bands.unpersist()
     batch_docs.unpersist()
 
+    every = int(
+        os.environ.get(
+            _LEDGER_COMPACT_EVERY_ENV, str(_LEDGER_COMPACT_EVERY_DEFAULT)
+        )
+    )
+
+    def _maybe_compact() -> None:
+        if every and batch_id and batch_id % every == 0:
+            champion_ledger_compact(sp_sess, base)
+            _mark("ledger compaction")
+
     if n_new == 0:
         # nothing can have changed: labels and champions carry over as-is
         cand.unpersist()
         probe.unpersist()
+        _maybe_compact()
         return
 
     # --- delta-CC refresh: merge only components touched by new edges ----
@@ -1404,6 +1491,7 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     _champion_refresh(sp_sess, new_edges, stats_dir, snap_root, _mark)
     cand.unpersist()
     probe.unpersist()
+    _maybe_compact()
 
 
 def _champion_refresh(

@@ -227,6 +227,95 @@ def test_delta_path_never_reads_full_manifest_tables(spark, sf_dir, tmp_path, mo
     assert len(first_nodes) < n, "sparse batch touched every node shard"
 
 
+# --- ledger compaction (VERDICT r10 #3) -------------------------------------------
+
+
+def test_champion_ledger_compaction_bounds_files(spark, sf_dir, tmp_path, monkeypatch):
+    """N batches leave one file per partition per batch in bands/docs and
+    one file per batch in edges/stats; a compaction pass folds that back
+    to O(partitions) files with row-identical ledgers and an unchanged
+    champion table."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.sinks.compaction import partition_file_counts
+    from knowledgebot_spark.tables import read_table
+
+    monkeypatch.setenv("KB_LEDGER_COMPACT_EVERY", "0")  # manual control
+    base = str(tmp_path / "compact")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n_batches = 5
+    for i in range(n_batches):
+        qs._champion_maintain(base, docs.filter(F.col("doc_id") % n_batches == i), i)
+
+    def flat_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    bands_before = partition_file_counts(f"{base}/bands", ("band",))
+    assert max(bands_before.values()) > 1, "appends stopped fragmenting?"
+    assert len(flat_files(f"{base}/edges")) > 4
+
+    champs_before = {
+        tuple(r) for r in qs._champion_table(spark, base).collect()
+    }
+    edges_before = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{base}/edges").distinct().collect()
+    }
+    docs_rows_before = spark.read.parquet(f"{base}/docs").count()
+
+    out = qs.champion_ledger_compact(spark, base)
+    assert out["bands"] > 0 and out["edges"] > 0
+
+    bands_after = partition_file_counts(f"{base}/bands", ("band",))
+    docs_after = partition_file_counts(f"{base}/docs", ("dp",))
+    assert set(bands_after) == set(bands_before)
+    assert max(bands_after.values()) == 1, "bands not folded to 1 file/partition"
+    assert max(docs_after.values()) == 1, "docs not folded to 1 file/partition"
+    assert len(flat_files(f"{base}/edges")) <= 4
+    assert len(flat_files(f"{base}/stats")) <= 4
+
+    # row-identical ledgers, unchanged champion decisions
+    assert {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{base}/edges").distinct().collect()
+    } == edges_before
+    assert spark.read.parquet(f"{base}/docs").count() == docs_rows_before
+    assert {
+        tuple(r) for r in qs._champion_table(spark, base).collect()
+    } == champs_before
+
+    # ...and the NEXT batch maintains correctly over compacted ledgers:
+    # replaying batch 0's docs must find every edge already known (no
+    # champion change) rather than mis-probing the rewritten files
+    qs._champion_maintain(base, docs.filter(F.col("doc_id") % n_batches == 0), 99)
+    assert {
+        tuple(r) for r in qs._champion_table(spark, base).collect()
+    } == champs_before
+
+
+def test_champion_maintain_auto_compacts_on_schedule(spark, sf_dir, tmp_path, monkeypatch):
+    """The periodic wire-in: with KB_LEDGER_COMPACT_EVERY=2, batch 2 folds
+    the ledgers without being asked."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.sinks.compaction import partition_file_counts
+    from knowledgebot_spark.tables import read_table
+
+    monkeypatch.setenv("KB_LEDGER_COMPACT_EVERY", "2")
+    base = str(tmp_path / "autocompact")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    for i in range(3):
+        qs._champion_maintain(base, docs.filter(F.col("doc_id") % 3 == i), i)
+    bands = partition_file_counts(f"{base}/bands", ("band",))
+    assert max(bands.values()) == 1, "batch 2 did not trigger the compaction pass"
+
+
 # --- inactivity-based run-state pruning (ADVICE r10 #3) --------------------------
 
 
