@@ -143,6 +143,8 @@ HEADLINE = [
     "llm_lm_perplexity",
     "llm_epoch_mixture",
     "llm_epoch_sample",
+    # round-11 additions
+    "llm_epoch_pack",
 ]
 
 

@@ -6159,3 +6159,106 @@ def llm_epoch_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _duck_epoch_pack_sql() -> str:
+    return _duck_epoch_cte() + """
+, per_doc AS (
+  SELECT w.source, w.doc_id, w.n_toks, w.ws_cum,
+    p.full_epochs
+      + CASE WHEN w.ws_cum - w.n_toks < p.residual THEN 1 ELSE 0 END AS n_copies
+  FROM ws w JOIN plan3 p USING (source)
+), sample AS (
+  SELECT d.source, d.doc_id, d.n_toks, d.ws_cum, g.epoch
+  FROM per_doc d,
+  LATERAL (SELECT unnest(generate_series(1, CAST(d.n_copies AS BIGINT))) AS epoch) g
+), packs AS (
+  SELECT s.source, s.doc_id, s.n_toks, s.epoch,
+    ((s.epoch - 1) * p.n_tokens + s.ws_cum - s.n_toks) // 512 AS pack_id
+  FROM sample s JOIN plan3 p USING (source)
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+  CAST(sum(doc_id * epoch) AS BIGINT) AS pack_checksum
+FROM packs GROUP BY 1, 2
+ORDER BY source, pack_id
+"""
+
+
+@register(
+    "llm_epoch_pack",
+    sql=_duck_epoch_pack_sql(),
+    tags=("training-data", "mixture", "sampling", "packing", "pretraining"),
+)
+def llm_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """The full pretraining-data path as ONE pipeline (VERDICT r10 #5):
+    mix (llm_epoch_mixture's capped apportionment recipe) -> sample
+    (llm_epoch_sample's epoch-replicated multiset) -> PACK
+    (llm_pack_sequences' concat-and-cut at a 512-token budget), so the
+    materialized sample streams straight into training sequences — the
+    composition llm_epoch_sample's own docstring promises at 100 TB.
+
+    The multiset's training order per source is epoch-major, then the
+    recipe's md5 order within an epoch — and because every full epoch
+    replays the SAME within-source cumsum and the tail epoch is a PREFIX
+    of that order, the multiset running total needs no new window at
+    all: tokens-before-doc = (epoch - 1) x n_tokens + (ws_cum - n_toks),
+    closed-form arithmetic on the shared distributed cumsum
+    (operators/ranking.py).  Replication is one explode(sequence),
+    output-size-bound; the per-pack agg is a (source, pack_id)-keyed
+    partial agg.  Nothing shuffles at corpus scale beyond the cumsum's
+    range partition — the 100 TB plan is scan + cumsum + explode + agg.
+
+    Exactness: pack_tokens are exact integers whose per-source sum
+    equals the sample's achieved_tokens (test-pinned); pack_checksum
+    (sum of doc_id x epoch per pack) pins WHICH doc copies landed in
+    WHICH pack cross-engine, so a packer that cut the right totals at
+    the wrong boundaries still hash-fails.
+    Reference provenance: the chunk/packing discipline extends the
+    reference's fixed-budget chunker (VectorDatabase/TextProcessor.py:
+    28-52, U1) from one document to the epoch-replicated corpus; the
+    mixture recipe is the engine's scale addition (SURVEY.md §2.3
+    LLM-pipeline extras)."""
+    plan, ws = _epoch_mixture_frames(spark, sf)
+    per_doc = ws.join(
+        F.broadcast(
+            plan.select("source", "n_tokens", "full_epochs", "residual")
+        ),
+        "source",
+    ).select(
+        "source",
+        "doc_id",
+        "n_toks",
+        "ws_cum",
+        "n_tokens",
+        (
+            F.col("full_epochs")
+            + F.when(F.col("ws_prev") < F.col("residual"), 1).otherwise(0)
+        ).cast("long").alias("n_copies"),
+    )
+    sample = per_doc.filter(F.col("n_copies") >= 1).select(
+        "source",
+        "doc_id",
+        "n_toks",
+        "ws_cum",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+            "epoch"
+        ),
+    )
+    packs = sample.withColumn(
+        "pack_id",
+        F.expr("((epoch - 1) * n_tokens + ws_cum - n_toks) div 512").cast("long"),
+    )
+    return (
+        packs.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+            F.sum(F.col("doc_id") * F.col("epoch")).cast("long").alias(
+                "pack_checksum"
+            ),
+        )
+        .orderBy("source", "pack_id")
+    )

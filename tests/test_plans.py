@@ -239,6 +239,7 @@ def test_no_allpairs_joins_in_catalog(spark, sf_dir):
         "llm_tfidf_topterm",
         "llm_epoch_mixture",  # 1-row scalars (weight denom, base sum, budget) crossJoined
         "llm_epoch_sample",  # same _epoch_mixture_frames 1-row scalars (denom, base sum, budget)
+        "llm_epoch_pack",  # same _epoch_mixture_frames 1-row scalars (denom, base sum, budget)
         "llm_boilerplate_ngrams",
         "llm_source_mixing",  # 1-row total + 1-row norm broadcast scalars
         "rel_hll_sketch",  # 1-row merged-sketch x 1-row exact-total scalars
@@ -466,6 +467,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "rel_compaction_plan": "distributed cumsum; offsets window over |partitions| rows",
     "llm_epoch_mixture": "apportionment rank over |sources| post-agg rows; distributed cumsum offsets window over |partitions| rows",
     "llm_epoch_sample": "same _epoch_mixture_frames windows: apportionment rank over |sources| post-agg rows; distributed cumsum offsets window over |partitions| rows",
+    "llm_epoch_pack": "same _epoch_mixture_frames windows: apportionment rank over |sources| post-agg rows; distributed cumsum offsets window over |partitions| rows",
 }
 
 _WINDOW_BARRIERS = (

@@ -316,6 +316,46 @@ def test_champion_maintain_auto_compacts_on_schedule(spark, sf_dir, tmp_path, mo
     assert max(bands.values()) == 1, "batch 2 did not trigger the compaction pass"
 
 
+# --- epoch-sample -> pack composition (VERDICT r10 #5) ----------------------------
+
+
+def test_epoch_pack_totals_equal_sample_achieved_tokens(spark, sf_dir):
+    """VERDICT r10 #5 done-condition: the packed token totals must equal
+    the sample's achieved_tokens per source — the pack stage consumes
+    exactly the materialized multiset, no doc copy lost or duplicated at
+    pack boundaries — and every pack except a source's last must hold
+    the full 512-token budget (the concat-and-cut invariant)."""
+    from knowledgebot_spark.queries_llm import llm_epoch_pack, llm_epoch_sample
+
+    packs = llm_epoch_pack(spark, sf_dir).collect()
+    sample = {r.source: r for r in llm_epoch_sample(spark, sf_dir).collect()}
+
+    per_source_tokens: dict[str, int] = {}
+    per_source_rows: dict[str, int] = {}
+    for r in packs:
+        per_source_tokens[r.source] = per_source_tokens.get(r.source, 0) + r.pack_tokens
+        per_source_rows[r.source] = per_source_rows.get(r.source, 0) + r.n_docs
+
+    sampled_sources = {s for s, r in sample.items() if r.n_sample_rows > 0}
+    assert set(per_source_tokens) == sampled_sources
+    for s in sampled_sources:
+        assert per_source_tokens[s] == sample[s].achieved_tokens, s
+        assert per_source_tokens[s] == sample[s].sample_tokens, s
+        assert per_source_rows[s] == sample[s].n_sample_rows, s
+        assert sample[s].matches_plan, s
+
+    # concat-and-cut: a doc STARTS in pack floor(before/512), so every
+    # pack boundary before the last is crossed by a doc — each source's
+    # non-final packs span the full budget (their start offsets cover
+    # [pack_id*512, (pack_id+1)*512))
+    by_source: dict[str, list] = {}
+    for r in packs:
+        by_source.setdefault(r.source, []).append(r)
+    for s, rows in by_source.items():
+        ids = sorted(r.pack_id for r in rows)
+        assert ids == list(range(len(ids))), f"{s}: pack ids not contiguous"
+
+
 # --- inactivity-based run-state pruning (ADVICE r10 #3) --------------------------
 
 
