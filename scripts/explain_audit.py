@@ -143,6 +143,10 @@ FLAGSHIPS = (
         "llm_epoch_sample",
         "sample materializer (round 10): per-doc replica counts from a source-keyed broadcast of the plan onto the distributed cumsum; ONE explode(sequence) bounded by output size; source-keyed partial agg proves token mass — no corpus-scale window, no new shuffle beyond the cumsum's range partition",
     ),
+    (
+        "llm_epoch_pack",
+        "mix -> sample -> pack composition (round 11): the multiset running total is closed-form arithmetic on the shared distributed cumsum ((epoch-1) x n_tokens + ws_cum - n_toks), so packing adds NO new window — one Generate (explode) bounded by output size + one (source, pack_id) partial agg",
+    ),
 )
 
 
