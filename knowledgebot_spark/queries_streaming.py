@@ -1248,6 +1248,29 @@ def champion_ledger_compact(spark: SparkSession, base: str) -> dict[str, int]:
     return out
 
 
+def _docs_probe_partition_values(cand_ids: DataFrame, n_dp: int) -> list[str]:
+    """Partition-filter literals for the docs-ledger probe, as STRINGS:
+    partition-column type inference is pinned off engine-wide
+    (registry._REQUIRED_CONFS), so the dp partition column reads back as
+    string and string literals are the exact-type match — file-level
+    pruning never rides on cast-through-IN coercion (ADVICE r10 #2; the
+    round-11 review verified int literals plan as
+    ``cast(dp as bigint) IN (...)``, the coercion, while strings plan
+    cast-free).  The values are canonical int renderings of pmod, so
+    str() is collision-free.  Module-level so the pruning test pins the
+    PRODUCTION literal derivation, not its own copy."""
+    from pyspark.sql import functions as F
+
+    return [
+        str(int(r[0]))
+        for r in cand_ids.select(
+            F.pmod("doc_id", F.lit(n_dp)).cast("int").alias("dp")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
 def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     """One micro-batch of incremental champion maintenance — module-level so
     tests can drive batches (and re-deliveries) directly.
@@ -1397,17 +1420,7 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     probe = batch_docs
     if _has_parquet_partitioned(docs_dir):
         n_dp = _docs_n_parts()
-        # int literals, matching the int partition column exactly, so the
-        # file-level pruning never depends on cast-through-IN coercion
-        # (ADVICE r10 #2: that coercion is Spark-version-sensitive)
-        dps = [
-            int(r[0])
-            for r in cand_ids.select(
-                F.pmod("doc_id", F.lit(n_dp)).cast("int").alias("dp")
-            )
-            .distinct()
-            .collect()
-        ]
+        dps = _docs_probe_partition_values(cand_ids, n_dp)
         probe = (
             sp_sess.read.parquet(docs_dir)
             .filter(F.col("dp").isin(dps))  # file-level partition pruning
@@ -1577,8 +1590,20 @@ def _champion_refresh(
             .distinct()
             .collect()
         }
+        man = _manifest_load(snap_root)
+        if "nodes" not in man.get("tables", {}):
+            # a committed snapshot WITHOUT the node index (written by a
+            # pre-round-11 engine) must fail loudly: silently treating
+            # its labeled nodes as brand-new would duplicate label rows
+            # and split champions — the same silent-empty corruption
+            # class as a lost generation dir (ADVICE r10 #1)
+            raise ValueError(
+                f"snapshot at {snap_root} has no 'nodes' index table — "
+                "it predates the node-keyed index; rebuild the snapshot "
+                "(or backfill nodes from labels) before resuming"
+            )
         prev_nodes = _manifest_table_read(sp_sess, snap_root, "nodes", ep_shards)
-        if prev_nodes is None:  # committed snapshot, but no endpoint known
+        if prev_nodes is None:  # index committed, but no endpoint shard known
             prev_nodes = sp_sess.createDataFrame([], "node BIGINT, label BIGINT")
         prev_nodes = prev_nodes.persist()
         la = prev_nodes.select(

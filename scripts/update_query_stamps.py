@@ -38,7 +38,10 @@ def _stamp_commit(rnd: int) -> str | None:
              f"CORRECTNESS_r{rnd}.json"],
             cwd=ROOT, capture_output=True, text=True,
         ).stdout.split()
-    return out[-1] if out else None
+    # newest add wins: if the evidence file was ever deleted and re-added
+    # (revert + reland), the driver's LATEST commit of it is the tree the
+    # hashes must be computed from
+    return out[0] if out else None
 
 
 _SHOW_CACHE: dict[tuple[str, str], str | None] = {}

@@ -290,13 +290,28 @@ def test_docs_ledger_probe_prunes_partitions(spark, sf_dir, tmp_path):
     ledger = spark.read.parquet(f"{base}/docs")
     assert "dp" in ledger.columns
     n_all = ledger.select(F.input_file_name()).distinct().count()
-    one = ledger.filter(F.col("dp").isin(["0"]))
+    # literals via the PRODUCTION derivation (round 11: the test used its
+    # own string literals, so a regression in the real path's literal
+    # type was invisible)
+    from knowledgebot_spark.queries_streaming import _docs_probe_partition_values
+
+    cand0 = docs.select("doc_id").filter(F.col("doc_id") % _docs_n_parts() == 0)
+    dps = _docs_probe_partition_values(cand0, _docs_n_parts())
+    assert dps == ["0"]
+    one = ledger.filter(F.col("dp").isin(dps))
     # files ACTUALLY read under the partition filter (inputFiles() lists
     # the pre-pruning index, so count via input_file_name at execution)
     n_one = one.select(F.input_file_name()).distinct().count()
     assert 0 < n_one < n_all, (n_one, n_all)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dp" in plan
+    # the partition filter must be CAST-FREE: with type inference pinned
+    # off the dp column is string, so string literals are the exact-type
+    # match — a cast in the filter means the literals regressed to a
+    # coerced type and pruning rides on Spark-version-sensitive behavior
+    # (ADVICE r10 #2, re-verified round 11)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and all("cast(" not in ln.lower() for ln in pf), pf
     # the pruned read still holds exactly the pmod-0 ids
     ids = [r.doc_id for r in one.select("doc_id").collect()]
     assert ids and all(i % _docs_n_parts() == 0 for i in ids)

@@ -44,6 +44,24 @@ def test_closure_hash_tracks_helper_changes():
     assert closure_hash(base, "missing") is None
 
 
+def test_closure_hash_tracks_decorator_oracle_changes():
+    """The inline sql=\"...\" oracle in a @register decorator is part of
+    the checked contract: rewriting it must flip the hash even when the
+    function body is untouched (round-11 review finding — decorators are
+    outside ast.get_source_segment's def span)."""
+    from knowledgebot_spark.stamps import closure_hash
+
+    base = (
+        "def register(name, sql=None):\n"
+        "    def deco(fn):\n        return fn\n    return deco\n"
+        '@register("q", sql="SELECT 1 AS x")\n'
+        "def query(spark, sf):\n    return 1\n"
+    )
+    h0 = closure_hash(base, "query")
+    h1 = closure_hash(base.replace("SELECT 1 AS x", "SELECT 2 AS x"), "query")
+    assert h0 is not None and h1 != h0
+
+
 def test_changed_queries_enter_driver_window():
     """VERDICT r10 #1 done-condition: the r11 window (first 50 of
     queries(), the driver's hash-check slice) must contain the four named
@@ -77,10 +95,12 @@ def test_changed_since_stamp_ignores_lagging_stamp(monkeypatch):
     assert real["round"] == last[name]
     lagging = {name: {"round": last[name] - 1, "hash": "deadbeef"}}
     monkeypatch.setattr(stamps, "load_stamps", lambda: lagging)
+    monkeypatch.setattr(stamps, "_CHANGED_CACHE", None)  # bypass + restore
     assert name not in stamps.changed_since_stamp(last)
     # and a matching round with a differing hash DOES flag
     current = {name: {"round": last[name], "hash": "deadbeef"}}
     monkeypatch.setattr(stamps, "load_stamps", lambda: current)
+    monkeypatch.setattr(stamps, "_CHANGED_CACHE", None)
     assert name in stamps.changed_since_stamp(last)
 
 
@@ -233,6 +253,34 @@ def test_delta_path_never_reads_full_manifest_tables(spark, sf_dir, tmp_path, mo
     first_nodes = next(s for t, s in calls if t == "nodes")
     assert first_nodes <= ep_shards
     assert len(first_nodes) < n, "sparse batch touched every node shard"
+
+
+def test_refresh_raises_on_manifest_without_nodes_index(spark, tmp_path):
+    """A committed snapshot lacking the round-11 ``nodes`` table (written
+    by an older engine) must fail loudly: silently treating its labeled
+    nodes as brand-new would duplicate label rows and split champions —
+    the silent-empty corruption class the missing-generation guard also
+    raises on."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+
+    root = str(tmp_path / "old_snap")
+    n = qs._snap_n_shards()
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node BIGINT, label BIGINT"
+    ).withColumn("_shard", F.pmod(F.col("label"), F.lit(n)).cast("int"))
+    champs = spark.createDataFrame(
+        [(1, 2, 10, 2, 1)],
+        "cluster_id BIGINT, champion_doc_id BIGINT, champion_n_chars BIGINT,"
+        " cluster_size BIGINT, n_dropped BIGINT",
+    ).withColumn("_shard", F.pmod(F.col("cluster_id"), F.lit(n)).cast("int"))
+    qs._manifest_commit(
+        root, {"labels": (labels, {1}), "champions": (champs, {1})}, n
+    )
+    edges = spark.createDataFrame([(1, 3)], "id_a BIGINT, id_b BIGINT")
+    with pytest.raises(ValueError, match="no 'nodes' index"):
+        qs._champion_refresh(spark, edges, str(tmp_path / "stats"), root, lambda s: None)
 
 
 # --- ledger compaction (VERDICT r10 #3) -------------------------------------------
