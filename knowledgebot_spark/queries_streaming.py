@@ -1248,6 +1248,35 @@ def champion_ledger_compact(spark: SparkSession, base: str) -> dict[str, int]:
     return out
 
 
+def rebuild_nodes_index(spark: SparkSession, snap_root: str) -> int:
+    """Backfill the node-keyed index for a snapshot that predates it (the
+    migration _champion_refresh's guard points at): read the committed
+    labels table ONCE — a full-table maintenance read, the one-off cost
+    the per-batch path then never pays again — reshard the same (node,
+    label) rows by pmod(node, P), and commit them as the ``nodes`` table
+    through the ordinary atomic manifest flip.  Idempotent (re-running
+    commits identical content at the next generation); crash-safe by the
+    _manifest_commit discipline.  Returns the number of rows indexed."""
+    from pyspark.sql import functions as F
+
+    man = _manifest_load(snap_root)
+    if man is None:
+        return 0  # nothing committed: the next batch bootstraps normally
+    n_shards = man["n_shards"]
+    labels = _manifest_table_read(spark, snap_root, "labels")
+    if labels is None:
+        labels = spark.createDataFrame([], "node BIGINT, label BIGINT")
+    nodes = labels.select("node", "label").withColumn(
+        "_shard", F.pmod(F.col("node"), F.lit(n_shards)).cast("int")
+    ).persist()
+    n = nodes.count()
+    _manifest_commit(
+        snap_root, {"nodes": (nodes, set(range(n_shards)))}, n_shards
+    )
+    nodes.unpersist()
+    return n
+
+
 def _docs_probe_partition_values(cand_ids: DataFrame, n_dp: int) -> list[str]:
     """Partition-filter literals for the docs-ledger probe, as STRINGS:
     partition-column type inference is pinned off engine-wide

@@ -282,6 +282,36 @@ def test_refresh_raises_on_manifest_without_nodes_index(spark, tmp_path):
     with pytest.raises(ValueError, match="no 'nodes' index"):
         qs._champion_refresh(spark, edges, str(tmp_path / "stats"), root, lambda s: None)
 
+    # ...and the advertised migration unblocks it: backfill resharding the
+    # committed labels, after which the refresh proceeds and contracts the
+    # new edge through node 1's EXISTING label
+    n_rows = qs.rebuild_nodes_index(spark, root)
+    assert n_rows == 2
+    nodes = {
+        (r.node, r.label)
+        for r in qs._manifest_table_read(spark, root, "nodes").collect()
+    }
+    assert nodes == {(1, 1), (2, 1)}
+    stats_dir = str(tmp_path / "stats")
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "doc_id BIGINT, n_chars BIGINT"
+    ).write.parquet(stats_dir)
+    qs._champion_refresh(spark, edges, stats_dir, root, lambda s: None)
+    labels_after = {
+        (r.node, r.label)
+        for r in qs._manifest_table_read(spark, root, "labels")
+        .select("node", "label")
+        .collect()
+    }
+    assert labels_after == {(1, 1), (2, 1), (3, 1)}, labels_after
+    nodes_after = {
+        (r.node, r.label)
+        for r in qs._manifest_table_read(spark, root, "nodes")
+        .select("node", "label")
+        .collect()
+    }
+    assert nodes_after == labels_after
+
 
 # --- ledger compaction (VERDICT r10 #3) -------------------------------------------
 
