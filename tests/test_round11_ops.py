@@ -42,6 +42,12 @@ def test_closure_hash_tracks_helper_changes():
     assert h4 != h0
     # unknown function: None
     assert closure_hash(base, "missing") is None
+    # annotated module constants (ast.AnnAssign) are tracked too
+    # (ADVICE r11: they were invisible, silently degrading rotation)
+    ann = base.replace("LIMIT = 7", "LIMIT: int = 7")
+    a0 = closure_hash(ann, "query")
+    a1 = closure_hash(ann.replace("LIMIT: int = 7", "LIMIT: int = 8"), "query")
+    assert a0 is not None and a1 != a0
 
 
 def test_closure_hash_tracks_decorator_oracle_changes():
@@ -62,46 +68,119 @@ def test_closure_hash_tracks_decorator_oracle_changes():
     assert h0 is not None and h1 != h0
 
 
-def test_changed_queries_enter_driver_window():
-    """VERDICT r10 #1 done-condition: the r11 window (first 50 of
-    queries(), the driver's hash-check slice) must contain the four named
-    queries — the three rewritten in round 10 on r09 stamps plus the last
-    r04-stamped name — and changed-since-stamp queries must sort before
-    merely-stale ones."""
-    from knowledgebot_spark import registry
+def test_changed_queries_enter_driver_window(monkeypatch):
+    """VERDICT r10 #1 mechanism, tested against a FROZEN synthetic
+    evidence horizon (VERDICT r11 #1: the original asserted the live
+    repo-root artifacts' pre-driver snapshot and broke the moment
+    CORRECTNESS_r11.json landed).  Invariants: never-checked queries
+    sort first, changed-since-stamp queries sort before every
+    merely-stale query (so a rewrite always re-enters the 50-slot
+    window), and within a class stalest evidence leads."""
+    from knowledgebot_spark import registry, stamps
+
+    registry.load()  # populate _REGISTRY from the real modules
+    all_names = list(registry._REGISTRY)
+    assert len(all_names) > 60, "catalog shrank below the driver window"
+    fresh, changed, stale = all_names[0], all_names[1], all_names[2]
+
+    synthetic_green = {n: 5 for n in all_names}
+    del synthetic_green[fresh]  # never driver-checked
+    synthetic_green[changed] = 9  # NEWEST evidence, but code churned
+    synthetic_green[stale] = 2  # oldest evidence, code untouched
+    monkeypatch.setattr(registry, "_LAST_GREEN_CACHE", synthetic_green)
+    monkeypatch.setattr(
+        stamps, "changed_since_stamp", lambda last: frozenset({changed})
+    )
 
     names = list(registry.load().keys())
     window = set(names[:50])
-    for q in (
-        "stream_champion_upsert",
-        "stream_thread_latency",
-        "llm_epoch_mixture",
-        "stream_cdc_materialize",
-    ):
-        assert q in window, f"{q} missed the driver window"
+    assert names[0] == fresh, "never-checked query must lead the window"
+    assert names[1] == changed, (
+        "changed-since-stamp must beat every merely-stale query even "
+        "with the freshest green round"
+    )
+    assert names[2] == stale, "within merely-stale: stalest evidence first"
+    assert {fresh, changed, stale} <= window
 
 
 def test_changed_since_stamp_ignores_lagging_stamp(monkeypatch):
     """A stamp file older than the latest green round must NOT flag the
     query (its evidence already caught up; the stamp merely lags a
     regeneration) — otherwise a freshly re-greened query would pin
-    itself in the window forever."""
+    itself in the window forever.  Fully synthetic stamp + evidence
+    fixtures (VERDICT r11 #1): no assertion against the live
+    QUERY_STAMPS.json / CORRECTNESS_r*.json state."""
     from knowledgebot_spark import registry, stamps
 
     registry.load()
-    name = "stream_champion_upsert"
-    real = stamps.load_stamps()[name]
-    last = registry.last_green_round()
-    assert real["round"] == last[name]
-    lagging = {name: {"round": last[name] - 1, "hash": "deadbeef"}}
+    name = next(iter(registry._REGISTRY))
+    last = {name: 11}
+    lagging = {name: {"round": 10, "hash": "deadbeef"}}
     monkeypatch.setattr(stamps, "load_stamps", lambda: lagging)
     monkeypatch.setattr(stamps, "_CHANGED_CACHE", None)  # bypass + restore
     assert name not in stamps.changed_since_stamp(last)
     # and a matching round with a differing hash DOES flag
-    current = {name: {"round": last[name], "hash": "deadbeef"}}
+    current = {name: {"round": 11, "hash": "deadbeef"}}
     monkeypatch.setattr(stamps, "load_stamps", lambda: current)
     monkeypatch.setattr(stamps, "_CHANGED_CACHE", None)
     assert name in stamps.changed_since_stamp(last)
+
+
+def test_suite_survives_future_correctness_file():
+    """VERDICT r11 #1 done-condition: the rotation machinery (and every
+    assertion this suite makes about it) must stay green when a FUTURE
+    driver round's evidence file lands in the repo root — the exact
+    event that broke the round-11 suite.  Drop a synthetic
+    CORRECTNESS_r99.json, re-derive everything, assert the graceful
+    degradation paths, restore."""
+    import json
+    from pathlib import Path
+
+    from knowledgebot_spark import registry, stamps
+
+    registry.load()
+    name = next(iter(registry._REGISTRY))
+    root = Path(registry.__file__).resolve().parents[1]
+    future = root / "CORRECTNESS_r99.json"
+    assert not future.exists(), "stray r99 fixture left behind by a prior run"
+    saved_green = registry._LAST_GREEN_CACHE
+    saved_changed = stamps._CHANGED_CACHE
+    try:
+        future.write_text(
+            json.dumps(
+                {
+                    name: {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "hash_match": True,
+                        "spark_rows": 1,
+                        "oracle_rows": 1,
+                        "err": None,
+                    }
+                }
+            )
+        )
+        registry._LAST_GREEN_CACHE = None
+        stamps._CHANGED_CACHE = None
+        names = list(registry.load().keys())
+        assert len(names) == len(registry._REGISTRY)
+        last = registry.last_green_round()
+        assert last[name] == 99
+        # the r99-greened name's stamp now lags its green round -> the
+        # rotation must degrade to staleness for it, never crash or flag
+        assert name not in stamps.changed_since_stamp(last)
+        # and the stamps-consistency invariant stays well-defined: names
+        # greened after the stamps file's own horizon are out of scope
+        st = stamps.load_stamps()
+        if st:
+            horizon = max(v["round"] for v in st.values())
+            assert last[name] > horizon
+            in_scope = {n: r for n, r in last.items() if r <= horizon}
+            assert name not in in_scope
+    finally:
+        future.unlink(missing_ok=True)
+        registry._LAST_GREEN_CACHE = saved_green
+        stamps._CHANGED_CACHE = saved_changed
 
 
 def test_query_stamps_file_is_consistent():
