@@ -1136,9 +1136,22 @@ def _manifest_commit(
     ).mode("overwrite").parquet(stage)
     for table, (df, touched) in updates.items():
         tdir = man["tables"].setdefault(table, {})
-        man.setdefault("columns", {})[table] = [
-            c for c in df.columns if c != "_shard"
-        ]
+        cols = [c for c in df.columns if c != "_shard"]
+        prev_cols = man.get("columns", {}).get(table)
+        if prev_cols is not None and prev_cols != cols:
+            # frozen-schema invariant (ADVICE r11): _manifest_table_read
+            # reads shards still on OLDER generations with the LATEST
+            # column list and no mergeSchema — a column added or
+            # reordered mid-table would make old-generation shards read
+            # schema-dependent on file sampling.  Evolving a table's
+            # schema requires a full rebuild (every shard rewritten in
+            # one commit), at which point delete the old entry first.
+            raise ValueError(
+                f"table {table!r} schema changed across commits "
+                f"({prev_cols} -> {cols}); manifest tables are "
+                "frozen-schema — rebuild the snapshot to evolve it"
+            )
+        man.setdefault("columns", {})[table] = cols
         for s in sorted(touched):
             src = os.path.join(stage, f"_table={table}", f"_shard={s}")
             dst_parent = os.path.join(root, table, f"shard={s}")
@@ -1192,14 +1205,26 @@ def _compact_flat_ledger(
     between move-in and delete leaves duplicate ROWS, never lost ones —
     benign here by the same argument as batch replay (every consumer of
     these ledgers dedups: edges feeds CC through .distinct(), stats is
-    read dropDuplicates) — and the next pass folds them away.  Returns
-    the number of files retired."""
+    read dropDuplicates) — and the next pass folds them away.  A crash
+    BEFORE move-in can abandon a ``.compact_<uuid>`` stage dir; each
+    pass sweeps leftover siblings before staging (ADVICE r11).  Returns
+    the number of files retired.
+
+    ``repartition`` (a shuffle), not ``coalesce``: coalesce would fuse
+    the read into the n_out write tasks, serializing a large ledger's
+    scan through a handful of tasks — the shuffle spreads the read
+    across the cluster and only the write is n_out-wide (VERDICT r11
+    #4; the shuffle costs one extra pass over data that is being
+    rewritten anyway)."""
+    import glob
     import os
     import shutil
     import uuid
 
     if not os.path.isdir(d):
         return 0
+    for leftover in glob.glob(f"{d}.compact_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     if len(files) <= max_files:
         return 0
@@ -1207,9 +1232,9 @@ def _compact_flat_ledger(
     total = sum(os.path.getsize(p) for p in paths)
     n_out = max(1, -(-total // (128 << 20)))  # ~128 MB target files
     stage = f"{d}.compact_{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(*paths).coalesce(n_out).write.mode("overwrite").parquet(
-        stage
-    )
+    spark.read.parquet(*paths).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(stage)
     tag = uuid.uuid4().hex[:8]
     for i, f in enumerate(sorted(os.listdir(stage))):
         if f.endswith(".parquet"):
@@ -1588,7 +1613,8 @@ def _champion_refresh(
 
     prev_t = None  # shard-local labels read (delta path only)
     prev_nodes = None  # node-shard-local endpoint lookup (delta path only)
-    if _manifest_load(snap_root) is None:
+    is_bootstrap = _manifest_load(snap_root) is None
+    if is_bootstrap:
         # first edges ever: CC over the batch's own (increment-sized) edges
         merged = dd.alternating_star_components(new_edges).persist()
         keep_rows = None
@@ -1844,23 +1870,50 @@ def _champion_refresh(
         .distinct()
         .collect()
     }
-    prev_idx = _manifest_table_read(sp_sess, snap_root, "nodes", node_shards)
-    if prev_idx is None:
-        nodes_update = _with_shard(merged, "node")
+    if is_bootstrap:
+        # bootstrap claw-back (VERDICT r11 #3): the bootstrap batch's
+        # nodes table is labels row-for-row, so folding it into the one
+        # staged write pushes the FULL row set through the exchange
+        # twice, null-padded to the union width (the measured +12%).
+        # Commit labels+champions in the hot job, then the nodes index
+        # as an immediate second commit from the still-persisted merged
+        # frame — narrow 3-column rows, half the hot-exchange volume.
+        # A crash between the flips leaves a labels-only snapshot: the
+        # next refresh raises the loud no-'nodes'-index guard and
+        # rebuild_nodes_index is the tested, idempotent repair — the
+        # same recovery contract as a pre-round-11 snapshot.
+        _manifest_commit(
+            snap_root,
+            {
+                "labels": (labels_update, touched),
+                "champions": (champs_update, touched),
+            },
+            n_shards,
+        )
+        _mark("election + sharded manifest commit")
+        nodes_update = _with_shard(merged.select("node", "label"), "node")
+        _manifest_commit(
+            snap_root, {"nodes": (nodes_update, node_shards)}, n_shards
+        )
+        _mark("bootstrap nodes index commit")
     else:
-        keep_idx = prev_idx.join(merged.select("node"), "node", "left_anti")
-        nodes_update = _with_shard(keep_idx.unionByName(merged), "node")
-    # ALL tables' touched shards land behind ONE atomic manifest flip
-    _manifest_commit(
-        snap_root,
-        {
-            "labels": (labels_update, touched),
-            "champions": (champs_update, touched),
-            "nodes": (nodes_update, node_shards),
-        },
-        n_shards,
-    )
-    _mark("election + sharded manifest commit")
+        prev_idx = _manifest_table_read(sp_sess, snap_root, "nodes", node_shards)
+        if prev_idx is None:
+            nodes_update = _with_shard(merged, "node")
+        else:
+            keep_idx = prev_idx.join(merged.select("node"), "node", "left_anti")
+            nodes_update = _with_shard(keep_idx.unionByName(merged), "node")
+        # ALL tables' touched shards land behind ONE atomic manifest flip
+        _manifest_commit(
+            snap_root,
+            {
+                "labels": (labels_update, touched),
+                "champions": (champs_update, touched),
+                "nodes": (nodes_update, node_shards),
+            },
+            n_shards,
+        )
+        _mark("election + sharded manifest commit")
     merged.unpersist()
     if prev_t is not None:
         prev_t.unpersist()
