@@ -145,6 +145,8 @@ HEADLINE = [
     "llm_epoch_sample",
     # round-11 additions
     "llm_epoch_pack",
+    # round-12 additions
+    "stream_epoch_ingest_pack",
 ]
 
 

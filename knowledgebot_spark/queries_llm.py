@@ -5842,9 +5842,16 @@ def _epoch_mixture_frames(spark: SparkSession, sf: str):
     DISTRIBUTED cumsum (operators/ranking.py) ordered by
     (source, md5, doc_id) — no per-source window ever holds a
     corpus-scale partition."""
+    return _epoch_frames_from(_t(spark, sf, "documents"))
+
+
+def _epoch_frames_from(d: DataFrame):
+    """_epoch_mixture_frames parameterized by the corpus frame (needs
+    doc_id, source, text) — so the ingest-gated composition
+    (stream_epoch_ingest_pack) runs the identical recipe over the
+    ADMITTED corpus instead of the raw table."""
     from knowledgebot_spark.operators import ranking as rk
 
-    d = _t(spark, sf, "documents")
     tok = d.select(
         "doc_id",
         "source",
@@ -5909,17 +5916,23 @@ def _epoch_mixture_frames(spark: SparkSession, sf: str):
     return plan, ws
 
 
-def _duck_epoch_cte() -> str:
+def _duck_epoch_cte(docs_rel: str = "documents") -> str:
     """Shared CTE prefix (token stats -> apportionment -> capped plan ->
     per-source running cumsum) for the mixture PLAN and its SAMPLE
     materializer — one text, two oracles, so the two queries can never
-    state different recipes."""
-    return f"""
-WITH tok AS (
+    state different recipes.  ``docs_rel`` lets the ingest-gated
+    composition run the identical recipe over its admitted-docs CTE."""
+    return "WITH " + _duck_epoch_cte_body(docs_rel)
+
+
+def _duck_epoch_cte_body(docs_rel: str = "documents") -> str:
+    """The epoch CTE chain WITHOUT the leading WITH, for composition
+    after other CTEs (stream_epoch_ingest_pack's gate CTEs)."""
+    return f"""tok AS (
   SELECT doc_id, source,
     CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks,
     md5(CAST(doc_id AS VARCHAR) || ':epoch') AS h
-  FROM documents
+  FROM {docs_rel}
 ), stats AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_toks) AS BIGINT) AS n_tokens
@@ -6161,8 +6174,10 @@ def llm_epoch_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _duck_epoch_pack_sql() -> str:
-    return _duck_epoch_cte() + """
+# the pack tail shared between llm_epoch_pack's oracle and the
+# ingest-gated composition's — one text, so the two packers can never
+# state different boundary rules
+_DUCK_EPOCH_PACK_TAIL = """
 , per_doc AS (
   SELECT w.source, w.doc_id, w.n_toks, w.ws_cum,
     p.full_epochs
@@ -6184,6 +6199,10 @@ SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
 FROM packs GROUP BY 1, 2
 ORDER BY source, pack_id
 """
+
+
+def _duck_epoch_pack_sql() -> str:
+    return _duck_epoch_cte() + _DUCK_EPOCH_PACK_TAIL
 
 
 @register(
@@ -6220,7 +6239,16 @@ def llm_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
     28-52, U1) from one document to the epoch-replicated corpus; the
     mixture recipe is the engine's scale addition (SURVEY.md §2.3
     LLM-pipeline extras)."""
-    plan, ws = _epoch_mixture_frames(spark, sf)
+    return _epoch_pack_agg(_epoch_pack_rows(_t(spark, sf, "documents")))
+
+
+def _epoch_pack_rows(docs: DataFrame) -> DataFrame:
+    """llm_epoch_pack's per-copy frame BEFORE the pack aggregate — one
+    row per (doc, epoch) with its closed-form pack_id — parameterized by
+    the corpus frame so the ingest-gated composition packs the ADMITTED
+    corpus, and so tests can assert doc-level pack membership (a gated
+    doc must never appear here)."""
+    plan, ws = _epoch_frames_from(docs)
     per_doc = ws.join(
         F.broadcast(
             plan.select("source", "n_tokens", "full_epochs", "residual")
@@ -6247,10 +6275,14 @@ def llm_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
             "epoch"
         ),
     )
-    packs = sample.withColumn(
+    return sample.withColumn(
         "pack_id",
         F.expr("((epoch - 1) * n_tokens + ws_cum - n_toks) div 512").cast("long"),
     )
+
+
+def _epoch_pack_agg(packs: DataFrame) -> DataFrame:
+    """The (source, pack_id)-keyed partial agg over _epoch_pack_rows."""
     return (
         packs.groupBy("source", "pack_id")
         .agg(

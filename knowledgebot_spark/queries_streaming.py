@@ -668,15 +668,19 @@ def stream_cdc_materialize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _duck_neardup_gate_sql() -> str:
+def _duck_blocked_ctes() -> str:
+    """The near-dup gate's decision CTEs (banded MinHash -> ``blocked`` =
+    every doc sharing a band bucket with a smaller doc_id), WITHOUT the
+    leading WITH — shared by stream_neardup_gate's oracle and the
+    ingest-gated epoch composition's, so the two can never state
+    different admission rules."""
     from knowledgebot_spark.queries_llm import (
         _duck_bands,
         _duck_minhash_cols,
         _duck_shingle_hashes,
     )
 
-    return f"""
-WITH hashed AS (
+    return f"""hashed AS (
   SELECT doc_id,
     list_concat(list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
                 [0, 0]::BIGINT[]) AS hh
@@ -688,7 +692,12 @@ WITH hashed AS (
   SELECT DISTINCT b.doc_id
   FROM bands b JOIN bands a
     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _duck_neardup_gate_sql() -> str:
+    return f"""
+WITH {_duck_blocked_ctes()}
 SELECT d.source,
   CAST(count(*) AS BIGINT) AS n_seen,
   CAST(sum(CASE WHEN bl.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -729,13 +738,35 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     the ledger is append-only with idempotent bucket membership
     (duplicate signature appends cannot change any decision).
     Per-source admission report: seen / kept / blocked."""
+    from pyspark.sql import functions as F
+
+    dec = _neardup_gate_decisions(spark, sf, "stream_neardup")
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_seen"),
+        F.sum(F.when(~F.col("is_blocked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("is_blocked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked"),
+    )
+
+
+def _neardup_gate_decisions(
+    spark: SparkSession, sf: str, run_name: str
+) -> DataFrame:
+    """Run the streaming near-dup ingest gate end-to-end and return the
+    per-doc decisions frame (doc_id, source, is_blocked) — the body of
+    stream_neardup_gate, factored so the ingest-gated epoch composition
+    consumes the SAME gate (same ledger discipline, same dominance
+    rule) instead of restating it."""
     import os
 
     from pyspark.sql import functions as F
 
     from knowledgebot_spark.operators import dedup as dd
 
-    base = _run_base("stream_neardup", sf)  # per-run unique dir (ADVICE r09)
+    base = _run_base(run_name, sf)  # per-run unique dir (ADVICE r09)
     ledger, decisions, ckpt = f"{base}/ledger", f"{base}/decisions", f"{base}/ckpt"
     os.makedirs(ledger, exist_ok=True)
     os.makedirs(decisions, exist_ok=True)
@@ -773,16 +804,77 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    dec = spark.read.parquet(decisions)
-    return dec.groupBy("source").agg(
-        F.count("*").alias("n_seen"),
-        F.sum(F.when(~F.col("is_blocked"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
-        F.sum(F.when(F.col("is_blocked"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_blocked"),
+    return spark.read.parquet(decisions)
+
+
+def _duck_ingest_pack_sql() -> str:
+    from knowledgebot_spark.queries_llm import (
+        _DUCK_EPOCH_PACK_TAIL,
+        _duck_epoch_cte_body,
     )
+
+    return f"""
+WITH {_duck_blocked_ctes()}
+, admitted AS (
+  SELECT d.* FROM documents d LEFT JOIN blocked b ON b.doc_id = d.doc_id
+  WHERE b.doc_id IS NULL
+), {_duck_epoch_cte_body("admitted")}{_DUCK_EPOCH_PACK_TAIL}"""
+
+
+@register(
+    "stream_epoch_ingest_pack",
+    sql=_duck_ingest_pack_sql(),
+    tags=(
+        "streaming",
+        "dedup-gate",
+        "training-data",
+        "mixture",
+        "packing",
+        "pretraining",
+        "composition",
+    ),
+)
+def stream_epoch_ingest_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data pipeline as ONE query (VERDICT r11 #5):
+    streaming INGEST through the near-dup admission gate
+    (stream_neardup_gate's foreachBatch MinHash-ledger gate, verbatim —
+    _neardup_gate_decisions), then the epoch MIXTURE -> SAMPLE -> PACK
+    composition (llm_epoch_pack's closed-form packer, verbatim —
+    _epoch_pack_rows) over ONLY the admitted corpus.  This is the shape
+    a pretraining data job actually runs: documents arrive as a stream,
+    near-duplicates of anything already ingested never reach the corpus,
+    and the surviving corpus is mixed, epoch-replicated, and cut into
+    fixed 512-token training sequences.
+
+    Both stages are the registered queries' own code paths, so this
+    query pins their COMPOSITION cross-engine: the oracle restates the
+    gate's dominance rule (blocked iff ANY smaller doc_id shares a band
+    bucket — one shared CTE text with stream_neardup_gate's oracle) and
+    the packer's closed-form boundary (one shared tail text with
+    llm_epoch_pack's), over an ``admitted`` CTE.  Every output column is
+    an exact integer; pack_checksum (sum of doc_id x epoch per pack)
+    means a gated-out doc leaking into ANY pack hash-fails the driver —
+    the doc-level exclusion is additionally test-pinned
+    (tests/test_round12_ops.py::test_ingest_gated_docs_never_packed).
+
+    Scale shape: the gate is per-batch banded-LSH against an append-only
+    signature ledger (never all-pairs); the pack stage adds nothing
+    beyond llm_epoch_pack's plan (scan + distributed cumsum + bounded
+    explode + keyed partial agg).  The mixture recipe re-derives its
+    stats over the admitted corpus — apportionment weights stay
+    md5(source)-deterministic, so admission changes budgets, never
+    tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.queries_llm import _epoch_pack_agg, _epoch_pack_rows
+    from knowledgebot_spark.tables import read_table
+
+    dec = _neardup_gate_decisions(spark, sf, "stream_epoch_ingest")
+    admitted = dec.filter(~F.col("is_blocked")).select("doc_id")
+    docs = read_table(spark, sf, "documents").join(
+        admitted, "doc_id", "left_semi"
+    )
+    return _epoch_pack_agg(_epoch_pack_rows(docs))
 
 
 # --- incremental champion maintenance (round 9; delta-CC round 10) -------------

@@ -120,6 +120,84 @@ def test_manifest_commit_rejects_schema_evolution(spark, tmp_path):
         _manifest_commit(root, {"labels": (evolved, {1})}, 4)
 
 
+# --- ingest-gated epoch pack (VERDICT r11 #5) --------------------------------------
+
+
+def test_ingest_gated_docs_never_packed(spark, sf_dir):
+    """VERDICT r11 #5 done-condition: a document the near-dup gate
+    blocked must never appear in ANY pack of the composed
+    ingest -> gate -> mixture -> pack query.  Packed docs are a subset
+    of admitted (a low-weight source legitimately packs only its
+    residual-prefix docs when full_epochs = 0), and every admitted doc
+    of a full-epoch source must appear."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.queries_llm import _epoch_pack_rows
+    from knowledgebot_spark.tables import read_table
+
+    dec = qs._neardup_gate_decisions(spark, sf_dir, "test_gate_pack")
+    blocked = {r.doc_id for r in dec.filter("is_blocked").collect()}
+    admitted = {r.doc_id for r in dec.filter("NOT is_blocked").collect()}
+    assert blocked, "fixture has no near-dups — test vacuous"
+    assert admitted
+
+    docs = read_table(spark, sf_dir, "documents").join(
+        dec.filter(~F.col("is_blocked")).select("doc_id"), "doc_id", "left_semi"
+    )
+    packed = {
+        r.doc_id
+        for r in _epoch_pack_rows(docs).select("doc_id").distinct().collect()
+    }
+    assert not (packed & blocked), sorted(packed & blocked)[:5]
+    assert packed and packed <= admitted, (
+        f"packed-but-not-admitted: {sorted(packed - admitted)[:5]}"
+    )
+    # sources replicated at >= 1 full epoch must pack EVERY admitted doc
+    from knowledgebot_spark.queries_llm import _epoch_frames_from
+
+    plan, _ws = _epoch_frames_from(docs)
+    full_sources = {
+        r.source for r in plan.filter("full_epochs >= 1").collect()
+    }
+    assert full_sources, "no full-epoch source at this weight draw — vacuous"
+    admitted_full = {
+        r.doc_id
+        for r in docs.select("doc_id", "source").collect()
+        if r.source in full_sources
+    }
+    assert admitted_full <= packed, (
+        f"full-epoch docs missing from packs: {sorted(admitted_full - packed)[:5]}"
+    )
+
+
+def test_ingest_pack_composition_matches_stage_outputs(spark, sf_dir):
+    """The composed query must be exactly its two registered stages run
+    back-to-back: per-source pack totals == the gate's n_kept docs'
+    token mass, and the registered query's own output equals packing the
+    gate-admitted corpus directly (no recipe drift inside the
+    composition)."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.queries_llm import _epoch_pack_agg, _epoch_pack_rows
+    from knowledgebot_spark.tables import read_table
+
+    out = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens, r.pack_checksum)
+        for r in qs.stream_epoch_ingest_pack(spark, sf_dir).collect()
+    }
+    dec = qs._neardup_gate_decisions(spark, sf_dir, "test_gate_pack2")
+    docs = read_table(spark, sf_dir, "documents").join(
+        dec.filter(~F.col("is_blocked")).select("doc_id"), "doc_id", "left_semi"
+    )
+    want = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens, r.pack_checksum)
+        for r in _epoch_pack_agg(_epoch_pack_rows(docs)).collect()
+    }
+    assert out == want
+
+
 # --- flat-ledger stage-dir sweep (ADVICE r11) --------------------------------------
 
 
