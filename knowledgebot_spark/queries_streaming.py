@@ -752,6 +752,40 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_GATE_LEDGER_PARTS_ENV = "KB_GATE_LEDGER_PARTS"
+_GATE_LEDGER_PARTS_DEFAULT = 64
+_GATE_COMPACT_EVERY_ENV = "KB_GATE_COMPACT_EVERY"
+_GATE_COMPACT_EVERY_DEFAULT = 16
+
+
+def _gate_ledger_parts() -> int:
+    import os
+
+    return int(
+        os.environ.get(_GATE_LEDGER_PARTS_ENV, str(_GATE_LEDGER_PARTS_DEFAULT))
+    )
+
+
+def _gate_probe_partition_values(bands: DataFrame, n_lp: int) -> list[str]:
+    """Partition-filter literals for the gate-ledger probe, as STRINGS
+    (the _docs_probe_partition_values discipline: partition-type
+    inference is pinned off, so string literals prune cast-free).  A
+    ledger row can only collide with the batch if it shares a (band, bv)
+    bucket, and lp is a pure function of the bucket — so pruning to the
+    batch's own lp set is exact.  Module-level so tests pin the
+    PRODUCTION derivation."""
+    from pyspark.sql import functions as F
+
+    return [
+        str(int(r[0]))
+        for r in bands.select(
+            F.pmod(F.xxhash64("band", "bv"), F.lit(n_lp)).cast("int").alias("lp")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
 def _neardup_gate_decisions(
     spark: SparkSession, sf: str, run_name: str
 ) -> DataFrame:
@@ -759,27 +793,50 @@ def _neardup_gate_decisions(
     per-doc decisions frame (doc_id, source, is_blocked) — the body of
     stream_neardup_gate, factored so the ingest-gated epoch composition
     consumes the SAME gate (same ledger discipline, same dominance
-    rule) instead of restating it."""
+    rule) instead of restating it.
+
+    Ledger discipline (round 12 — the champion ledgers' round-10/11
+    treatment, applied to the gate): the signature ledger is PARTITIONED
+    BY lp = pmod(xxhash64(band, bv), KB_GATE_LEDGER_PARTS), and each
+    batch's probe prunes the ledger SCAN to partitions that can hold a
+    batch bucket — a sparse batch reads a few files, not the accumulated
+    corpus signatures (the probe was previously a full flat-ledger read
+    every batch, the exact input-grows-with-corpus shape VERDICT r10
+    flagged on the champion path).  Appends are one file per touched lp
+    per batch, so every KB_GATE_COMPACT_EVERY batches the keyed-sink
+    compaction folds fragmented partitions back to one file each
+    (row-identical; decisions are unaffected)."""
     import os
 
     from pyspark.sql import functions as F
 
     from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.sinks.compaction import compact_keyed_table
 
     base = _run_base(run_name, sf)  # per-run unique dir (ADVICE r09)
     ledger, decisions, ckpt = f"{base}/ledger", f"{base}/decisions", f"{base}/ckpt"
     os.makedirs(ledger, exist_ok=True)
     os.makedirs(decisions, exist_ok=True)
+    n_lp = _gate_ledger_parts()
+    compact_every = int(
+        os.environ.get(_GATE_COMPACT_EVERY_ENV, str(_GATE_COMPACT_EVERY_DEFAULT))
+    )
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
         sp_sess = batch.sparkSession
         hashed = batch.select(
             "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
         )
-        bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id")
+        bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id").persist()
         seen = bands
-        if any(f.endswith(".parquet") for f in os.listdir(ledger)):
-            seen = sp_sess.read.parquet(ledger).unionByName(bands)
+        if _has_parquet_partitioned(ledger):
+            lps = _gate_probe_partition_values(bands, n_lp)
+            seen = (
+                sp_sess.read.parquet(ledger)
+                .filter(F.col("lp").isin(lps))  # file-level partition pruning
+                .select("band", "bv", "doc_id")
+                .unionByName(bands)
+            )
         blocked = (
             seen.select("band", "bv", F.col("doc_id").alias("id_a"))
             .join(bands, ["band", "bv"])
@@ -793,7 +850,12 @@ def _neardup_gate_decisions(
             "source",
             F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
         ).write.mode("overwrite").parquet(f"{decisions}/batch_id={batch_id}")
-        bands.write.mode("append").parquet(ledger)
+        bands.withColumn(
+            "lp", F.pmod(F.xxhash64("band", "bv"), F.lit(n_lp)).cast("int")
+        ).write.partitionBy("lp").mode("append").parquet(ledger)
+        bands.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_keyed_table(sp_sess, ledger, ("lp",))
 
     stream = sp.read_documents_stream(spark, sf)
     q = (

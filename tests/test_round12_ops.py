@@ -198,6 +198,121 @@ def test_ingest_pack_composition_matches_stage_outputs(spark, sf_dir):
     assert out == want
 
 
+# --- gate signature-ledger discipline (round 12) -----------------------------------
+
+
+def test_gate_ledger_partition_pruning_and_compaction(spark, sf_dir, tmp_path, monkeypatch):
+    """The near-dup gate's signature ledger gets the champion ledgers'
+    discipline: partitioned by lp = pmod(xxhash64(band, bv), P) so a
+    batch's probe prunes the scan to partitions that can hold a batch
+    bucket (cast-free partition filters via the production literal
+    derivation), compacted every KB_GATE_COMPACT_EVERY batches, and the
+    decisions under multi-batch ordered ingest still equal the one-shot
+    dominance rule (pruning must never hide a colliding signature)."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.sinks.compaction import partition_file_counts
+    from knowledgebot_spark.tables import read_table
+
+    monkeypatch.setenv("KB_STREAM_MAX_FILES", "1")
+    monkeypatch.setenv("KB_GATE_COMPACT_EVERY", "2")
+    fake_sf = str(tmp_path / "sfgate")
+    os.makedirs(fake_sf)
+    docs = read_table(spark, sf_dir, "documents")
+    # 5 ascending-range files with ASCENDING mtimes: the file stream
+    # source orders batches by modification time, not by name, and the
+    # gate's oracle contract requires doc_id-ordered ingest
+    ddir = f"{fake_sf}/documents.parquet"
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[len(ids) * i // 5] for i in range(5)] + [ids[-1] + 1]
+    t0 = int(__import__("time").time()) - 3600
+    staged: set[str] = set()
+    from pyspark.sql import functions as FF
+
+    for i in range(5):
+        docs.filter(
+            (FF.col("doc_id") >= bounds[i]) & (FF.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(ddir)
+        for f in os.listdir(ddir):
+            p = os.path.join(ddir, f)
+            if f.endswith(".parquet") and p not in staged:
+                os.utime(p, (t0 + i * 10, t0 + i * 10))
+                staged.add(p)
+
+    captured = {}
+    real_run_base = qs._run_base
+
+    def spy_run_base(name, sf):
+        base = real_run_base(name, sf)
+        captured["base"] = base
+        return base
+
+    monkeypatch.setattr(qs, "_run_base", spy_run_base)
+    dec = qs._neardup_gate_decisions(spark, fake_sf, "gate_prune_test")
+
+    # decisions equal the one-shot dominance rule (blocked iff ANY
+    # smaller doc_id shares a band bucket) despite pruned probes
+    hashed = docs.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id").persist()
+    expected_blocked = {
+        r.doc_id
+        for r in bands.alias("b")
+        .join(
+            bands.select("band", "bv", F.col("doc_id").alias("id_a")),
+            ["band", "bv"],
+        )
+        .filter(F.col("id_a") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got_blocked = {r.doc_id for r in dec.filter("is_blocked").collect()}
+    assert expected_blocked, "fixture has no near-dups — test vacuous"
+    assert got_blocked == expected_blocked
+
+    ledger = os.path.join(captured["base"], "ledger")
+    # compaction ran at batch ids 2 and 4 (of 0..4): every lp partition
+    # is folded to one file
+    counts = partition_file_counts(ledger, ("lp",))
+    assert counts and max(counts.values()) == 1, counts
+    # ledger rows == the corpus band signatures, row-identical
+    led = spark.read.parquet(ledger)
+    assert {
+        (r.band, r.bv, r.doc_id)
+        for r in led.select(
+            F.col("band").cast("int").alias("band"), "bv", "doc_id"
+        ).collect()
+    } == {(r.band, r.bv, r.doc_id) for r in bands.collect()}
+
+    # a sparse probe prunes: one doc's buckets cover < P partitions, the
+    # partition filter is cast-free, and fewer files are actually read
+    n_lp = qs._gate_ledger_parts()
+    one_doc = docs.orderBy("doc_id").limit(1)
+    one_bands = dd.lsh_bands(
+        dd.with_minhash(
+            one_doc.select(
+                "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+            )
+        ),
+        "doc_id",
+    )
+    lps = qs._gate_probe_partition_values(one_bands, n_lp)
+    assert 0 < len(lps) < n_lp
+    pruned = led.filter(F.col("lp").isin(lps))
+    n_all = led.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lp" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and all("cast(" not in ln.lower() for ln in pf), pf
+    bands.unpersist()
+
+
 # --- flat-ledger stage-dir sweep (ADVICE r11) --------------------------------------
 
 
