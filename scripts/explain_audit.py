@@ -147,6 +147,10 @@ FLAGSHIPS = (
         "llm_epoch_pack",
         "mix -> sample -> pack composition (round 11): the multiset running total is closed-form arithmetic on the shared distributed cumsum ((epoch-1) x n_tokens + ws_cum - n_toks), so packing adds NO new window — one Generate (explode) bounded by output size + one (source, pack_id) partial agg",
     ),
+    (
+        "stream_epoch_ingest_pack",
+        "ingest -> gate -> mixture -> pack composition (round 12): the plan below is the BATCH tail over the gate's decisions parquet (the streaming gate itself ran foreachBatch with lp-pruned ledger probes before this plan executes) — admitted ids enter via one LeftSemi join on doc_id, then llm_epoch_pack's exact shape: cumsum, broadcast plan joins, one bounded Generate, one (source, pack_id) partial agg",
+    ),
 )
 
 
