@@ -203,12 +203,13 @@ def test_ingest_pack_composition_matches_stage_outputs(spark, sf_dir):
 
 def test_gate_ledger_partition_pruning_and_compaction(spark, sf_dir, tmp_path, monkeypatch):
     """The near-dup gate's signature ledger gets the champion ledgers'
-    discipline: partitioned by lp = pmod(xxhash64(band, bv), P) so a
-    batch's probe prunes the scan to partitions that can hold a batch
-    bucket (cast-free partition filters via the production literal
-    derivation), compacted every KB_GATE_COMPACT_EVERY batches, and the
-    decisions under multi-batch ordered ingest still equal the one-shot
-    dominance rule (pruning must never hide a colliding signature)."""
+    discipline, LSM-shaped: flat tail appends (no hot-path shuffle),
+    folded every KB_GATE_COMPACT_EVERY batches into a base snapshot
+    partitioned by lp = pmod(xxhash64(band, bv), P) whose probe prunes
+    to partitions that can hold a batch bucket (cast-free partition
+    filters via the production literal derivation) — and the decisions
+    under multi-batch ordered ingest still equal the one-shot dominance
+    rule (pruning must never hide a colliding signature)."""
     from pyspark.sql import functions as F
 
     from knowledgebot_spark import queries_streaming as qs
@@ -275,12 +276,18 @@ def test_gate_ledger_partition_pruning_and_compaction(spark, sf_dir, tmp_path, m
     assert got_blocked == expected_blocked
 
     ledger = os.path.join(captured["base"], "ledger")
-    # compaction ran at batch ids 2 and 4 (of 0..4): every lp partition
-    # is folded to one file
-    counts = partition_file_counts(ledger, ("lp",))
+    # folds ran at batch ids 2 and 4 (of 0..4): the tail is empty and
+    # the base snapshot holds every signature, one file per lp partition
+    tail_files = [
+        f for f in os.listdir(f"{ledger}/tail") if f.endswith(".parquet")
+    ]
+    assert not tail_files, tail_files
+    base_path = qs._snapshot_current(f"{ledger}/base")
+    assert base_path, "no committed base snapshot after the scheduled folds"
+    counts = partition_file_counts(base_path, ("lp",))
     assert counts and max(counts.values()) == 1, counts
     # ledger rows == the corpus band signatures, row-identical
-    led = spark.read.parquet(ledger)
+    led = spark.read.parquet(base_path)
     assert {
         (r.band, r.bv, r.doc_id)
         for r in led.select(
