@@ -418,8 +418,8 @@ def test_champion_ledger_compaction_bounds_files(spark, sf_dir, tmp_path, monkey
     def flat_files(d):
         return [f for f in os.listdir(d) if f.endswith(".parquet")]
 
-    bands_before = partition_file_counts(f"{base}/bands", ("band",))
-    assert max(bands_before.values()) > 1, "appends stopped fragmenting?"
+    # round 12: bands is an LSM pair — batches append flat to the tail
+    assert len(flat_files(f"{base}/bands/tail")) > 1, "appends stopped fragmenting?"
     assert len(flat_files(f"{base}/edges")) > 4
 
     champs_before = {
@@ -434,9 +434,11 @@ def test_champion_ledger_compaction_bounds_files(spark, sf_dir, tmp_path, monkey
     out = qs.champion_ledger_compact(spark, base)
     assert out["bands"] > 0 and out["edges"] > 0
 
-    bands_after = partition_file_counts(f"{base}/bands", ("band",))
+    assert not flat_files(f"{base}/bands/tail"), "bands tail not folded away"
+    bands_base = qs._snapshot_current(f"{base}/bands/base")
+    assert bands_base, "bands fold committed no base snapshot"
+    bands_after = partition_file_counts(bands_base, ("lp",))
     docs_after = partition_file_counts(f"{base}/docs", ("dp",))
-    assert set(bands_after) == set(bands_before)
     assert max(bands_after.values()) == 1, "bands not folded to 1 file/partition"
     assert max(docs_after.values()) == 1, "docs not folded to 1 file/partition"
     assert len(flat_files(f"{base}/edges")) <= 4
@@ -477,8 +479,15 @@ def test_champion_maintain_auto_compacts_on_schedule(spark, sf_dir, tmp_path, mo
     )
     for i in range(3):
         qs._champion_maintain(base, docs.filter(F.col("doc_id") % 3 == i), i)
-    bands = partition_file_counts(f"{base}/bands", ("band",))
-    assert max(bands.values()) == 1, "batch 2 did not trigger the compaction pass"
+    assert not [
+        f
+        for f in os.listdir(f"{base}/bands/tail")
+        if f.endswith(".parquet")
+    ], "batch 2 did not trigger the compaction pass"
+    bands_base = qs._snapshot_current(f"{base}/bands/base")
+    assert bands_base
+    bands = partition_file_counts(bands_base, ("lp",))
+    assert max(bands.values()) == 1, "fold left fragmented base partitions"
 
 
 # --- epoch-sample -> pack composition (VERDICT r10 #5) ----------------------------

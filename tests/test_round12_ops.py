@@ -307,7 +307,7 @@ def test_gate_ledger_partition_pruning_and_compaction(spark, sf_dir, tmp_path, m
         ),
         "doc_id",
     )
-    lps = qs._gate_probe_partition_values(one_bands, n_lp)
+    lps = qs._bucket_probe_partition_values(one_bands, n_lp)
     assert 0 < len(lps) < n_lp
     pruned = led.filter(F.col("lp").isin(lps))
     n_all = led.select(F.input_file_name()).distinct().count()
@@ -318,6 +318,86 @@ def test_gate_ledger_partition_pruning_and_compaction(spark, sf_dir, tmp_path, m
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and all("cast(" not in ln.lower() for ln in pf), pf
     bands.unpersist()
+
+
+def test_champion_bands_probe_prunes_partitions(spark, sf_dir, tmp_path, monkeypatch):
+    """The champion bands ledger shares the gate's LSM discipline (round
+    12): the folded base is partitioned by lp = pmod(xxhash64(band, bv),
+    KB_BANDS_PARTITIONS), so the per-batch collision probe — previously
+    the champion path's last corpus-scale read — prunes its base scan to
+    the batch's own bucket shards, cast-free, via the production literal
+    derivation; and maintenance over the folded layout stays correct."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.tables import read_table
+
+    monkeypatch.setenv("KB_LEDGER_COMPACT_EVERY", "0")  # manual fold below
+    base = str(tmp_path / "bands_prune")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    qs._champion_maintain(base, docs.filter(F.col("doc_id") % 2 == 0), 0)
+    qs._champion_maintain(base, docs.filter(F.col("doc_id") % 2 == 1), 1)
+    champs_before = {
+        tuple(r) for r in qs._champion_table(spark, base).collect()
+    }
+    out = qs.champion_ledger_compact(spark, base)
+    assert out["bands"] > 0, "no tail files folded"
+    assert not [
+        f
+        for f in os.listdir(f"{base}/bands/tail")
+        if f.endswith(".parquet")
+    ], "fold left tail files"
+
+    base_path = qs._snapshot_current(f"{base}/bands/base")
+    assert base_path, "fold committed no base snapshot"
+    ledger = spark.read.parquet(base_path)
+    assert "lp" in ledger.columns
+    n_all = ledger.select(F.input_file_name()).distinct().count()
+    one_doc = docs.orderBy("doc_id").limit(1)
+    one_bands = dd.lsh_bands(
+        dd.with_minhash(
+            one_doc.select(
+                "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+            )
+        ),
+        "doc_id",
+    )
+    lps = qs._bucket_probe_partition_values(one_bands, qs._bands_n_parts())
+    assert 0 < len(lps) < qs._bands_n_parts()
+    pruned = ledger.filter(F.col("lp").isin(lps))
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and all("cast(" not in ln.lower() for ln in pf), pf
+    # and the pruned probe is EXACT for those buckets: every ledger row
+    # sharing a bucket with the one-doc batch is inside the pruned read
+    full_hits = {
+        (r.band, r.bv, r.doc_id)
+        for r in ledger.join(
+            one_bands.select("band", "bv").distinct(), ["band", "bv"]
+        )
+        .select("band", "bv", "doc_id")
+        .collect()
+    }
+    pruned_hits = {
+        (r.band, r.bv, r.doc_id)
+        for r in pruned.join(
+            one_bands.select("band", "bv").distinct(), ["band", "bv"]
+        )
+        .select("band", "bv", "doc_id")
+        .collect()
+    }
+    assert full_hits == pruned_hits and full_hits
+    # maintenance over the folded base stays correct: replaying batch 0
+    # finds every edge already known -> champion table unchanged
+    qs._champion_maintain(base, docs.filter(F.col("doc_id") % 2 == 0), 99)
+    assert {
+        tuple(r) for r in qs._champion_table(spark, base).collect()
+    } == champs_before
 
 
 # --- flat-ledger stage-dir sweep (ADVICE r11) --------------------------------------
