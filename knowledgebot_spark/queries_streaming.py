@@ -775,8 +775,9 @@ def _bands_n_parts() -> int:
 
 
 def _bucket_probe_partition_values(bands: DataFrame, n_lp: int) -> list[str]:
-    """Partition-filter literals for the gate-ledger probe, as STRINGS
-    (the _docs_probe_partition_values discipline: partition-type
+    """Partition-filter literals for a bucket-sharded signature-ledger
+    probe (the near-dup gate's base AND the champion bands base), as
+    STRINGS (the _docs_probe_partition_values discipline: partition-type
     inference is pinned off, so string literals prune cast-free).  A
     ledger row can only collide with the batch if it shares a (band, bv)
     bucket, and lp is a pure function of the bucket — so pruning to the

@@ -400,6 +400,51 @@ def test_champion_bands_probe_prunes_partitions(spark, sf_dir, tmp_path, monkeyp
     } == champs_before
 
 
+def test_bucket_ledger_fold_crash_replay_converges(spark, tmp_path, monkeypatch):
+    """The fold's documented crash contract: a crash between the base
+    CURRENT flip and the tail deletes leaves the folded rows ALSO in the
+    tail (duplicates — benign for the dominance rule), readers stay on a
+    committed base at every instant, and the next fold dedups the
+    replayed rows instead of accumulating them."""
+    import os as _os
+
+    from knowledgebot_spark import queries_streaming as qs
+
+    ledger = str(tmp_path / "bl")
+    tail = f"{ledger}/tail"
+    rows = [(b, f"v{b%3}", b * 10) for b in range(12)]
+    spark.createDataFrame(
+        rows, "band INT, bv STRING, doc_id BIGINT"
+    ).write.mode("append").parquet(tail)
+
+    real_unlink = _os.unlink
+    def crashing_unlink(p):
+        if p.startswith(tail):
+            raise RuntimeError("injected crash before tail delete")
+        return real_unlink(p)
+
+    monkeypatch.setattr(_os, "unlink", crashing_unlink)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        qs.bucket_ledger_fold(spark, ledger, 8)
+    monkeypatch.setattr(_os, "unlink", real_unlink)
+
+    # base committed (flip preceded the crash), tail rows still present
+    base_path = qs._snapshot_current(f"{ledger}/base")
+    assert base_path
+    assert [f for f in _os.listdir(tail) if f.endswith(".parquet")]
+    # replayed fold: dedups, deletes the tail, same distinct row set
+    assert qs.bucket_ledger_fold(spark, ledger, 8) > 0
+    assert not [f for f in _os.listdir(tail) if f.endswith(".parquet")]
+    base_path2 = qs._snapshot_current(f"{ledger}/base")
+    got = sorted(
+        (r.band, r.bv, r.doc_id)
+        for r in spark.read.parquet(base_path2)
+        .select("band", "bv", "doc_id")
+        .collect()
+    )
+    assert got == sorted(rows)
+
+
 # --- flat-ledger stage-dir sweep (ADVICE r11) --------------------------------------
 
 
