@@ -147,6 +147,7 @@ HEADLINE = [
     "llm_epoch_pack",
     # round-12 additions
     "stream_epoch_ingest_pack",
+    "stream_pack_incremental",
 ]
 
 

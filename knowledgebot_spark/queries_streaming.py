@@ -1003,6 +1003,161 @@ def stream_epoch_ingest_pack(spark: SparkSession, sf: str) -> DataFrame:
     return _epoch_pack_agg(_epoch_pack_rows(docs))
 
 
+def _pack_incr_batch(
+    batch: DataFrame, batch_id: int, packs_dir: str, state_dir: str
+) -> None:
+    """One micro-batch of incremental packing — module-level so tests can
+    drive batches (and re-deliveries) directly.  See
+    stream_pack_incremental for the state/idempotence contract."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators import ranking as rk
+
+    sp_sess = batch.sparkSession
+    tok = batch.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_toks"),
+    )
+    cum = rk.with_global_cumsum(
+        tok, [F.col("source"), F.col("doc_id")], F.col("n_toks"), out="cum"
+    )
+    src_off = (
+        cum.withColumn("pre", F.col("cum") - F.col("n_toks"))
+        .groupBy("source")
+        .agg(F.min("pre").alias("src_min"))
+    )
+    ws = cum.join(F.broadcast(src_off), "source").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.col("cum") - F.col("src_min")).alias("ws_cum"),
+    )
+    prev_state_dir = f"{state_dir}/batch_id={batch_id - 1}"
+    if batch_id > 0 and _has_parquet(prev_state_dir):
+        state = sp_sess.read.parquet(prev_state_dir)
+    else:
+        state = sp_sess.createDataFrame([], "source STRING, off BIGINT")
+    placed = ws.join(F.broadcast(state), "source", "left").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.expr("(coalesce(off, 0L) + ws_cum - n_toks) div 512")
+        .cast("long")
+        .alias("pack_id"),
+    )
+    placed.write.mode("overwrite").parquet(f"{packs_dir}/batch_id={batch_id}")
+    batch_totals = ws.groupBy("source").agg(
+        F.max("ws_cum").cast("long").alias("add")
+    )
+    new_state = state.join(batch_totals, "source", "full").select(
+        "source",
+        (
+            F.coalesce(F.col("off"), F.lit(0))
+            + F.coalesce(F.col("add"), F.lit(0))
+        ).cast("long").alias("off"),
+    )
+    # ALWAYS written, even for an empty batch — batch N+1 reads exactly
+    # batch N's state dir
+    new_state.write.mode("overwrite").parquet(
+        f"{state_dir}/batch_id={batch_id}"
+    )
+
+
+_PACK_INCR_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), ws AS (
+  SELECT *, sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT source, CAST((cum - n_toks) // 512 AS BIGINT) AS pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+  CAST(sum(doc_id) AS BIGINT) AS pack_checksum
+FROM ws GROUP BY 1, 2
+ORDER BY source, pack_id
+"""
+
+
+@register(
+    "stream_pack_incremental",
+    sql=_PACK_INCR_SQL,
+    tags=(
+        "streaming",
+        "training-data",
+        "packing",
+        "incremental-materialization",
+        "foreachBatch",
+    ),
+)
+def stream_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally MAINTAINED sequence packing — the streaming
+    counterpart of llm_epoch_pack's one-shot packer.  Documents arrive
+    as a stream and are cut into fixed 512-token training sequences in
+    ARRIVAL order (per source): each micro-batch computes its own
+    within-source distributed cumsum (operators/ranking.py — no
+    per-source window ever holds a corpus-scale partition), offsets it
+    by the per-source token totals carried from the previous batch, and
+    appends its (doc, pack_id) rows.  Because arrival order is append-
+    only, a new batch can only EXTEND the last partial pack and add new
+    ones — every earlier pack is immutable, so the materialized pack
+    history is never rewritten (the property the recipe-ordered
+    llm_epoch_pack cannot have: an md5-ordered insert lands anywhere
+    and shifts every downstream boundary).  That is the shape a
+    continuously-ingesting pretraining pipeline needs at 100 TB:
+    per-batch work is one batch-sized cumsum + a source-cardinality
+    state broadcast, and the pack table only ever appends.
+
+    State discipline: the per-source running token totals are written
+    to a ``batch_id=N`` subdirectory per batch (the K2 per-partition
+    overwrite idempotence the decisions ledger uses — NOT a mutable
+    pointer): batch N reads the state batch N-1 committed, so a
+    replayed batch re-reads its original input state and overwrites its
+    own outputs — byte-identical, no double-counted offsets.  Batch
+    boundaries are provably a harness artifact: the one-shot oracle is
+    a single cumsum over (source, doc_id) order, and the test replays
+    the stream under a different batch partitioning and gets the
+    identical pack table.  ORACLE CONTRACT PRECONDITION: ingest is in
+    doc_id order across batches (the stream_neardup_gate precondition,
+    same source).  Every output is an exact integer; pack_checksum
+    (sum of member doc_ids) pins pack membership cross-engine."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = _run_base("stream_pack_incr", sf)
+    packs_dir, state_dir, ckpt = f"{base}/packs", f"{base}/state", f"{base}/ckpt"
+    os.makedirs(packs_dir, exist_ok=True)
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _pack(batch: DataFrame, batch_id: int) -> None:
+        _pack_incr_batch(batch, batch_id, packs_dir, state_dir)
+
+    stream = sp.read_documents_stream(spark, sf)
+    q = (
+        stream.writeStream.foreachBatch(_pack)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    placed = spark.read.parquet(packs_dir)
+    return (
+        placed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+            F.sum("doc_id").cast("long").alias("pack_checksum"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
 # --- incremental champion maintenance (round 9; delta-CC round 10) -------------
 
 _CHAMPION_SCHEMA = (

@@ -445,6 +445,96 @@ def test_bucket_ledger_fold_crash_replay_converges(spark, tmp_path, monkeypatch)
     assert got == sorted(rows)
 
 
+# --- incremental streaming pack materialization (round 12) -------------------------
+
+
+def _ordered_multifile_docs(spark, sf_dir, out_dir, n_files=4):
+    """documents written as n_files ascending-doc_id files with ascending
+    mtimes, so the file stream source delivers doc_id-ordered batches."""
+    import time as _time
+
+    from knowledgebot_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    ddir = f"{out_dir}/documents.parquet"
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[len(ids) * i // n_files] for i in range(n_files)] + [ids[-1] + 1]
+    t0 = int(_time.time()) - 3600
+    staged: set[str] = set()
+    from pyspark.sql import functions as FF
+
+    for i in range(n_files):
+        docs.filter(
+            (FF.col("doc_id") >= bounds[i]) & (FF.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(ddir)
+        for f in os.listdir(ddir):
+            p = os.path.join(ddir, f)
+            if f.endswith(".parquet") and p not in staged:
+                os.utime(p, (t0 + i * 10, t0 + i * 10))
+                staged.add(p)
+    return docs
+
+
+def test_pack_incremental_batch_boundary_invariance(spark, sf_dir, tmp_path, monkeypatch):
+    """The maintained pack table must be byte-identical whether the same
+    doc_id-ordered corpus arrives as ONE batch or as four — pack
+    boundaries depend only on the arrival order, never on where the
+    harness cut the micro-batches — and a re-delivered batch (crash
+    replay) must leave the table unchanged (it re-reads its original
+    input state and overwrites its own outputs)."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+
+    one = {
+        tuple(r)
+        for r in qs.stream_pack_incremental(spark, sf_dir).collect()
+    }
+    assert one
+
+    fake_sf = str(tmp_path / "sfpack")
+    os.makedirs(fake_sf)
+    docs = _ordered_multifile_docs(spark, sf_dir, fake_sf, n_files=4)
+    monkeypatch.setenv("KB_STREAM_MAX_FILES", "1")
+    four = {
+        tuple(r)
+        for r in qs.stream_pack_incremental(spark, fake_sf).collect()
+    }
+    assert four == one
+
+    # replay: re-deliver batch 1 over a manually driven state chain
+    base = str(tmp_path / "replay")
+    packs_dir, state_dir = f"{base}/packs", f"{base}/state"
+    half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    b0 = docs.filter(F.col("doc_id") <= half)
+    b1 = docs.filter(F.col("doc_id") > half)
+    qs._pack_incr_batch(b0, 0, packs_dir, state_dir)
+    qs._pack_incr_batch(b1, 1, packs_dir, state_dir)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(packs_dir).collect()
+    }
+    qs._pack_incr_batch(b1, 1, packs_dir, state_dir)  # re-delivery
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(packs_dir).collect()
+    }
+    assert after == before
+    # and the two-batch manual chain agrees with the one-shot result
+    two = {
+        tuple(r)
+        for r in spark.read.parquet(packs_dir)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+            F.sum("doc_id").cast("long").alias("pack_checksum"),
+        )
+        .collect()
+    }
+    assert two == one
+
+
 # --- flat-ledger stage-dir sweep (ADVICE r11) --------------------------------------
 
 
