@@ -148,6 +148,7 @@ HEADLINE = [
     # round-12 additions
     "stream_epoch_ingest_pack",
     "stream_pack_incremental",
+    "stream_gated_pack_incremental",
 ]
 
 

@@ -842,6 +842,62 @@ def bucket_ledger_fold(
     return len(files)
 
 
+def _gate_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ledger: str,
+    decisions: str,
+    n_lp: int,
+    compact_every: int,
+) -> None:
+    """One micro-batch of the near-dup admission gate — module-level so
+    the fully-streaming composition (stream_gated_pack_incremental) and
+    tests drive the SAME gate the registered query runs.  Probes the
+    LSM ledger (pruned base + bounded tail + the batch), writes the
+    batch's decisions to its own batch_id subdir (overwrite-idempotent
+    under replay), appends the batch signatures to the tail, and folds
+    on schedule.  See _neardup_gate_decisions for the full contract."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators import dedup as dd
+
+    sp_sess = batch.sparkSession
+    tail_dir, base_dir = f"{ledger}/tail", f"{ledger}/base"
+    hashed = batch.select(
+        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id")
+    seen = bands
+    base_path = _snapshot_current(base_dir)
+    if base_path:
+        lps = _bucket_probe_partition_values(bands, n_lp)
+        seen = seen.unionByName(
+            sp_sess.read.parquet(base_path)
+            .filter(F.col("lp").isin(lps))  # file-level partition pruning
+            .select("band", "bv", "doc_id")
+        )
+    if _has_parquet(tail_dir):
+        seen = seen.unionByName(
+            sp_sess.read.parquet(tail_dir).select("band", "bv", "doc_id")
+        )
+    blocked = (
+        seen.select("band", "bv", F.col("doc_id").alias("id_a"))
+        .join(bands, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_blocked", F.lit(True))
+    )
+    batch.select("doc_id", "source").join(blocked, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
+    ).write.mode("overwrite").parquet(f"{decisions}/batch_id={batch_id}")
+    bands.write.mode("append").parquet(tail_dir)
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        bucket_ledger_fold(sp_sess, ledger, n_lp)
+
+
 def _neardup_gate_decisions(
     spark: SparkSession, sf: str, run_name: str
 ) -> DataFrame:
@@ -871,14 +927,9 @@ def _neardup_gate_decisions(
     tail delete) converge instead of accumulating."""
     import os
 
-    from pyspark.sql import functions as F
-
-    from knowledgebot_spark.operators import dedup as dd
-
     base = _run_base(run_name, sf)  # per-run unique dir (ADVICE r09)
     ledger, decisions, ckpt = f"{base}/ledger", f"{base}/decisions", f"{base}/ckpt"
-    tail_dir, base_dir = f"{ledger}/tail", f"{ledger}/base"
-    os.makedirs(tail_dir, exist_ok=True)
+    os.makedirs(f"{ledger}/tail", exist_ok=True)
     os.makedirs(decisions, exist_ok=True)
     n_lp = _gate_ledger_parts()
     compact_every = int(
@@ -886,40 +937,7 @@ def _neardup_gate_decisions(
     )
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
-        sp_sess = batch.sparkSession
-        hashed = batch.select(
-            "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
-        )
-        bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id")
-        seen = bands
-        base_path = _snapshot_current(base_dir)
-        if base_path:
-            lps = _bucket_probe_partition_values(bands, n_lp)
-            seen = seen.unionByName(
-                sp_sess.read.parquet(base_path)
-                .filter(F.col("lp").isin(lps))  # file-level partition pruning
-                .select("band", "bv", "doc_id")
-            )
-        if _has_parquet(tail_dir):
-            seen = seen.unionByName(
-                sp_sess.read.parquet(tail_dir).select("band", "bv", "doc_id")
-            )
-        blocked = (
-            seen.select("band", "bv", F.col("doc_id").alias("id_a"))
-            .join(bands, ["band", "bv"])
-            .filter(F.col("id_a") < F.col("doc_id"))
-            .select("doc_id")
-            .distinct()
-            .withColumn("is_blocked", F.lit(True))
-        )
-        batch.select("doc_id", "source").join(blocked, "doc_id", "left").select(
-            "doc_id",
-            "source",
-            F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
-        ).write.mode("overwrite").parquet(f"{decisions}/batch_id={batch_id}")
-        bands.write.mode("append").parquet(tail_dir)
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            bucket_ledger_fold(sp_sess, ledger, n_lp)
+        _gate_batch(batch, batch_id, ledger, decisions, n_lp, compact_every)
 
     stream = sp.read_documents_stream(spark, sf)
     q = (
@@ -1140,6 +1158,120 @@ def stream_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     stream = sp.read_documents_stream(spark, sf)
     q = (
         stream.writeStream.foreachBatch(_pack)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    placed = spark.read.parquet(packs_dir)
+    return (
+        placed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+            F.sum("doc_id").cast("long").alias("pack_checksum"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def _duck_gated_pack_incr_sql() -> str:
+    return f"""
+WITH {_duck_blocked_ctes()}
+, admitted AS (
+  SELECT d.* FROM documents d LEFT JOIN blocked b ON b.doc_id = d.doc_id
+  WHERE b.doc_id IS NULL
+), tok AS (
+  SELECT doc_id, source,
+    CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks
+  FROM admitted
+), ws AS (
+  SELECT *, sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT source, CAST((cum - n_toks) // 512 AS BIGINT) AS pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+  CAST(sum(doc_id) AS BIGINT) AS pack_checksum
+FROM ws GROUP BY 1, 2
+ORDER BY source, pack_id
+"""
+
+
+@register(
+    "stream_gated_pack_incremental",
+    sql=_duck_gated_pack_incr_sql(),
+    tags=(
+        "streaming",
+        "dedup-gate",
+        "training-data",
+        "packing",
+        "incremental-materialization",
+        "composition",
+        "foreachBatch",
+    ),
+)
+def stream_gated_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULLY streaming training-data pipeline: near-dup admission
+    gate and sequence packing composed inside ONE foreachBatch, every
+    stage incremental.  Per micro-batch: the gate probes its LSM
+    signature ledger and writes the batch's admit/block decisions
+    (_gate_batch — the registered gate's own code path), then the
+    ADMITTED slice of the batch flows straight into the arrival-ordered
+    incremental packer (_pack_incr_batch — stream_pack_incremental's
+    own code path), extending the immutable pack history.  Where
+    stream_epoch_ingest_pack runs the gate as a stream and then packs
+    the surviving corpus as a BATCH recompute (recipe-ordered, every
+    boundary shifts on insert), this query never recomputes anything:
+    per-batch cost is the gate probe (pruned base + bounded tail) + a
+    batch-sized cumsum + a source-cardinality state broadcast, and
+    both the decisions ledger and the pack table only ever append —
+    the 100 TB continuous-ingest shape.
+
+    Replay-safe end-to-end: the gate decisions and the pack rows land
+    in per-batch overwrite subdirs, the packer's state is read from the
+    PREVIOUS batch's committed dir, and the gate ledger append is
+    duplicate-insensitive — a re-delivered batch rewrites its own
+    outputs byte-identically.  ORACLE CONTRACT PRECONDITION: doc_id-
+    ordered ingest (the gate's documented precondition); the one-shot
+    oracle composes the gate's dominance rule (one shared CTE text with
+    stream_neardup_gate) with a single cumsum over (source, doc_id)
+    order on the admitted rows.  Exact integers throughout: a gated-out
+    doc leaking into any pack, or a pack boundary drifting across batch
+    cuts, hash-fails the driver."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = _run_base("stream_gated_pack", sf)
+    ledger, decisions = f"{base}/ledger", f"{base}/decisions"
+    packs_dir, state_dir, ckpt = f"{base}/packs", f"{base}/state", f"{base}/ckpt"
+    os.makedirs(f"{ledger}/tail", exist_ok=True)
+    os.makedirs(decisions, exist_ok=True)
+    os.makedirs(packs_dir, exist_ok=True)
+    os.makedirs(state_dir, exist_ok=True)
+    n_lp = _gate_ledger_parts()
+    compact_every = int(
+        os.environ.get(_GATE_COMPACT_EVERY_ENV, str(_GATE_COMPACT_EVERY_DEFAULT))
+    )
+
+    def _gated_pack(batch: DataFrame, batch_id: int) -> None:
+        _gate_batch(batch, batch_id, ledger, decisions, n_lp, compact_every)
+        dec = batch.sparkSession.read.parquet(
+            f"{decisions}/batch_id={batch_id}"
+        )
+        admitted = batch.join(
+            dec.filter(~F.col("is_blocked")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        _pack_incr_batch(admitted, batch_id, packs_dir, state_dir)
+
+    stream = sp.read_documents_stream(spark, sf)
+    q = (
+        stream.writeStream.foreachBatch(_gated_pack)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -535,6 +535,61 @@ def test_pack_incremental_batch_boundary_invariance(spark, sf_dir, tmp_path, mon
     assert two == one
 
 
+def test_gated_pack_incremental_excludes_blocked(spark, sf_dir, tmp_path, monkeypatch):
+    """The fully-streaming composition: under multi-batch doc_id-ordered
+    ingest, the pack table equals the single-batch run byte-for-byte
+    (batch boundaries are a harness artifact even with the gate in the
+    loop), and at doc level a blocked document never reaches any pack
+    while every admitted document is packed (arrival-order packing has
+    no mixture weights — nothing is legitimately left out)."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+
+    one = {
+        tuple(r)
+        for r in qs.stream_gated_pack_incremental(spark, sf_dir).collect()
+    }
+    assert one
+
+    fake_sf = str(tmp_path / "sfgp")
+    os.makedirs(fake_sf)
+    _ordered_multifile_docs(spark, sf_dir, fake_sf, n_files=4)
+    monkeypatch.setenv("KB_STREAM_MAX_FILES", "1")
+
+    captured = {}
+    real_run_base = qs._run_base
+
+    def spy_run_base(name, sf):
+        base = real_run_base(name, sf)
+        captured["base"] = base
+        return base
+
+    monkeypatch.setattr(qs, "_run_base", spy_run_base)
+    four = {
+        tuple(r)
+        for r in qs.stream_gated_pack_incremental(spark, fake_sf).collect()
+    }
+    assert four == one
+
+    dec = spark.read.parquet(os.path.join(captured["base"], "decisions"))
+    blocked = {r.doc_id for r in dec.filter("is_blocked").collect()}
+    admitted = {r.doc_id for r in dec.filter("NOT is_blocked").collect()}
+    assert blocked, "fixture has no near-dups — test vacuous"
+    packed = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(captured["base"], "packs"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not (packed & blocked), sorted(packed & blocked)[:5]
+    assert packed == admitted, (
+        f"admitted-but-unpacked: {sorted(admitted - packed)[:5]}; "
+        f"packed-but-not-admitted: {sorted(packed - admitted)[:5]}"
+    )
+
+
 # --- flat-ledger stage-dir sweep (ADVICE r11) --------------------------------------
 
 
