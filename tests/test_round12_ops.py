@@ -535,6 +535,42 @@ def test_pack_incremental_batch_boundary_invariance(spark, sf_dir, tmp_path, mon
     assert two == one
 
 
+def test_pack_incr_empty_batch_carries_state(spark, sf_dir, tmp_path):
+    """An EMPTY micro-batch (availableNow can deliver one) must still
+    write its state generation — batch N+1 reads exactly batch N's
+    state dir, so a skipped write would reset every source's offset to
+    zero and silently restart pack numbering."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    b0 = docs.filter(F.col("doc_id") <= half)
+    b2 = docs.filter(F.col("doc_id") > half)
+    empty = docs.filter(F.lit(False))
+
+    with_gap = str(tmp_path / "gap")
+    qs._pack_incr_batch(b0, 0, f"{with_gap}/packs", f"{with_gap}/state")
+    qs._pack_incr_batch(empty, 1, f"{with_gap}/packs", f"{with_gap}/state")
+    qs._pack_incr_batch(b2, 2, f"{with_gap}/packs", f"{with_gap}/state")
+
+    no_gap = str(tmp_path / "nogap")
+    qs._pack_incr_batch(b0, 0, f"{no_gap}/packs", f"{no_gap}/state")
+    qs._pack_incr_batch(b2, 1, f"{no_gap}/packs", f"{no_gap}/state")
+
+    def packs(base):
+        return {
+            (r.source, r.doc_id, r.pack_id)
+            for r in spark.read.parquet(f"{base}/packs").collect()
+        }
+
+    assert packs(with_gap) == packs(no_gap)
+
+
 def test_gated_pack_incremental_excludes_blocked(spark, sf_dir, tmp_path, monkeypatch):
     """The fully-streaming composition: under multi-batch doc_id-ordered
     ingest, the pack table equals the single-batch run byte-for-byte
