@@ -808,7 +808,10 @@ def bucket_ledger_fold(
     tail files.  A crash between the flip and the deletes leaves
     duplicate signature rows in the tail; the dominance rule is
     duplicate-insensitive and the next fold's dropDuplicates converges
-    them.  Returns the number of tail files retired."""
+    them.  The fold's n_lp is validated against (and recorded in) the
+    base snapshot's meta — a fold with a DIFFERENT partition count than
+    the base raises instead of silently invalidating every probe's
+    pruning (ADVICE r12).  Returns the number of tail files retired."""
     import os
 
     from pyspark.sql import functions as F
@@ -827,6 +830,7 @@ def bucket_ledger_fold(
         return 0
     if n_lp is None:
         n_lp = _gate_ledger_parts()
+    n_lp = _ledger_recorded_n_lp(base_dir, n_lp)
     rows = spark.read.parquet(*files).select("band", "bv", "doc_id")
     base_path = _snapshot_current(base_dir)
     if base_path:
@@ -836,10 +840,156 @@ def bucket_ledger_fold(
     folded = rows.dropDuplicates(["band", "bv", "doc_id"]).withColumn(
         "lp", F.pmod(F.xxhash64("band", "bv"), F.lit(n_lp)).cast("int")
     )
-    _snapshot_commit(folded, base_dir, partition_by=("lp",))
+    _snapshot_commit(
+        folded, base_dir, partition_by=("lp",), meta={"n_lp": int(n_lp)}
+    )
     for p in files:
         os.unlink(p)
     return len(files)
+
+
+# --- per-batch subdir ledgers (round 13) ------------------------------------------
+#
+# The decisions ledger and the incremental pack table write one
+# ``tail/batch_id=N`` subdir per micro-batch (the K2 overwrite-idempotence
+# discipline: a replayed batch rewrites its own partition).  Left alone,
+# that is one tiny dir + file set per batch FOREVER — the unbounded
+# listing/inode growth VERDICT r12 asked bounded.  The fold below moves
+# closed batch subdirs (batch_id <= current-1: committed in the stream's
+# checkpoint, so never re-delivered) into WRITE-ONCE ``base/seg_*``
+# segments behind an atomic FOLDED_THRU pointer.  Rows here are immutable
+# once their batch closes (packs: arrival order only ever extends the
+# tail pack; decisions: append-only facts), so the fold is a pure
+# move+merge — it never reads a previous segment, making the amortized
+# fold cost O(batches since last fold), NOT O(corpus): the
+# input-grows-with-corpus shape stays dead even on the compaction path.
+#
+# Crash exactness (no dedup needed anywhere):
+#   - crash mid-segment-write: FOLDED_THRU not flipped -> readers skip
+#     segments newer than the pointer; the next fold sweeps the partial
+#     segment and rewrites it (its input tail dirs were not yet deleted).
+#   - crash between flip and tail deletes: readers skip tail subdirs
+#     <= FOLDED_THRU (already in a segment); the next fold deletes them
+#     without re-reading.
+
+_DECISIONS_SCHEMA = "doc_id BIGINT, source STRING, is_blocked BOOLEAN"
+_PACK_ROWS_SCHEMA = "doc_id BIGINT, source STRING, n_toks BIGINT, pack_id BIGINT"
+_BATCH_FOLD_FILES_ENV = "KB_BATCH_FOLD_FILES"
+_BATCH_FOLD_FILES_DEFAULT = 4
+
+
+def _batch_ledger_folded_thru(root: str) -> int:
+    """Highest batch_id folded into a base segment (-1 before the first
+    fold).  The pointer is the fold's atomic commit point."""
+    import os
+
+    try:
+        with open(os.path.join(root, "base", "FOLDED_THRU"), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _batch_ledger_tail_dirs(root: str, above: int) -> list[tuple[int, str]]:
+    """(batch_id, path) of tail subdirs with batch_id > ``above`` that
+    hold at least one parquet file, sorted by batch_id."""
+    import os
+
+    tail = os.path.join(root, "tail")
+    out = []
+    if os.path.isdir(tail):
+        for d in os.listdir(tail):
+            if not d.startswith("batch_id="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            p = os.path.join(tail, d)
+            if bid > above and _has_parquet(p):
+                out.append((bid, p))
+    return sorted(out)
+
+
+def batch_ledger_fold(
+    spark: SparkSession, root: str, upto: int, n_files: int | None = None
+) -> int:
+    """Fold closed ``tail/batch_id<=upto`` subdirs into one new
+    write-once ``base/seg_<upto>`` segment, flip FOLDED_THRU atomically,
+    then delete exactly the folded (and any crash-leftover) tail
+    subdirs.  Returns the number of tail subdirs retired."""
+    import os
+    import shutil
+    import tempfile
+
+    if n_files is None:
+        n_files = int(
+            os.environ.get(_BATCH_FOLD_FILES_ENV, str(_BATCH_FOLD_FILES_DEFAULT))
+        )
+    thru = _batch_ledger_folded_thru(root)
+    dirs = [(b, p) for b, p in _batch_ledger_tail_dirs(root, thru) if b <= upto]
+    if not dirs:
+        return 0
+    base = os.path.join(root, "base")
+    os.makedirs(base, exist_ok=True)
+    # sweep partial segments a crashed fold left unflipped (> FOLDED_THRU)
+    for d in os.listdir(base):
+        if d.startswith("seg_") and int(d.split("_", 1)[1]) > thru:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    new_thru = max(b for b, _ in dirs)
+    seg = os.path.join(base, f"seg_{new_thru:09d}")
+    spark.read.parquet(*[p for _, p in dirs]).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(seg)
+    fd, tmp = tempfile.mkstemp(dir=base, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(str(new_thru))
+        os.replace(tmp, os.path.join(base, "FOLDED_THRU"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    n = 0
+    for b, p in _batch_ledger_tail_dirs(root, -1):
+        if b <= new_thru:
+            shutil.rmtree(p, ignore_errors=True)
+            n += 1
+    return n
+
+
+def _batch_ledger_read(spark: SparkSession, root: str, schema: str) -> DataFrame:
+    """Union of the committed base segments and the unfolded tail
+    subdirs — exact under every crash window (see the block comment
+    above).  An empty ledger (zero rows delivered, or every row gated
+    out) returns an EMPTY frame with the explicit schema instead of
+    failing parquet schema inference (ADVICE r12)."""
+    import os
+
+    thru = _batch_ledger_folded_thru(root)
+    base = os.path.join(root, "base")
+    paths = []
+    if os.path.isdir(base):
+        paths += [
+            os.path.join(base, d)
+            for d in sorted(os.listdir(base))
+            if d.startswith("seg_") and int(d.split("_", 1)[1]) <= thru
+        ]
+    paths += [p for _, p in _batch_ledger_tail_dirs(root, thru)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
+
+
+def _prune_state_generations(state_dir: str, keep_from: int) -> None:
+    """Delete ``state/batch_id=M`` generations with M < keep_from.
+    Replay safety needs only the PREVIOUS generation (batch N re-reads
+    batch N-1's state), so the caller passes keep_from = N-1; without
+    this the per-batch state dirs accumulate forever (VERDICT r12)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    for d in os.listdir(state_dir):
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < keep_from:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
 def _gate_batch(
@@ -866,10 +1016,18 @@ def _gate_batch(
     hashed = batch.select(
         "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
     )
-    bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id")
+    # persist: the batch's shingle/MinHash/band signatures feed FOUR
+    # consumers (the lp-literal collect, the bucket_min probe union, the
+    # blocked join, the tail append) — unpersisted they recompute the
+    # dominant per-batch hash work up to 4x (ADVICE r12); the analogous
+    # frame in _champion_maintain was already persisted
+    bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id").persist()
     seen = bands
     base_path = _snapshot_current(base_dir)
     if base_path:
+        # probe literals MUST use the n_lp the base was folded under —
+        # mismatch raises instead of silently mispruning (ADVICE r12)
+        n_lp = _ledger_recorded_n_lp(base_dir, n_lp)
         lps = _bucket_probe_partition_values(bands, n_lp)
         seen = seen.unionByName(
             sp_sess.read.parquet(base_path)
@@ -898,10 +1056,15 @@ def _gate_batch(
         "doc_id",
         "source",
         F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
-    ).write.mode("overwrite").parquet(f"{decisions}/batch_id={batch_id}")
+    ).write.mode("overwrite").parquet(f"{decisions}/tail/batch_id={batch_id}")
     bands.write.mode("append").parquet(tail_dir)
+    bands.unpersist()
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         bucket_ledger_fold(sp_sess, ledger, n_lp)
+        # decisions batch subdirs <= batch_id-1 are closed (committed in
+        # the stream checkpoint, never re-delivered) — fold them on the
+        # same cadence so dir count stays bounded (VERDICT r12)
+        batch_ledger_fold(sp_sess, decisions, upto=batch_id - 1)
 
 
 def _neardup_gate_decisions(
@@ -954,7 +1117,7 @@ def _neardup_gate_decisions(
     )
     q.awaitTermination()
 
-    return spark.read.parquet(decisions)
+    return _batch_ledger_read(spark, decisions, _DECISIONS_SCHEMA)
 
 
 def _duck_ingest_pack_sql() -> str:
@@ -1028,11 +1191,22 @@ def stream_epoch_ingest_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pack_incr_batch(
-    batch: DataFrame, batch_id: int, packs_dir: str, state_dir: str
+    batch: DataFrame,
+    batch_id: int,
+    packs_dir: str,
+    state_dir: str,
+    compact_every: int = 0,
 ) -> None:
     """One micro-batch of incremental packing — module-level so tests can
     drive batches (and re-deliveries) directly.  See
-    stream_pack_incremental for the state/idempotence contract."""
+    stream_pack_incremental for the state/idempotence contract.
+
+    File/dir growth is BOUNDED (VERDICT r12): state generations older
+    than batch_id-1 are pruned after every commit (replay needs only the
+    previous one), and closed pack batch subdirs fold into write-once
+    base segments every ``compact_every`` batches (batch_ledger_fold) —
+    across B batches the live dir count is O(compact_every + B/compact_
+    every), not O(B)."""
     from pyspark.sql import functions as F
 
     from knowledgebot_spark.operators import ranking as rk
@@ -1070,7 +1244,9 @@ def _pack_incr_batch(
         .cast("long")
         .alias("pack_id"),
     )
-    placed.write.mode("overwrite").parquet(f"{packs_dir}/batch_id={batch_id}")
+    placed.write.mode("overwrite").parquet(
+        f"{packs_dir}/tail/batch_id={batch_id}"
+    )
     batch_totals = ws.groupBy("source").agg(
         F.max("ws_cum").cast("long").alias("add")
     )
@@ -1086,6 +1262,9 @@ def _pack_incr_batch(
     new_state.write.mode("overwrite").parquet(
         f"{state_dir}/batch_id={batch_id}"
     )
+    _prune_state_generations(state_dir, keep_from=batch_id - 1)
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        batch_ledger_fold(sp_sess, packs_dir, upto=batch_id - 1)
 
 
 _PACK_INCR_SQL = """
@@ -1157,9 +1336,12 @@ def stream_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     packs_dir, state_dir, ckpt = f"{base}/packs", f"{base}/state", f"{base}/ckpt"
     os.makedirs(packs_dir, exist_ok=True)
     os.makedirs(state_dir, exist_ok=True)
+    compact_every = int(
+        os.environ.get(_GATE_COMPACT_EVERY_ENV, str(_GATE_COMPACT_EVERY_DEFAULT))
+    )
 
     def _pack(batch: DataFrame, batch_id: int) -> None:
-        _pack_incr_batch(batch, batch_id, packs_dir, state_dir)
+        _pack_incr_batch(batch, batch_id, packs_dir, state_dir, compact_every)
 
     stream = sp.read_documents_stream(spark, sf)
     q = (
@@ -1170,7 +1352,7 @@ def stream_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    placed = spark.read.parquet(packs_dir)
+    placed = _batch_ledger_read(spark, packs_dir, _PACK_ROWS_SCHEMA)
     return (
         placed.groupBy("source", "pack_id")
         .agg(
@@ -1265,15 +1447,19 @@ def stream_gated_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     def _gated_pack(batch: DataFrame, batch_id: int) -> None:
         _gate_batch(batch, batch_id, ledger, decisions, n_lp, compact_every)
+        # this batch's own decisions are never folded yet (fold stops at
+        # batch_id-1), so the tail subdir read is always live
         dec = batch.sparkSession.read.parquet(
-            f"{decisions}/batch_id={batch_id}"
+            f"{decisions}/tail/batch_id={batch_id}"
         )
         admitted = batch.join(
             dec.filter(~F.col("is_blocked")).select("doc_id"),
             "doc_id",
             "left_semi",
         )
-        _pack_incr_batch(admitted, batch_id, packs_dir, state_dir)
+        _pack_incr_batch(
+            admitted, batch_id, packs_dir, state_dir, compact_every
+        )
 
     stream = sp.read_documents_stream(spark, sf)
     q = (
@@ -1284,7 +1470,7 @@ def stream_gated_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    placed = spark.read.parquet(packs_dir)
+    placed = _batch_ledger_read(spark, packs_dir, _PACK_ROWS_SCHEMA)
     return (
         placed.groupBy("source", "pack_id")
         .agg(
@@ -1400,8 +1586,56 @@ def _snapshot_current(table_dir: str) -> str | None:
     return p if os.path.isdir(p) else None
 
 
+def _snapshot_meta(table_dir: str) -> dict | None:
+    """Metadata recorded with the CURRENT generation (``_META.json``
+    inside the generation dir — underscore-prefixed so Spark's file
+    index ignores it), or None when no generation / no meta exists.
+    The gate and champion bands ledgers record ``n_lp`` here so a probe
+    can never prune with a different partition count than the one the
+    base was folded under (ADVICE r12)."""
+    import json
+    import os
+
+    p = _snapshot_current(table_dir)
+    if not p:
+        return None
+    try:
+        with open(os.path.join(p, "_META.json"), encoding="utf-8") as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
+def _ledger_recorded_n_lp(base_dir: str, n_lp: int) -> int:
+    """The lp partition count a bucket-sharded ledger base was folded
+    under.  Pruning exactness depends on the probe's literals being
+    derived with the SAME n_lp as the fold (lp = pmod(xxhash64(band,
+    bv), n_lp) is only a pure function of the bucket when both sides
+    agree on n_lp) — a silent mismatch (env change mid-process, or a
+    caller passing a different value) would drop colliding signatures
+    and admit near-duplicates with no error, so a mismatch raises
+    (ADVICE r12).  Bases folded before meta existed return the caller's
+    value unchanged."""
+    meta = _snapshot_meta(base_dir)
+    rec = (meta or {}).get("n_lp")
+    if rec is None:
+        return n_lp
+    if int(rec) != int(n_lp):
+        raise ValueError(
+            f"bucket ledger at {base_dir} was folded with n_lp={rec} but "
+            f"the probe/fold derived n_lp={n_lp} (env changed mid-process, "
+            "or a caller passed a different value) — partition pruning "
+            "would silently drop colliding signatures; rebuild the ledger "
+            "or restore the recorded partition count"
+        )
+    return int(rec)
+
+
 def _snapshot_commit(
-    df: DataFrame, table_dir: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    table_dir: str,
+    partition_by: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> None:
     """Stage + atomic pointer flip for a maintained table (VERDICT r09 #3
     nit — the checkpoint sink's write-new-then-rename discipline,
@@ -1440,6 +1674,16 @@ def _snapshot_commit(
         else df.write
     )
     writer.mode("overwrite").parquet(os.path.join(table_dir, vname))
+    if meta is not None:
+        import json
+
+        # inside the generation dir, BEFORE the flip: meta is atomic with
+        # the generation it describes (underscore-prefixed -> invisible
+        # to Spark's parquet file index)
+        with open(
+            os.path.join(table_dir, vname, "_META.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(meta, fh)
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as fh:
@@ -1975,7 +2219,10 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     # is read whole; band/bv ride as DATA columns with native types.
     bands_base = _snapshot_current(f"{bands_dir}/base")
     if bands_base:
-        lps = _bucket_probe_partition_values(bands, _bands_n_parts())
+        # probe literals use the n_lp recorded at fold time — a silent
+        # env mismatch would misprune and admit near-dups (ADVICE r12)
+        n_bp = _ledger_recorded_n_lp(f"{bands_dir}/base", _bands_n_parts())
+        lps = _bucket_probe_partition_values(bands, n_bp)
         seen_bands = seen_bands.unionByName(
             sp_sess.read.parquet(bands_base)
             .filter(F.col("lp").isin(lps))  # file-level partition pruning

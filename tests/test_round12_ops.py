@@ -512,18 +512,22 @@ def test_pack_incremental_batch_boundary_invariance(spark, sf_dir, tmp_path, mon
     qs._pack_incr_batch(b1, 1, packs_dir, state_dir)
     before = {
         tuple(r)
-        for r in spark.read.parquet(packs_dir).collect()
+        for r in qs._batch_ledger_read(
+            spark, packs_dir, qs._PACK_ROWS_SCHEMA
+        ).collect()
     }
     qs._pack_incr_batch(b1, 1, packs_dir, state_dir)  # re-delivery
     after = {
         tuple(r)
-        for r in spark.read.parquet(packs_dir).collect()
+        for r in qs._batch_ledger_read(
+            spark, packs_dir, qs._PACK_ROWS_SCHEMA
+        ).collect()
     }
     assert after == before
     # and the two-batch manual chain agrees with the one-shot result
     two = {
         tuple(r)
-        for r in spark.read.parquet(packs_dir)
+        for r in qs._batch_ledger_read(spark, packs_dir, qs._PACK_ROWS_SCHEMA)
         .groupBy("source", "pack_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -565,7 +569,9 @@ def test_pack_incr_empty_batch_carries_state(spark, sf_dir, tmp_path):
     def packs(base):
         return {
             (r.source, r.doc_id, r.pack_id)
-            for r in spark.read.parquet(f"{base}/packs").collect()
+            for r in qs._batch_ledger_read(
+                spark, f"{base}/packs", qs._PACK_ROWS_SCHEMA
+            ).collect()
         }
 
     assert packs(with_gap) == packs(no_gap)
@@ -608,13 +614,17 @@ def test_gated_pack_incremental_excludes_blocked(spark, sf_dir, tmp_path, monkey
     }
     assert four == one
 
-    dec = spark.read.parquet(os.path.join(captured["base"], "decisions"))
+    dec = qs._batch_ledger_read(
+        spark, os.path.join(captured["base"], "decisions"), qs._DECISIONS_SCHEMA
+    )
     blocked = {r.doc_id for r in dec.filter("is_blocked").collect()}
     admitted = {r.doc_id for r in dec.filter("NOT is_blocked").collect()}
     assert blocked, "fixture has no near-dups — test vacuous"
     packed = {
         r.doc_id
-        for r in spark.read.parquet(os.path.join(captured["base"], "packs"))
+        for r in qs._batch_ledger_read(
+            spark, os.path.join(captured["base"], "packs"), qs._PACK_ROWS_SCHEMA
+        )
         .select("doc_id")
         .distinct()
         .collect()
