@@ -208,28 +208,40 @@ def main() -> None:
     dropped: list[str] = []
     try:
         with open(detail_path) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_detail = json.load(fh)
+        prev = prev_detail.get("queries", {})
+        prev_sf = prev_detail.get("sf")
     except Exception:
-        prev = {}
-    for name, sec in prev.items():
-        if name not in timings:
-            dropped.append(name)
-        elif timings[name] > max(1.5 * sec, sec + 1.0):
-            regressions[name] = [sec, timings[name]]
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "repeats": repeats,
-            },
-            fh,
-            indent=1,
+        prev, prev_sf = {}, None
+    # The detail file is the round-over-round regression baseline and is
+    # only comparable at one scale — a smoke run at a different sf must
+    # not clobber it (it did, twice: r12 and r13 both had to restore the
+    # sf0.1 map from git after an sf0.001 smoke).
+    same_scale = prev_sf is None or prev_sf == sf_val
+    if same_scale:
+        for name, sec in prev.items():
+            if name not in timings:
+                dropped.append(name)
+            elif timings[name] > max(1.5 * sec, sec + 1.0):
+                regressions[name] = [sec, timings[name]]
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                    "repeats": repeats,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+    else:
+        print(
+            f"BENCH DETAIL not written: run sf={sf_val} != detail sf={prev_sf}"
         )
-        fh.write("\n")
     if regressions or dropped:
         print(
             "BENCH DIFF vs previous detail: "

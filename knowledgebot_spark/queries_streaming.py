@@ -1007,12 +1007,26 @@ def _gate_batch(
     batch's decisions to its own batch_id subdir (overwrite-idempotent
     under replay), appends the batch signatures to the tail, and folds
     on schedule.  See _neardup_gate_decisions for the full contract."""
+    import os
+    import time
+
     from pyspark.sql import functions as F
 
     from knowledgebot_spark.operators import dedup as dd
 
     sp_sess = batch.sparkSession
     tail_dir, base_dir = f"{ledger}/tail", f"{ledger}/base"
+
+    _debug = bool(os.environ.get("KB_GATE_DEBUG"))
+    _t0 = time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        if _debug:
+            now = time.time()
+            print(f"  [gate b{batch_id}] {phase}: {now - _t0:.2f}s")
+            _t0 = now
+
     hashed = batch.select(
         "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
     )
@@ -1034,10 +1048,12 @@ def _gate_batch(
             .filter(F.col("lp").isin(lps))  # file-level partition pruning
             .select("band", "bv", "doc_id")
         )
+    _mark("probe assemble (base listing + prune literals)")
     if _has_parquet(tail_dir):
         seen = seen.unionByName(
             sp_sess.read.parquet(tail_dir).select("band", "bv", "doc_id")
         )
+    _mark("tail listing")
     # dominance via bucket MIN, not a bucket self-join: "blocked iff ANY
     # smaller doc_id shares a bucket" == "bucket min over seen < doc_id"
     # (seen includes the doc itself, so min == doc_id means no smaller
@@ -1057,7 +1073,9 @@ def _gate_batch(
         "source",
         F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
     ).write.mode("overwrite").parquet(f"{decisions}/tail/batch_id={batch_id}")
+    _mark("probe + decisions write")
     bands.write.mode("append").parquet(tail_dir)
+    _mark("tail append")
     bands.unpersist()
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         bucket_ledger_fold(sp_sess, ledger, n_lp)
@@ -1065,6 +1083,7 @@ def _gate_batch(
         # the stream checkpoint, never re-delivered) — fold them on the
         # same cadence so dir count stays bounded (VERDICT r12)
         batch_ledger_fold(sp_sess, decisions, upto=batch_id - 1)
+        _mark("fold")
 
 
 def _neardup_gate_decisions(
