@@ -149,6 +149,8 @@ HEADLINE = [
     "stream_epoch_ingest_pack",
     "stream_pack_incremental",
     "stream_gated_pack_incremental",
+    # round-13 additions
+    "stream_neardup_gate_ooo",
 ]
 
 

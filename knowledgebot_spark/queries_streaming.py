@@ -668,12 +668,13 @@ def stream_cdc_materialize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _duck_blocked_ctes() -> str:
-    """The near-dup gate's decision CTEs (banded MinHash -> ``blocked`` =
-    every doc sharing a band bucket with a smaller doc_id), WITHOUT the
-    leading WITH — shared by stream_neardup_gate's oracle and the
-    ingest-gated epoch composition's, so the two can never state
-    different admission rules."""
+def _duck_bands_ctes() -> str:
+    """The gate family's shared signature CTEs (token hash -> shingle
+    hash -> MinHash -> banded buckets, ending at ``bands(doc_id, band,
+    bv)``), WITHOUT the leading WITH — the dominance rule is stated by
+    the caller, so the id-ordered gate and the first-arrival-wins ooo
+    gate share one signature text and can only differ in the rule they
+    claim to differ in."""
     from knowledgebot_spark.queries_llm import (
         _duck_bands,
         _duck_minhash_cols,
@@ -687,7 +688,16 @@ def _duck_blocked_ctes() -> str:
   FROM (SELECT doc_id, str_split(lower(text), ' ') tk FROM documents)
 ), hs_t AS (SELECT doc_id, {_duck_shingle_hashes()} AS hs FROM hashed)
 , mh AS (SELECT doc_id, {_duck_minhash_cols()} FROM hs_t)
-, bands AS ({_duck_bands()})
+, bands AS ({_duck_bands()})"""
+
+
+def _duck_blocked_ctes() -> str:
+    """The near-dup gate's decision CTEs (banded MinHash -> ``blocked`` =
+    every doc sharing a band bucket with a smaller doc_id), WITHOUT the
+    leading WITH — shared by stream_neardup_gate's oracle and the
+    ingest-gated epoch composition's, so the two can never state
+    different admission rules."""
+    return f"""{_duck_bands_ctes()}
 , blocked AS (
   SELECT DISTINCT b.doc_id
   FROM bands b JOIN bands a
@@ -752,6 +762,100 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Out-of-order ingest shape for stream_neardup_gate_ooo: docs arrive in
+# _OOO_WAVES interleaved waves (wave = doc_id % _OOO_WAVES, one
+# micro-batch per wave), arrival_seq = wave * _OOO_SEQ_BASE + doc_id.
+# Pure integer arithmetic so the DuckDB oracle states the SAME total
+# arrival order exactly; _OOO_SEQ_BASE must exceed every doc_id, which
+# the staged stream asserts at stage time.
+_OOO_WAVES = 7
+_OOO_SEQ_BASE = 1_000_000_000
+
+
+def _duck_neardup_gate_ooo_sql() -> str:
+    # arrival_seq restated with the SAME module constants the Spark
+    # staging uses — pure integer arithmetic, exact in both engines
+    return f"""
+WITH {_duck_bands_ctes()}
+, seqd AS (
+  SELECT doc_id, (doc_id % {_OOO_WAVES}) * {_OOO_SEQ_BASE} + doc_id AS seq
+  FROM documents
+), bands_seq AS (
+  SELECT b.band, b.bv, b.doc_id, s.seq
+  FROM bands b JOIN seqd s ON s.doc_id = b.doc_id
+), blocked AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands_seq b JOIN bands_seq a
+    ON a.band = b.band AND a.bv = b.bv AND a.seq < b.seq
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_seen,
+  CAST(sum(CASE WHEN bl.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN bl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+  CAST(sum(CASE WHEN bl.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT)
+    AS blocked_id_sum
+FROM documents d LEFT JOIN blocked bl ON bl.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "stream_neardup_gate_ooo",
+    sql=_duck_neardup_gate_ooo_sql(),
+    tags=("streaming", "dedup-gate", "minhash", "foreachBatch", "out-of-order"),
+)
+def stream_neardup_gate_ooo(spark: SparkSession, sf: str) -> DataFrame:
+    """stream_neardup_gate for OUT-OF-ORDER ingest — the deployment
+    shape the id-ordered gate's docstring names as out of contract
+    ("out-of-order arrival ... would need an arrival_seq ledger column
+    in place of doc_id dominance").  This query IS that variant:
+    documents arrive in _OOO_WAVES interleaved waves (wave =
+    doc_id % _OOO_WAVES, ONE micro-batch per wave via
+    maxFilesPerTrigger=1, file mtimes pinning wave order), so a later
+    batch routinely carries a SMALLER doc_id than an earlier one.  The
+    gate runs the SAME _gate_batch / LSM-ledger machinery with
+    dom_col="arrival_seq": the signature ledger stores (band, bv,
+    arrival_seq) and the bucket-MIN dominance rule blocks a doc iff ANY
+    EARLIER-ARRIVED doc shares a band bucket — first-arrival-wins, the
+    only admissible semantics at a real ingest edge where doc ids are
+    assigned upstream and arrival order is what the gate observes.
+
+    arrival_seq = (doc_id % waves) * seq_base + doc_id is a
+    deterministic exact-integer permutation, so the one-shot DuckDB
+    oracle states the identical total order and the driver hash pins
+    EXACTLY which docs get blocked (blocked_id_sum makes the output
+    sensitive to the blocked SET, not just its size).  The decision set
+    provably diverges from the id-ordered gate on this data (14 of 29
+    blocked docs differ at sf0.01 — test-pinned non-vacuous both
+    directions), which is the point: the two contracts are different,
+    and each is oracle-checked against its own one-shot restatement.
+
+    Scale shape: identical to stream_neardup_gate — banded-LSH probe
+    against pruned base + bounded tail, bucket-MIN partial agg, never
+    all-pairs; arrival_seq dominance adds zero plan nodes (MIN over a
+    different column).  Ref parity: the reference bot ingests Slack
+    events in arrival order (KnowledgeBot.py polling loop), so
+    first-arrival-wins is the semantics its dedup-on-ingest actually
+    has; the id-ordered gate is the batch-reproducible restatement."""
+    from pyspark.sql import functions as F
+
+    dec = _neardup_gate_decisions(
+        spark, sf, "stream_neardup_ooo", dom_col="arrival_seq"
+    )
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_seen"),
+        F.sum(F.when(~F.col("is_blocked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("is_blocked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked"),
+        F.sum(F.when(F.col("is_blocked"), F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("blocked_id_sum"),
+    )
+
+
 _GATE_LEDGER_PARTS_ENV = "KB_GATE_LEDGER_PARTS"
 _GATE_LEDGER_PARTS_DEFAULT = 64
 _BANDS_PARTS_ENV = "KB_BANDS_PARTITIONS"
@@ -796,7 +900,10 @@ def _bucket_probe_partition_values(bands: DataFrame, n_lp: int) -> list[str]:
 
 
 def bucket_ledger_fold(
-    spark: SparkSession, ledger: str, n_lp: int | None = None
+    spark: SparkSession,
+    ledger: str,
+    n_lp: int | None = None,
+    id_col: str = "doc_id",
 ) -> int:
     """Fold the gate ledger's flat ``tail`` into the lp-partitioned
     ``base`` snapshot: read exactly the listed tail files + the current
@@ -831,13 +938,13 @@ def bucket_ledger_fold(
     if n_lp is None:
         n_lp = _gate_ledger_parts()
     n_lp = _ledger_recorded_n_lp(base_dir, n_lp)
-    rows = spark.read.parquet(*files).select("band", "bv", "doc_id")
+    rows = spark.read.parquet(*files).select("band", "bv", id_col)
     base_path = _snapshot_current(base_dir)
     if base_path:
         rows = rows.unionByName(
-            spark.read.parquet(base_path).select("band", "bv", "doc_id")
+            spark.read.parquet(base_path).select("band", "bv", id_col)
         )
-    folded = rows.dropDuplicates(["band", "bv", "doc_id"]).withColumn(
+    folded = rows.dropDuplicates(["band", "bv", id_col]).withColumn(
         "lp", F.pmod(F.xxhash64("band", "bv"), F.lit(n_lp)).cast("int")
     )
     _snapshot_commit(
@@ -999,6 +1106,7 @@ def _gate_batch(
     decisions: str,
     n_lp: int,
     compact_every: int,
+    dom_col: str = "doc_id",
 ) -> None:
     """One micro-batch of the near-dup admission gate — module-level so
     the fully-streaming composition (stream_gated_pack_incremental) and
@@ -1006,7 +1114,14 @@ def _gate_batch(
     LSM ledger (pruned base + bounded tail + the batch), writes the
     batch's decisions to its own batch_id subdir (overwrite-idempotent
     under replay), appends the batch signatures to the tail, and folds
-    on schedule.  See _neardup_gate_decisions for the full contract."""
+    on schedule.  See _neardup_gate_decisions for the full contract.
+
+    ``dom_col`` is the DOMINANCE key the bucket-MIN rule runs on:
+    "doc_id" gives the id-ordered contract (smallest id wins),
+    "arrival_seq" gives first-arrival-wins for out-of-order ingest
+    (stream_neardup_gate_ooo) — the ledger then stores (band, bv,
+    arrival_seq) and a later arrival is blocked by ANY earlier-arrived
+    bucket-mate, regardless of doc_id order."""
     import os
     import time
 
@@ -1028,14 +1143,14 @@ def _gate_batch(
             _t0 = now
 
     hashed = batch.select(
-        "doc_id", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+        dom_col, F.expr(dd.shingle_hash_expr("text")).alias("shingles")
     )
     # persist: the batch's shingle/MinHash/band signatures feed FOUR
     # consumers (the lp-literal collect, the bucket_min probe union, the
     # blocked join, the tail append) — unpersisted they recompute the
     # dominant per-batch hash work up to 4x (ADVICE r12); the analogous
     # frame in _champion_maintain was already persisted
-    bands = dd.lsh_bands(dd.with_minhash(hashed), "doc_id").persist()
+    bands = dd.lsh_bands(dd.with_minhash(hashed, dom_col), dom_col).persist()
     seen = bands
     base_path = _snapshot_current(base_dir)
     if base_path:
@@ -1046,29 +1161,32 @@ def _gate_batch(
         seen = seen.unionByName(
             sp_sess.read.parquet(base_path)
             .filter(F.col("lp").isin(lps))  # file-level partition pruning
-            .select("band", "bv", "doc_id")
+            .select("band", "bv", dom_col)
         )
     _mark("probe assemble (base listing + prune literals)")
     if _has_parquet(tail_dir):
         seen = seen.unionByName(
-            sp_sess.read.parquet(tail_dir).select("band", "bv", "doc_id")
+            sp_sess.read.parquet(tail_dir).select("band", "bv", dom_col)
         )
     _mark("tail listing")
     # dominance via bucket MIN, not a bucket self-join: "blocked iff ANY
-    # smaller doc_id shares a bucket" == "bucket min over seen < doc_id"
-    # (seen includes the doc itself, so min == doc_id means no smaller
+    # smaller dom_col shares a bucket" == "bucket min over seen < dom_col"
+    # (seen includes the doc itself, so min == dom_col means no smaller
     # member).  The self-join materialized k^2 rows per hot bucket —
     # measured 5.9x at 10x corpus on the gated pipeline; the min is a
     # map-side partial agg, so the probe stays linear in ledger rows.
-    bucket_min = seen.groupBy("band", "bv").agg(F.min("doc_id").alias("m"))
+    bucket_min = seen.groupBy("band", "bv").agg(F.min(dom_col).alias("m"))
     blocked = (
         bands.join(bucket_min, ["band", "bv"])
-        .filter(F.col("m") < F.col("doc_id"))
-        .select("doc_id")
+        .filter(F.col("m") < F.col(dom_col))
+        .select(dom_col)
         .distinct()
         .withColumn("is_blocked", F.lit(True))
     )
-    batch.select("doc_id", "source").join(blocked, "doc_id", "left").select(
+    dec_cols = (
+        ["doc_id", "source"] if dom_col == "doc_id" else ["doc_id", "source", dom_col]
+    )
+    batch.select(*dec_cols).join(blocked, dom_col, "left").select(
         "doc_id",
         "source",
         F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
@@ -1078,7 +1196,7 @@ def _gate_batch(
     _mark("tail append")
     bands.unpersist()
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-        bucket_ledger_fold(sp_sess, ledger, n_lp)
+        bucket_ledger_fold(sp_sess, ledger, n_lp, id_col=dom_col)
         # decisions batch subdirs <= batch_id-1 are closed (committed in
         # the stream checkpoint, never re-delivered) — fold them on the
         # same cadence so dir count stays bounded (VERDICT r12)
@@ -1087,7 +1205,7 @@ def _gate_batch(
 
 
 def _neardup_gate_decisions(
-    spark: SparkSession, sf: str, run_name: str
+    spark: SparkSession, sf: str, run_name: str, dom_col: str = "doc_id"
 ) -> DataFrame:
     """Run the streaming near-dup ingest gate end-to-end and return the
     per-doc decisions frame (doc_id, source, is_blocked) — the body of
@@ -1125,9 +1243,16 @@ def _neardup_gate_decisions(
     )
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
-        _gate_batch(batch, batch_id, ledger, decisions, n_lp, compact_every)
+        _gate_batch(
+            batch, batch_id, ledger, decisions, n_lp, compact_every, dom_col
+        )
 
-    stream = sp.read_documents_stream(spark, sf)
+    if dom_col == "arrival_seq":
+        stream = sp.read_documents_stream_ooo(
+            spark, sf, _OOO_WAVES, _OOO_SEQ_BASE
+        )
+    else:
+        stream = sp.read_documents_stream(spark, sf)
     q = (
         stream.writeStream.foreachBatch(_gate)
         .option("checkpointLocation", ckpt)

@@ -24,6 +24,8 @@ watermark horizon, not stream length.  The memory sink is a test harness
 from __future__ import annotations
 
 import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,6 +140,97 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
     return reader.parquet(_stage_dir(sf_dir, "documents"))
+
+
+DOCUMENTS_OOO_SCHEMA = StructType(
+    DOCUMENTS_RAW_SCHEMA.fields + [StructField("arrival_seq", LongType())]
+)
+
+
+def _stage_ooo_documents(
+    spark: SparkSession, sf_dir: str, n_waves: int, seq_base: int
+) -> str:
+    """Materialize the documents table as an OUT-OF-doc_id-ORDER arrival
+    stream: one parquet file per "wave" (wave w = docs with
+    doc_id % n_waves == w, each carrying
+    arrival_seq = wave * seq_base + doc_id), with file mtimes pinned in
+    wave order so Spark's FileStreamSource (which orders unseen files by
+    modification time) delivers wave 0 first.  Interleaving by residue
+    means every wave spans the full doc_id range — a later wave
+    routinely carries a SMALLER doc_id than an earlier one, which is the
+    deployment shape the ooo gate exists for.  Staged once per
+    (source-set, n_waves) and reused; re-staged when the target files
+    change (same keying discipline as _stage_dir)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    target = os.path.abspath(f"{sf_dir.rstrip('/')}/documents.parquet")
+    if os.path.isdir(target):
+        files = sorted(
+            f"{target}/{f}"
+            for f in os.listdir(target)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files = [target]
+    key = hashlib.md5(
+        ("\n".join(files) + f"|waves={n_waves}|base={seq_base}").encode()
+    ).hexdigest()[:12]
+    stage = f"/tmp/knowledgebot_spark/stream_src/v2/{key}/documents_ooo"
+    done = os.path.join(stage, "_STAGED")
+    expected = [f"wave-{w:05d}.parquet" for w in range(n_waves)]
+    if os.path.isfile(done) and sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    ) == sorted(expected):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    docs = spark.read.parquet(target).withColumn(
+        "arrival_seq",
+        F.pmod(F.col("doc_id"), F.lit(n_waves)) * F.lit(seq_base)
+        + F.col("doc_id"),
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    if max_id >= seq_base:
+        raise ValueError(
+            f"arrival_seq would collide across waves: max doc_id {max_id} "
+            f">= seq_base {seq_base}"
+        )
+    t0 = int(time.time()) - 2 * n_waves
+    for w in range(n_waves):
+        tmp = os.path.join(stage, f".wave_{w}")
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(n_waves)) == w).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(stage, expected[w])
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # pin arrival order: FileStreamSource sorts unseen files by mtime
+        os.utime(dst, (t0 + 2 * w, t0 + 2 * w))
+    with open(done, "w") as fh:
+        fh.write("\n".join(expected))
+    return stage
+
+
+def read_documents_stream_ooo(
+    spark: SparkSession, sf_dir: str, n_waves: int, seq_base: int
+) -> DataFrame:
+    """Out-of-order ingest feed for the first-arrival-wins gate: the
+    documents table re-staged as n_waves wave files (see
+    _stage_ooo_documents) delivered ONE FILE PER MICRO-BATCH, so arrival
+    order (non-decreasing arrival_seq across batches) disagrees with
+    doc_id order within every batch boundary."""
+    return (
+        spark.readStream.schema(DOCUMENTS_OOO_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_ooo_documents(spark, sf_dir, n_waves, seq_base))
+    )
 
 
 def run_to_memory(

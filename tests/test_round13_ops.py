@@ -290,3 +290,105 @@ def test_streaming_growth_bound_end_to_end(spark, sf_dir, tmp_path, monkeypatch)
         assert len(tails) <= 3, (ledger, tails)
     # state: at most the last two generations
     assert len(os.listdir(f"{base}/state")) <= 2
+
+
+def test_ooo_stream_arrives_in_waves(spark, sf_dir, tmp_path):
+    """The ooo ingest feed's arrival contract: one micro-batch per wave,
+    arrival_seq non-decreasing ACROSS batches (the ooo gate's oracle
+    precondition), and genuinely out of doc_id order — some later batch
+    carries a smaller doc_id than an earlier batch's max.  Without the
+    multi-batch shape the cross-batch first-arrival path would be
+    silently unexercised (everything in one batch == in-batch dominance
+    only)."""
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.streaming import pipeline as sp
+
+    seen = []
+
+    def _observe(batch, batch_id):
+        from pyspark.sql import functions as F
+
+        r = batch.agg(
+            F.min("doc_id"),
+            F.max("doc_id"),
+            F.min("arrival_seq"),
+            F.max("arrival_seq"),
+            F.count("*"),
+        ).collect()[0]
+        if r[4]:
+            seen.append((batch_id, r[0], r[1], r[2], r[3], r[4]))
+
+    q = (
+        sp.read_documents_stream_ooo(
+            spark, sf_dir, qs._OOO_WAVES, qs._OOO_SEQ_BASE
+        )
+        .writeStream.foreachBatch(_observe)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seen.sort()
+    assert len(seen) == qs._OOO_WAVES
+    for (_, _, _, _, max_seq, _), (_, _, _, min_seq2, _, _) in zip(
+        seen, seen[1:]
+    ):
+        assert max_seq < min_seq2  # arrival_seq ordered across batches
+    assert any(
+        later[1] < earlier[2]  # later batch min doc_id < earlier max
+        for i, earlier in enumerate(seen)
+        for later in seen[i + 1 :]
+    )
+
+
+def test_ooo_gate_first_arrival_wins(spark, sf_dir):
+    """The two gate contracts provably diverge on this corpus (both
+    difference directions non-empty — an id-ordered-blocked doc the ooo
+    gate admits because it ARRIVED first, and vice versa), and the
+    streaming ooo decisions equal the one-shot first-arrival-wins
+    restatement computed independently in batch mode (bucket-MIN over
+    arrival_seq) — the same rule the DuckDB oracle states."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.tables import read_table
+
+    base_blocked = {
+        r.doc_id
+        for r in qs._neardup_gate_decisions(spark, sf_dir, "t13_gate_base")
+        .filter("is_blocked")
+        .collect()
+    }
+    ooo_blocked = {
+        r.doc_id
+        for r in qs._neardup_gate_decisions(
+            spark, sf_dir, "t13_gate_ooo", dom_col="arrival_seq"
+        )
+        .filter("is_blocked")
+        .collect()
+    }
+    assert base_blocked and ooo_blocked
+    assert base_blocked - ooo_blocked, "no doc blocked only under id order"
+    assert ooo_blocked - base_blocked, "no doc blocked only under arrival order"
+
+    seqd = read_table(spark, sf_dir, "documents").select(
+        F.expr(
+            f"pmod(doc_id, {qs._OOO_WAVES}) * {qs._OOO_SEQ_BASE}L + doc_id"
+        ).alias("arrival_seq"),
+        "text",
+    )
+    hashed = seqd.select(
+        "arrival_seq", F.expr(dd.shingle_hash_expr("text")).alias("shingles")
+    )
+    bands = dd.lsh_bands(dd.with_minhash(hashed, "arrival_seq"), "arrival_seq")
+    m = bands.groupBy("band", "bv").agg(F.min("arrival_seq").alias("m"))
+    oneshot = {
+        r.arrival_seq % qs._OOO_SEQ_BASE
+        for r in bands.join(m, ["band", "bv"])
+        .filter(F.col("m") < F.col("arrival_seq"))
+        .select("arrival_seq")
+        .distinct()
+        .collect()
+    }
+    assert ooo_blocked == oneshot
