@@ -151,6 +151,7 @@ HEADLINE = [
     "stream_gated_pack_incremental",
     # round-13 additions
     "stream_neardup_gate_ooo",
+    "stream_neardup_gate_ttl",
 ]
 
 

@@ -770,6 +770,10 @@ def stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
 # the staged stream asserts at stage time.
 _OOO_WAVES = 7
 _OOO_SEQ_BASE = 1_000_000_000
+# Retention window for stream_neardup_gate_ttl: only docs that arrived
+# within the last _TTL_WAVES waves can block a new arrival, and expired
+# signatures are DROPPED from the ledger at fold time.
+_TTL_WAVES = 3
 
 
 def _duck_neardup_gate_ooo_sql() -> str:
@@ -842,6 +846,14 @@ def stream_neardup_gate_ooo(spark: SparkSession, sf: str) -> DataFrame:
     dec = _neardup_gate_decisions(
         spark, sf, "stream_neardup_ooo", dom_col="arrival_seq"
     )
+    return _gate_admission_report(dec)
+
+
+def _gate_admission_report(dec: DataFrame) -> DataFrame:
+    """Per-source admission report with a blocked-SET-sensitive checksum
+    — shared by the ooo and ttl gates so the two can't drift in shape."""
+    from pyspark.sql import functions as F
+
     return dec.groupBy("source").agg(
         F.count("*").alias("n_seen"),
         F.sum(F.when(~F.col("is_blocked"), 1).otherwise(0))
@@ -854,6 +866,82 @@ def stream_neardup_gate_ooo(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("blocked_id_sum"),
     )
+
+
+def _duck_neardup_gate_ttl_sql() -> str:
+    # the ooo oracle's arrival order plus the retention predicate —
+    # a blocker must have arrived within the last _TTL_WAVES waves
+    return f"""
+WITH {_duck_bands_ctes()}
+, seqd AS (
+  SELECT doc_id, doc_id % {_OOO_WAVES} AS wave,
+         (doc_id % {_OOO_WAVES}) * {_OOO_SEQ_BASE} + doc_id AS seq
+  FROM documents
+), bands_seq AS (
+  SELECT b.band, b.bv, b.doc_id, s.seq, s.wave
+  FROM bands b JOIN seqd s ON s.doc_id = b.doc_id
+), blocked AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands_seq b JOIN bands_seq a
+    ON a.band = b.band AND a.bv = b.bv AND a.seq < b.seq
+   AND a.wave >= b.wave - {_TTL_WAVES}
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_seen,
+  CAST(sum(CASE WHEN bl.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN bl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+  CAST(sum(CASE WHEN bl.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT)
+    AS blocked_id_sum
+FROM documents d LEFT JOIN blocked bl ON bl.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "stream_neardup_gate_ttl",
+    sql=_duck_neardup_gate_ttl_sql(),
+    tags=(
+        "streaming",
+        "dedup-gate",
+        "minhash",
+        "foreachBatch",
+        "out-of-order",
+        "retention",
+    ),
+)
+def stream_neardup_gate_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """stream_neardup_gate_ooo with a RETENTION WINDOW — the state-
+    bounding variant a gate actually needs at continuous-ingest scale:
+    the unwindowed gates' signature ledgers grow with CORPUS size
+    forever (bounded in files by the LSM fold, but not in rows).  Here
+    only documents that arrived within the last _TTL_WAVES waves can
+    block a new arrival, so (a) each probe filters the base+tail reads
+    with a parquet-pushable range predicate on arrival_seq — the probe
+    input is O(window), not O(corpus) — and (b) the scheduled
+    bucket_ledger_fold DROPS expired signatures (expire_below), holding
+    ledger ROWS at O(window x batch) indefinitely.  This is the
+    dedup-against-a-sliding-horizon policy real pretraining ingest uses
+    when exact-forever dedup is either unaffordable or unwanted
+    (periodic re-crawls SHOULD re-admit after the horizon passes).
+
+    Semantics: first-arrival-wins within the window — blocked iff ANY
+    bucket-mate arrived earlier AND within _TTL_WAVES waves.  Exact
+    one-batch-per-wave precondition is asserted per batch, making the
+    single batch-level cutoff equal to the per-doc windowed rule, and
+    the DuckDB oracle restates exactly that with the same integer
+    constants.  The blocked set is provably a PROPER subset of the
+    unwindowed ooo gate's on this corpus (12 docs escape at sf0.001 —
+    test-pinned), and blocked_id_sum pins exactly which docs.  Ledger
+    expiry is separately test-pinned: after folds, no signature older
+    than the window survives in the base."""
+    dec = _neardup_gate_decisions(
+        spark,
+        sf,
+        "stream_neardup_ttl",
+        dom_col="arrival_seq",
+        ttl_waves=_TTL_WAVES,
+    )
+    return _gate_admission_report(dec)
 
 
 _GATE_LEDGER_PARTS_ENV = "KB_GATE_LEDGER_PARTS"
@@ -904,6 +992,7 @@ def bucket_ledger_fold(
     ledger: str,
     n_lp: int | None = None,
     id_col: str = "doc_id",
+    expire_below: int | None = None,
 ) -> int:
     """Fold the gate ledger's flat ``tail`` into the lp-partitioned
     ``base`` snapshot: read exactly the listed tail files + the current
@@ -944,6 +1033,12 @@ def bucket_ledger_fold(
         rows = rows.unionByName(
             spark.read.parquet(base_path).select("band", "bv", id_col)
         )
+    if expire_below is not None:
+        # retention-windowed gate (stream_neardup_gate_ttl): signatures
+        # older than the window can never block again — dropping them at
+        # fold time is what bounds ledger ROWS to O(window x batch)
+        # instead of O(corpus)
+        rows = rows.filter(F.col(id_col) >= F.lit(expire_below))
     folded = rows.dropDuplicates(["band", "bv", id_col]).withColumn(
         "lp", F.pmod(F.xxhash64("band", "bv"), F.lit(n_lp)).cast("int")
     )
@@ -1107,6 +1202,8 @@ def _gate_batch(
     n_lp: int,
     compact_every: int,
     dom_col: str = "doc_id",
+    ttl_waves: int | None = None,
+    seq_base: int | None = None,
 ) -> None:
     """One micro-batch of the near-dup admission gate — module-level so
     the fully-streaming composition (stream_gated_pack_incremental) and
@@ -1121,7 +1218,16 @@ def _gate_batch(
     "arrival_seq" gives first-arrival-wins for out-of-order ingest
     (stream_neardup_gate_ooo) — the ledger then stores (band, bv,
     arrival_seq) and a later arrival is blocked by ANY earlier-arrived
-    bucket-mate, regardless of doc_id order."""
+    bucket-mate, regardless of doc_id order.
+
+    ``ttl_waves`` (with ``seq_base``, requires dom_col="arrival_seq")
+    adds a RETENTION WINDOW: only bucket-mates that arrived within the
+    last ttl_waves waves can block (probe reads are filtered to
+    arrival_seq >= (batch_wave - ttl_waves) * seq_base — a parquet-
+    pushable range predicate), and the scheduled fold DROPS expired
+    signatures, so ledger rows are O(window x batch) instead of
+    O(corpus).  Exact because each micro-batch is exactly one wave
+    (asserted), so one batch-level cutoff equals the per-doc rule."""
     import os
     import time
 
@@ -1151,6 +1257,22 @@ def _gate_batch(
     # dominant per-batch hash work up to 4x (ADVICE r12); the analogous
     # frame in _champion_maintain was already persisted
     bands = dd.lsh_bands(dd.with_minhash(hashed, dom_col), dom_col).persist()
+    ttl_min: int | None = None
+    if ttl_waves is not None:
+        if dom_col != "arrival_seq" or not seq_base:
+            raise ValueError("ttl_waves requires dom_col='arrival_seq'")
+        lo, hi = batch.agg(
+            F.min(dom_col), F.max(dom_col)
+        ).collect()[0]
+        if lo is None:
+            bands.unpersist()
+            return
+        if lo // seq_base != hi // seq_base:
+            raise ValueError(
+                f"TTL gate requires one wave per batch, got waves "
+                f"{lo // seq_base}..{hi // seq_base} in batch {batch_id}"
+            )
+        ttl_min = (lo // seq_base - ttl_waves) * seq_base
     seen = bands
     base_path = _snapshot_current(base_dir)
     if base_path:
@@ -1158,16 +1280,18 @@ def _gate_batch(
         # mismatch raises instead of silently mispruning (ADVICE r12)
         n_lp = _ledger_recorded_n_lp(base_dir, n_lp)
         lps = _bucket_probe_partition_values(bands, n_lp)
-        seen = seen.unionByName(
-            sp_sess.read.parquet(base_path)
-            .filter(F.col("lp").isin(lps))  # file-level partition pruning
-            .select("band", "bv", dom_col)
+        probe = sp_sess.read.parquet(base_path).filter(
+            F.col("lp").isin(lps)  # file-level partition pruning
         )
+        if ttl_min is not None:
+            probe = probe.filter(F.col(dom_col) >= F.lit(ttl_min))
+        seen = seen.unionByName(probe.select("band", "bv", dom_col))
     _mark("probe assemble (base listing + prune literals)")
     if _has_parquet(tail_dir):
-        seen = seen.unionByName(
-            sp_sess.read.parquet(tail_dir).select("band", "bv", dom_col)
-        )
+        tail = sp_sess.read.parquet(tail_dir)
+        if ttl_min is not None:
+            tail = tail.filter(F.col(dom_col) >= F.lit(ttl_min))
+        seen = seen.unionByName(tail.select("band", "bv", dom_col))
     _mark("tail listing")
     # dominance via bucket MIN, not a bucket self-join: "blocked iff ANY
     # smaller dom_col shares a bucket" == "bucket min over seen < dom_col"
@@ -1196,7 +1320,9 @@ def _gate_batch(
     _mark("tail append")
     bands.unpersist()
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-        bucket_ledger_fold(sp_sess, ledger, n_lp, id_col=dom_col)
+        bucket_ledger_fold(
+            sp_sess, ledger, n_lp, id_col=dom_col, expire_below=ttl_min
+        )
         # decisions batch subdirs <= batch_id-1 are closed (committed in
         # the stream checkpoint, never re-delivered) — fold them on the
         # same cadence so dir count stays bounded (VERDICT r12)
@@ -1205,7 +1331,11 @@ def _gate_batch(
 
 
 def _neardup_gate_decisions(
-    spark: SparkSession, sf: str, run_name: str, dom_col: str = "doc_id"
+    spark: SparkSession,
+    sf: str,
+    run_name: str,
+    dom_col: str = "doc_id",
+    ttl_waves: int | None = None,
 ) -> DataFrame:
     """Run the streaming near-dup ingest gate end-to-end and return the
     per-doc decisions frame (doc_id, source, is_blocked) — the body of
@@ -1244,7 +1374,15 @@ def _neardup_gate_decisions(
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
         _gate_batch(
-            batch, batch_id, ledger, decisions, n_lp, compact_every, dom_col
+            batch,
+            batch_id,
+            ledger,
+            decisions,
+            n_lp,
+            compact_every,
+            dom_col,
+            ttl_waves=ttl_waves,
+            seq_base=_OOO_SEQ_BASE if ttl_waves is not None else None,
         )
 
     if dom_col == "arrival_seq":

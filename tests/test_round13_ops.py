@@ -392,3 +392,104 @@ def test_ooo_gate_first_arrival_wins(spark, sf_dir):
         .collect()
     }
     assert ooo_blocked == oneshot
+
+
+def test_ttl_gate_window_and_ledger_expiry(spark, sf_dir, tmp_path):
+    """The retention-windowed gate: (1) its blocked set is a PROPER
+    subset of the unwindowed ooo gate's (window can only admit more —
+    and docs whose only bucket-mates arrived > _TTL_WAVES waves earlier
+    provably escape on this corpus); (2) decisions equal the one-shot
+    windowed rule; (3) after scheduled folds the ledger base carries NO
+    signature older than the window — the O(window x batch) state bound
+    that is the query's point."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark import queries_streaming as qs
+    from knowledgebot_spark.operators import dedup as dd
+    from knowledgebot_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(
+            f"pmod(doc_id, {qs._OOO_WAVES}) * {qs._OOO_SEQ_BASE}L + doc_id"
+        ).alias("arrival_seq"),
+    )
+    ledger = str(tmp_path / "ledger")
+    decisions = str(tmp_path / "decisions")
+    os.makedirs(f"{ledger}/tail", exist_ok=True)
+    compact_every = 2  # folds fire mid-run, exercising expiry
+    for w in range(qs._OOO_WAVES):
+        qs._gate_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(qs._OOO_WAVES)) == w),
+            w,
+            ledger,
+            decisions,
+            qs._gate_ledger_parts(),
+            compact_every,
+            dom_col="arrival_seq",
+            ttl_waves=qs._TTL_WAVES,
+            seq_base=qs._OOO_SEQ_BASE,
+        )
+    dec = qs._batch_ledger_read(spark, decisions, qs._DECISIONS_SCHEMA)
+    ttl_blocked = {r.doc_id for r in dec.filter("is_blocked").collect()}
+
+    # one-shot windowed rule, computed independently
+    bands = dd.lsh_bands(
+        dd.with_minhash(
+            docs.select(
+                "arrival_seq",
+                F.expr(dd.shingle_hash_expr("text")).alias("shingles"),
+            ),
+            "arrival_seq",
+        ),
+        "arrival_seq",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    sb, k = qs._OOO_SEQ_BASE, qs._TTL_WAVES
+    oneshot = {
+        r.did % sb
+        for r in b.join(
+            a,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.arrival_seq") < F.col("b.arrival_seq"))
+            & (
+                (F.col("a.arrival_seq") / sb).cast("long")
+                >= (F.col("b.arrival_seq") / sb).cast("long") - k
+            ),
+        )
+        .select(F.col("b.arrival_seq").alias("did"))
+        .distinct()
+        .collect()
+    }
+    assert ttl_blocked == oneshot
+
+    # proper subset of the unwindowed ooo gate
+    ooo_blocked = {
+        r.doc_id
+        for r in qs._neardup_gate_decisions(
+            spark, sf_dir, "t13_gate_ooo_ref", dom_col="arrival_seq"
+        )
+        .filter("is_blocked")
+        .collect()
+    }
+    assert ttl_blocked < ooo_blocked  # strict: window admits more
+
+    # ledger expiry: the last fold ran with the cutoff of its trigger
+    # batch — nothing OLDER than that batch's window may survive in base
+    base_path = qs._snapshot_current(f"{ledger}/base")
+    assert base_path is not None
+    last_fold_wave = max(
+        w
+        for w in range(qs._OOO_WAVES)
+        if compact_every and w > 0 and w % compact_every == 0
+    )
+    cutoff = (last_fold_wave - k) * sb
+    n_expired = (
+        spark.read.parquet(base_path)
+        .filter(F.col("arrival_seq") < cutoff)
+        .count()
+    )
+    assert n_expired == 0
