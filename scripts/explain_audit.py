@@ -151,6 +151,14 @@ FLAGSHIPS = (
         "stream_epoch_ingest_pack",
         "ingest -> gate -> mixture -> pack composition (round 12): the plan below is the BATCH tail over the gate's decisions parquet (the streaming gate itself ran foreachBatch with lp-pruned ledger probes before this plan executes) — admitted ids enter via one LeftSemi join on doc_id, then llm_epoch_pack's exact shape: cumsum, broadcast plan joins, one bounded Generate, one (source, pack_id) partial agg",
     ),
+    (
+        "stream_neardup_gate_ooo",
+        "first-arrival-wins gate for out-of-order ingest (round 13): the plan below is the BATCH report tail over the decisions ledger (7 wave micro-batches ran the foreachBatch bucket-MIN dominance on arrival_seq before this executes) — per-batch work is the same pruned-base + bounded-tail probe as the id-ordered gate, dominance-column swap adds zero plan nodes",
+    ),
+    (
+        "stream_neardup_gate_ttl",
+        "retention-windowed gate (round 13): same report tail; per-batch probes additionally carry a parquet-pushable arrival_seq range predicate (probe input O(window) not O(corpus)) and the scheduled fold drops expired signatures — both gate state AND per-batch cost corpus-independent, 10x stress ratio 1.2x",
+    ),
 )
 
 
