@@ -1316,7 +1316,13 @@ def _gate_batch(
         F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
     ).write.mode("overwrite").parquet(f"{decisions}/tail/batch_id={batch_id}")
     _mark("probe + decisions write")
-    bands.write.mode("append").parquet(tail_dir)
+    # few-large-files discipline for the per-batch signature append (guide
+    # §6): the tail is re-LISTED and re-read by every later batch's probe,
+    # so one file per (batch, KB_GATE_TAIL_FILES) beats one file per cached
+    # partition.  Env-sized for real batch volumes; the coalesce reads the
+    # already-persisted bands, so it adds no recompute.
+    tail_files = int(os.environ.get("KB_GATE_TAIL_FILES", "1"))
+    bands.coalesce(tail_files).write.mode("append").parquet(tail_dir)
     _mark("tail append")
     bands.unpersist()
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
@@ -1391,13 +1397,14 @@ def _neardup_gate_decisions(
         )
     else:
         stream = sp.read_documents_stream(spark, sf)
-    q = (
-        stream.writeStream.foreachBatch(_gate)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sp.micro_batch_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(_gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     return _batch_ledger_read(spark, decisions, _DECISIONS_SCHEMA)
 
@@ -1626,13 +1633,14 @@ def stream_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
         _pack_incr_batch(batch, batch_id, packs_dir, state_dir, compact_every)
 
     stream = sp.read_documents_stream(spark, sf)
-    q = (
-        stream.writeStream.foreachBatch(_pack)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sp.micro_batch_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(_pack)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     placed = _batch_ledger_read(spark, packs_dir, _PACK_ROWS_SCHEMA)
     return (
@@ -1744,13 +1752,14 @@ def stream_gated_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     stream = sp.read_documents_stream(spark, sf)
-    q = (
-        stream.writeStream.foreachBatch(_gated_pack)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sp.micro_batch_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(_gated_pack)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     placed = _batch_ledger_read(spark, packs_dir, _PACK_ROWS_SCHEMA)
     return (

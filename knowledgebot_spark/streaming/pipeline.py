@@ -252,6 +252,50 @@ def read_documents_stream_ooo(
     )
 
 
+class micro_batch_confs:
+    """Scope session confs to micro-batch-sized work for the duration of
+    a foreachBatch stream run (round-13 optimization; guide §2/§6).
+
+    Two confs are scoped, both env-sized for a cluster and restored on
+    exit:
+
+    * ``spark.sql.shuffle.partitions`` -> KB_STREAM_PARTITIONS (8): every
+      per-batch exchange is over a BATCH-sized frame, so the batch-
+      oriented session width (32 locally, O(cores*4) on a cluster) is
+      pure task-scheduling overhead per micro-batch — the same
+      run_to_memory/run_to_parquet state-store rationale, applied to the
+      foreachBatch ledger paths (gate probe agg, minhash agg, cumsum
+      range-repartition).
+    * ``spark.sql.files.minPartitionNum`` -> KB_STREAM_MIN_SPLITS (1):
+      the session floor exists so a SMALL single-file batch TABLE scans
+      wide (session.py); inside a micro-batch the side reads are
+      batch-sized ledger tails and one-batch state dirs, where a 32-way
+      floor turns every tiny read into 32 near-empty tasks (measured
+      64-task union stages per gate batch at sf0.1).  This is only a
+      FLOOR: at real batch sizes ``maxPartitionBytes`` still splits
+      reads, so 1 is the scale-correct value, not a local tune.
+    """
+
+    _PAIRS = {
+        "spark.sql.shuffle.partitions": ("KB_STREAM_PARTITIONS", "8"),
+        "spark.sql.files.minPartitionNum": ("KB_STREAM_MIN_SPLITS", "1"),
+    }
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._before: dict[str, str] = {}
+
+    def __enter__(self) -> "micro_batch_confs":
+        for key, (env, default) in self._PAIRS.items():
+            self._before[key] = self._spark.conf.get(key)
+            self._spark.conf.set(key, os.environ.get(env, default))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for key, value in self._before.items():
+            self._spark.conf.set(key, value)
+
+
 def run_to_memory(
     stream: DataFrame, output_mode: str, table: str | None = None
 ) -> DataFrame:
