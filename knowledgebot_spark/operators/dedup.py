@@ -383,6 +383,10 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 64) -> DataF
     bounded by the log of the largest component's diameter, not by the
     component count or corpus size."""
     a, b = edges.columns[:2]
+    # lazy localCheckpoint: the checksum action immediately below is what
+    # materializes it, so each round runs ONE job (checkpoint + checksum)
+    # instead of two (eager materialize, then checksum) — half the driver
+    # round-trips on a loop whose per-round data is tiny (round-13 opt)
     canon = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("ca"),
@@ -390,7 +394,7 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 64) -> DataF
         )
         .filter(F.col("ca") != F.col("cb"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(e: DataFrame) -> tuple:
@@ -429,7 +433,7 @@ def alternating_star_components(edges: DataFrame, max_rounds: int = 64) -> DataF
             attach_small.unionAll(attach_big)
             .filter(F.col("ca") != F.col("cb"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = _checksum(canon)
         if cur == prev:

@@ -170,13 +170,14 @@ def stream_extraction_spine(spark: SparkSession, sf: str) -> DataFrame:
         )
         upsert_chunks(batch.sparkSession, out, chunks, reprocessed_keys=reprocessed)
 
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sp.micro_batch_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).selectExpr(*_SPINE_COLS.split(", "))
 
 
@@ -650,13 +651,14 @@ def stream_cdc_materialize(spark: SparkSession, sf: str) -> DataFrame:
         latest.write.mode("overwrite").parquet(f"{out}/v{batch_id:05d}")
 
     stream = sp.read_events_stream(spark, sf)
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sp.micro_batch_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     versions = sorted(d for d in os.listdir(out) if d.startswith("v"))
     snap = spark.read.parquet(f"{out}/{versions[-1]}")
@@ -1261,6 +1263,10 @@ def _gate_batch(
     if ttl_waves is not None:
         if dom_col != "arrival_seq" or not seq_base:
             raise ValueError("ttl_waves requires dom_col='arrival_seq'")
+        # NOTE (round-13): replacing this agg with a limit-1 probe plus a
+        # per-row raise_error assert inside the decisions projection was
+        # A/B'd and LOST (~+2 s over 7 waves at sf0.1) — raise_error in
+        # the hot projection costs more than the one tiny agg job saves
         lo, hi = batch.agg(
             F.min(dom_col), F.max(dom_col)
         ).collect()[0]
@@ -2581,11 +2587,14 @@ def _champion_maintain(base: str, batch: DataFrame, batch_id: int) -> None:
     # Checkpointing truncates the lineage so the edge set is immune to the
     # invalidation; fail-stop under executor loss is the documented local
     # trade (operators/ranking.py)
+    # lazy: the count() immediately below is the materializing action, so
+    # checkpoint + count run as ONE job instead of two — and it completes
+    # BEFORE any ledger append, preserving the invalidation immunity
     new_edges = (
         verified.filter(F.col("jaccard") >= CLUSTER_JACCARD)
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_new = new_edges.count()
     new_edges.write.mode("append").parquet(edges_dir)
@@ -3053,13 +3062,19 @@ def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
         _champion_maintain(base, batch, batch_id)
 
     stream = sp.read_documents_stream(spark, sf)
-    q = (
-        stream.writeStream.foreachBatch(_maintain)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # scan-split floor only: per-batch side reads (bands base/tail, docs
+    # ledger, snapshots) are batch-bounded, where the session's 32-way
+    # minPartitionNum floor turns each tiny read into near-empty tasks;
+    # shuffle width stays at the session value because pinning the
+    # delta-CC shuffles to 8 was a measured LOSS on the dense stress set
+    with sp.micro_batch_confs(spark, keys=("spark.sql.files.minPartitionNum",)):
+        q = (
+            stream.writeStream.foreachBatch(_maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return _champion_table(spark, base).orderBy("cluster_id")
 
 

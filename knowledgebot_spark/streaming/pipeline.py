@@ -281,12 +281,19 @@ class micro_batch_confs:
         "spark.sql.files.minPartitionNum": ("KB_STREAM_MIN_SPLITS", "1"),
     }
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(
+        self, spark: SparkSession, keys: tuple[str, ...] | None = None
+    ) -> None:
         self._spark = spark
         self._before: dict[str, str] = {}
+        # keys: optional subset of _PAIRS to scope — the champion path
+        # scopes ONLY the scan-split floor because pinning its delta-CC
+        # shuffles to 8 was a measured LOSS on the dense stress set
+        self._keys = tuple(keys) if keys is not None else tuple(self._PAIRS)
 
     def __enter__(self) -> "micro_batch_confs":
-        for key, (env, default) in self._PAIRS.items():
+        for key in self._keys:
+            env, default = self._PAIRS[key]
             self._before[key] = self._spark.conf.get(key)
             self._spark.conf.set(key, os.environ.get(env, default))
         return self
@@ -311,12 +318,7 @@ def run_to_memory(
     """
     spark = stream.sparkSession
     name = table or f"mem_{uuid.uuid4().hex[:12]}"
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("KB_STREAM_PARTITIONS", "8"),
-    )
-    try:
+    with micro_batch_confs(spark):
         query = (
             stream.writeStream.format("memory")
             .queryName(name)
@@ -325,8 +327,6 @@ def run_to_memory(
             .start()
         )
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
 
 
@@ -341,16 +341,11 @@ def run_to_parquet(stream: DataFrame, out_dir: str, ckpt_dir: str) -> DataFrame:
     scales with executor-side parquet throughput instead of driver heap.
     Same KB_STREAM_PARTITIONS state-store scoping as run_to_memory."""
     spark = stream.sparkSession
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("KB_STREAM_PARTITIONS", "8"),
-    )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
-    try:
+    with micro_batch_confs(spark):
         query = (
             stream.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", ckpt_dir)
@@ -358,8 +353,6 @@ def run_to_parquet(stream: DataFrame, out_dir: str, ckpt_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
     if not (
         os.path.isdir(out_dir)
         and any(
