@@ -279,6 +279,7 @@ class micro_batch_confs:
     _PAIRS = {
         "spark.sql.shuffle.partitions": ("KB_STREAM_PARTITIONS", "8"),
         "spark.sql.files.minPartitionNum": ("KB_STREAM_MIN_SPLITS", "1"),
+        "spark.sql.adaptive.enabled": ("KB_STREAM_AQE", "false"),
     }
 
     def __init__(
