@@ -3066,7 +3066,10 @@ def stream_champion_upsert(spark: SparkSession, sf: str) -> DataFrame:
     # ledger, snapshots) are batch-bounded, where the session's 32-way
     # minPartitionNum floor turns each tiny read into near-empty tasks;
     # shuffle width stays at the session value because pinning the
-    # delta-CC shuffles to 8 was a measured LOSS on the dense stress set
+    # delta-CC shuffles to 8 was a measured LOSS on the dense stress set,
+    # and AQE stays ON because its coalescing carries those session-width
+    # shuffles (AQE-off A/B'd round 13: lost 2 of 3 pairs, means
+    # 15.9 -> 17.2 s — unlike the gate/pack paths, where it won 14/14)
     with sp.micro_batch_confs(spark, keys=("spark.sql.files.minPartitionNum",)):
         q = (
             stream.writeStream.foreachBatch(_maintain)
