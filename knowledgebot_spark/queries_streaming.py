@@ -1316,11 +1316,14 @@ def _gate_batch(
     dec_cols = (
         ["doc_id", "source"] if dom_col == "doc_id" else ["doc_id", "source", dom_col]
     )
-    batch.select(*dec_cols).join(blocked, dom_col, "left").select(
+    dec_frame = batch.select(*dec_cols).join(blocked, dom_col, "left").select(
         "doc_id",
         "source",
         F.coalesce(F.col("is_blocked"), F.lit(False)).alias("is_blocked"),
-    ).write.mode("overwrite").parquet(f"{decisions}/tail/batch_id={batch_id}")
+    )
+    if os.environ.get("KB_GATE_DEBUG") == "2":
+        dec_frame.explain(mode="formatted")
+    dec_frame.write.mode("overwrite").parquet(f"{decisions}/tail/batch_id={batch_id}")
     _mark("probe + decisions write")
     # few-large-files discipline for the per-batch signature append (guide
     # §6): the tail is re-LISTED and re-read by every later batch's probe,
