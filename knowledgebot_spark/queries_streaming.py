@@ -968,6 +968,20 @@ def _bands_n_parts() -> int:
     return int(os.environ.get(_BANDS_PARTS_ENV, str(_BANDS_PARTS_DEFAULT)))
 
 
+def _gate_tail_files() -> int:
+    """Parsed ONCE at query start (ADVICE r13): a malformed or
+    non-positive KB_GATE_TAIL_FILES fails fast with a clear error instead
+    of crashing every gate micro-batch inside foreachBatch."""
+    import os
+
+    raw = os.environ.get("KB_GATE_TAIL_FILES", "1")
+    try:
+        n = int(raw)
+    except ValueError as err:
+        raise ValueError(f"KB_GATE_TAIL_FILES must be an integer, got {raw!r}") from err
+    return max(1, n)
+
+
 def _bucket_probe_partition_values(bands: DataFrame, n_lp: int) -> list[str]:
     """Partition-filter literals for a bucket-sharded signature-ledger
     probe (the near-dup gate's base AND the champion bands base), as
@@ -1206,6 +1220,7 @@ def _gate_batch(
     dom_col: str = "doc_id",
     ttl_waves: int | None = None,
     seq_base: int | None = None,
+    tail_files: int | None = None,
 ) -> None:
     """One micro-batch of the near-dup admission gate — module-level so
     the fully-streaming composition (stream_gated_pack_incremental) and
@@ -1330,7 +1345,8 @@ def _gate_batch(
     # so one file per (batch, KB_GATE_TAIL_FILES) beats one file per cached
     # partition.  Env-sized for real batch volumes; the coalesce reads the
     # already-persisted bands, so it adds no recompute.
-    tail_files = int(os.environ.get("KB_GATE_TAIL_FILES", "1"))
+    if tail_files is None:  # direct callers (tests) — queries parse once
+        tail_files = _gate_tail_files()
     bands.coalesce(tail_files).write.mode("append").parquet(tail_dir)
     _mark("tail append")
     bands.unpersist()
@@ -1386,6 +1402,7 @@ def _neardup_gate_decisions(
     compact_every = int(
         os.environ.get(_GATE_COMPACT_EVERY_ENV, str(_GATE_COMPACT_EVERY_DEFAULT))
     )
+    tail_files = _gate_tail_files()  # fail fast, not per micro-batch
 
     def _gate(batch: DataFrame, batch_id: int) -> None:
         _gate_batch(
@@ -1398,6 +1415,7 @@ def _neardup_gate_decisions(
             dom_col,
             ttl_waves=ttl_waves,
             seq_base=_OOO_SEQ_BASE if ttl_waves is not None else None,
+            tail_files=tail_files,
         )
 
     if dom_col == "arrival_seq":
@@ -1743,9 +1761,13 @@ def stream_gated_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     compact_every = int(
         os.environ.get(_GATE_COMPACT_EVERY_ENV, str(_GATE_COMPACT_EVERY_DEFAULT))
     )
+    tail_files = _gate_tail_files()  # fail fast, not per micro-batch
 
     def _gated_pack(batch: DataFrame, batch_id: int) -> None:
-        _gate_batch(batch, batch_id, ledger, decisions, n_lp, compact_every)
+        _gate_batch(
+            batch, batch_id, ledger, decisions, n_lp, compact_every,
+            tail_files=tail_files,
+        )
         # this batch's own decisions are never folded yet (fold stops at
         # batch_id-1), so the tail subdir read is always live
         dec = batch.sparkSession.read.parquet(

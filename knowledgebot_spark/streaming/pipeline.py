@@ -293,15 +293,46 @@ class micro_batch_confs:
         self._keys = tuple(keys) if keys is not None else tuple(self._PAIRS)
 
     def __enter__(self) -> "micro_batch_confs":
-        for key in self._keys:
-            env, default = self._PAIRS[key]
-            self._before[key] = self._spark.conf.get(key)
-            self._spark.conf.set(key, os.environ.get(env, default))
+        try:
+            for key in self._keys:
+                env, default = self._PAIRS[key]
+                # conf.get(key, None) -> None when the conf is UNSET in this
+                # session (optional confs like files.minPartitionNum on any
+                # session the engine didn't build — the driver's, a
+                # production caller's).  None is recorded as "restore by
+                # unset", never fed back to conf.set (round-13 regression:
+                # conf.set(key, None) raises IllegalArgumentException).
+                self._before[key] = self._spark.conf.get(key, None)
+                self._spark.conf.set(key, os.environ.get(env, default))
+        except BaseException:
+            # roll back whatever was already applied so a partial enter
+            # can't leak scoped confs into the shared session
+            self._restore_all()
+            raise
         return self
 
     def __exit__(self, *exc) -> None:
+        self._restore_all()
+
+    def _restore_all(self) -> None:
+        """Restore every recorded conf, each in its own try so one failure
+        cannot strand the rest un-restored (round-13 blast radius: a throw
+        mid-loop leaked minPartitionNum=1 + AQE=false into the session for
+        every later query).  The first error is re-raised after all keys
+        have been attempted."""
+        first_err: BaseException | None = None
         for key, value in self._before.items():
-            self._spark.conf.set(key, value)
+            try:
+                if value is None:
+                    self._spark.conf.unset(key)
+                else:
+                    self._spark.conf.set(key, value)
+            except BaseException as err:  # noqa: BLE001 — restore must not stop
+                if first_err is None:
+                    first_err = err
+        self._before.clear()
+        if first_err is not None:
+            raise first_err
 
 
 def run_to_memory(
