@@ -198,8 +198,15 @@ def main() -> None:
     # "parsed": null).  The final line therefore stays short — totals,
     # query count, and the 10 slowest queries — while the complete map is
     # written to BENCH_DETAIL.json next to this script for the judge.
+    # The scaling run (driver re-runs the bench at a lower core count) must
+    # not clobber the 32-core per-query map (VERDICT r13 #7): non-default
+    # core counts get their own detail file, keyed by $SPARK_GRAFT_CPUS.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail_name = (
+        "BENCH_DETAIL.json" if cpus == "32" else f"BENCH_DETAIL_c{cpus}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Regression self-report (VERDICT r08 #7): diff this run against the
@@ -263,7 +270,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
                 "sf": sf_val,
             }
         )
