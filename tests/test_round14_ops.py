@@ -134,3 +134,72 @@ print("BARE_SESSION_OK", n)
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "BARE_SESSION_OK" in proc.stdout
+
+
+def test_cc_lazy_checkpoint_one_job_per_round(spark, monkeypatch):
+    """VERDICT r13 #3: the per-round lazy localCheckpoint claim is that the
+    convergence checksum materializes the checkpoint, so each CC round runs
+    ONE driver job instead of two.  Prove it with statusTracker job counts
+    on a star-shaped input that converges in exactly one round: the
+    committed (lazy) implementation must run 2 jobs total (initial
+    checksum + one round's checksum), and the same loop with eager
+    checkpoints must run 4 (each round pays a separate materialization
+    job).  AQE and auto-broadcast are disabled inside the test because
+    both split one action into several tracked jobs nondeterministically.
+    """
+    # patch the CONCRETE class: Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, whose own localCheckpoint
+    # shadows anything set on the abstract pyspark.sql.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from knowledgebot_spark.operators.dedup import alternating_star_components
+
+    sc = spark.sparkContext
+    # (1,2),(1,3),(5,6) is already a star forest == the fixpoint of
+    # small(large(.)), so round 1 reproduces the canon set and the loop
+    # stops at the first checksum comparison
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (5, 6)], "id_a BIGINT, id_b BIGINT"
+    )
+    scoped = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+
+    def _count_jobs(group: str) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            alternating_star_components(edges)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        lazy_jobs = _count_jobs("cc-lazy-job-audit")
+
+        orig = DataFrame.localCheckpoint
+
+        def eager_ckpt(self, eager=True):
+            return orig(self, eager=True)
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", eager_ckpt)
+        eager_jobs = _count_jobs("cc-eager-job-audit")
+        monkeypatch.undo()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert lazy_jobs == 2, f"expected 1 job per round + initial, got {lazy_jobs}"
+    assert eager_jobs == 4, f"expected 2 jobs per round + initial, got {eager_jobs}"
+
+    # and the result is still the right component labeling
+    got = sorted(
+        tuple(r) for r in alternating_star_components(edges).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)]
