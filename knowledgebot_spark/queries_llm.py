@@ -3823,19 +3823,63 @@ def llm_dedup_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
     CTEs — the llm_training_triplets pattern), so the report audits the
     real detectors, not replicas.  Scale shape inherits from the sources;
     the overlap agg keys on the pair id, map-side combinable.
+
+    Round-14 (guide §2.6, VERDICT r13 #4): the four detectors are
+    materialized CONCURRENTLY from driver threads into per-detector
+    localCheckpoints, then unioned for the (tiny) pair-keyed overlap agg.
+    The one declarative 1,400-op composed plan already ran the four stage
+    graphs concurrently, but Catalyst analyzed/optimized it single-
+    threaded on the driver, re-paid per invocation — four ~350-op plans
+    analyzed in parallel threads replace it (A/B evidence in
+    OPTIMIZATION_r14.md; checkpoint-per-detector WITHOUT threads was
+    rejected in round 13 because it serialized the detectors' execution;
+    KB_OVERLAP_SERIAL=1 restores the one-plan composition for engines
+    whose driver must not run concurrent jobs).  Each checkpoint is
+    pair-rows only (id_a, id_b) — detector tags are constants attached
+    after materialization, and every pair set is orders of magnitude
+    smaller than the corpus that produced it, so the held intermediate is
+    the decision set, not data (guide §8's lightweight-proxy rule).
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     import knowledgebot_spark.queries_llm as _self
 
-    parts = [
-        _self.llm_dedup_minhash(spark, sf)
-        .select("id_a", "id_b", F.lit("minhash").alias("d")),
-        _self.llm_dedup_ngram(spark, sf)
-        .select("id_a", "id_b", F.lit("ngram").alias("d")),
-        _self.llm_dedup_simhash(spark, sf)
-        .select("id_a", "id_b", F.lit("simhash").alias("d")),
-        _self.llm_dedup_sorted_neighborhood(spark, sf)
-        .select("id_a", "id_b", F.lit("snm").alias("d")),
+    detectors = [
+        ("minhash", _self.llm_dedup_minhash),
+        ("ngram", _self.llm_dedup_ngram),
+        ("simhash", _self.llm_dedup_simhash),
+        ("snm", _self.llm_dedup_sorted_neighborhood),
     ]
+
+    if os.environ.get("KB_OVERLAP_SERIAL") == "1":
+        parts = [
+            fn(spark, sf).select("id_a", "id_b", F.lit(name).alias("d"))
+            for name, fn in detectors
+        ]
+    else:
+
+        def _materialize(item):
+            name, fn = item
+            sc = spark.sparkContext
+            sc.setJobDescription(f"overlap_report: {name}")
+            try:
+                # eager localCheckpoint: runs this detector's jobs NOW, on
+                # this thread, concurrently with its three siblings
+                return (
+                    name,
+                    fn(spark, sf).select("id_a", "id_b").localCheckpoint(),
+                )
+            finally:
+                sc.setJobDescription(None)
+
+        # 4 driver threads = 4 concurrent jobs; FIFO scheduling back-fills
+        # each detector's straggler tail with the next one's tasks (§2.6)
+        with ThreadPoolExecutor(max_workers=len(detectors)) as pool:
+            parts = [
+                df.withColumn("d", F.lit(name))
+                for name, df in pool.map(_materialize, detectors)
+            ]
     tagged = parts[0]
     for p in parts[1:]:
         tagged = tagged.unionByName(p)
