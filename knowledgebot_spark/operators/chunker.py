@@ -43,9 +43,13 @@ def chunk_windows(
     final partial window kept (reference parity)."""
     stride = _check(chunk_size, overlap)
     toks = f"split({text_col}, ' ')"
+    # outer transform(array(...)) binds the token array once per row — an
+    # embedded split() in the window lambda re-tokenizes per window (the
+    # shingle_expr/round-14 interpreted-HOF fix)
     windows = (
-        f"transform(sequence(1, size({toks}), {stride}), "
-        f"s -> array_join(slice({toks}, s, {chunk_size}), ' '))"
+        f"flatten(transform(array({toks}), tk -> "
+        f"transform(sequence(1, size(tk), {stride}), "
+        f"s -> array_join(slice(tk, s, {chunk_size}), ' '))))"
     )
     return (
         df.withColumn("windows", F.expr(windows))

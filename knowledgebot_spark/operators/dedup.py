@@ -45,11 +45,20 @@ def shingle_expr(text_col: str, distinct: bool = True) -> str:
     """Word-{SHINGLE_WORDS}-gram shingles of lower(text) as a SQL expression
     (JVM built-ins: split/sequence/slice/array_join).  ``distinct=False``
     skips the O(n^2) array_distinct — min-over-multiset == min-over-set, so
-    the signature path never needs it (exact Jaccard verification does)."""
+    the signature path never needs it (exact Jaccard verification does).
+
+    The outer ``transform(array(<toks>), tk -> ...)`` binds the token array
+    ONCE as a lambda variable (the shingle_hash_expr idiom): higher-order
+    functions evaluate interpreted, so a split() embedded in the per-window
+    lambda body re-tokenizes the document at EVERY window position —
+    O(tokens^2) per document (round-14: 4.3x measured on the verify-path
+    shingle projection at sf0.1) — and a plain projected column would be
+    inlined back into the lambda by CollapseProject."""
     toks = f"split(lower({text_col}), ' ')"
     inner = (
-        f"transform(sequence(1, greatest(size({toks}) - {SHINGLE_WORDS - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {SHINGLE_WORDS}), ' '))"
+        f"flatten(transform(array({toks}), tk -> "
+        f"transform(sequence(1, greatest(size(tk) - {SHINGLE_WORDS - 1}, 1)), "
+        f"i -> array_join(slice(tk, i, {SHINGLE_WORDS}), ' '))))"
     )
     return f"array_distinct({inner})" if distinct else inner
 

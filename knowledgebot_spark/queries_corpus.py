@@ -28,11 +28,19 @@ import knowledgebot_spark.queries_llm  # noqa: E402,F401
 
 def _gram_expr(text_col: str, n: int, distinct: bool = True) -> str:
     """Word-n-gram list of lower(text) as a SQL expression — the
-    generalized form of operators.dedup.shingle_expr (fixed n=3)."""
+    generalized form of operators.dedup.shingle_expr (fixed n=3).
+
+    The outer ``transform(array(<toks>), tk -> ...)`` binds the token
+    array ONCE (the shingle_hash_expr idiom): HOF lambdas evaluate
+    interpreted, so an embedded split() re-tokenizes at every gram
+    position — O(tokens^2) per document (round-14: 4.3x measured on the
+    gram projection at sf0.1); CollapseProject would inline a projected
+    column straight back into the lambda."""
     toks = f"split(lower({text_col}), ' ')"
     inner = (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"flatten(transform(array({toks}), tk -> "
+        f"transform(sequence(1, greatest(size(tk) - {n - 1}, 1)), "
+        f"i -> array_join(slice(tk, i, {n}), ' '))))"
     )
     return f"array_distinct({inner})" if distinct else inner
 
@@ -789,9 +797,12 @@ def llm_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     three keyed shuffles, no all-pairs, no driver action."""
     d = _t(spark, sf, "documents")
     toks = "split(lower(text), ' ')"
+    # outer transform(array(...)) binds the token array once per row (the
+    # shingle_expr/round-14 interpreted-HOF fix)
     segs_expr = (
-        f"transform(sequence(1, greatest(size({toks}), 1), {SEG_TOKENS}), "
-        f"s -> array_join(slice({toks}, s, {SEG_TOKENS}), ' '))"
+        f"flatten(transform(array({toks}), tk -> "
+        f"transform(sequence(1, greatest(size(tk), 1), {SEG_TOKENS}), "
+        f"s -> array_join(slice(tk, s, {SEG_TOKENS}), ' '))))"
     )
     seg = d.select(
         "doc_id", F.posexplode(F.expr(segs_expr)).alias("pos0", "seg")

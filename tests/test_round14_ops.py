@@ -203,3 +203,55 @@ def test_cc_lazy_checkpoint_one_job_per_round(spark, monkeypatch):
         tuple(r) for r in alternating_star_components(edges).collect()
     )
     assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)]
+
+
+def test_hoisted_window_exprs_match_naive_formulation(spark):
+    """Round-14: shingle_expr / _gram_expr / chunk_windows re-bind the
+    token array through an outer transform(array(...)) lambda so the
+    embedded split() evaluates once per row instead of once per window
+    position (interpreted HOFs re-evaluate the lambda body per element).
+    The rewrite must be value-identical to the naive per-position
+    formulation, including the empty / single-token / NULL edge rows."""
+    from pyspark.sql import functions as F
+
+    from knowledgebot_spark.operators.chunker import chunk_windows
+    from knowledgebot_spark.operators.dedup import shingle_expr
+    from knowledgebot_spark.queries_corpus import _gram_expr
+
+    rows = [
+        ("the quick brown fox jumps over the lazy dog",),
+        ("one two three",),
+        ("one two",),   # shorter than the window
+        ("solo",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text STRING")
+
+    def naive(n: int) -> str:
+        toks = "split(lower(text), ' ')"
+        return (
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+            f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        )
+
+    for n, expr in ((3, shingle_expr("text", distinct=False)),
+                    (7, _gram_expr("text", 7, distinct=False))):
+        got = [r.s for r in df.selectExpr(f"{expr} AS s").collect()]
+        ref = [r.s for r in df.selectExpr(f"{naive(n)} AS s").collect()]
+        assert got == ref, f"n={n}: {got} != {ref}"
+
+    naive_windows = (
+        "transform(sequence(1, size(split(text, ' ')), 15), "
+        "s -> array_join(slice(split(text, ' '), s, 20), ' '))"
+    )
+    got = chunk_windows(df.filter("text IS NOT NULL")).select(
+        "chunk_pos", "chunk_text"
+    ).collect()
+    ref = (
+        df.filter("text IS NOT NULL")
+        .withColumn("w", F.expr(naive_windows))
+        .select(F.posexplode("w").alias("chunk_pos", "chunk_text"))
+        .collect()
+    )
+    assert got == ref
